@@ -1,0 +1,629 @@
+"""Core relational surface (SURVEY.md §2 Part C, rows q_scan_project …
+q_rmse).
+
+Reference ancestry: the reference implements only scan/parse (A1,
+``ALS-Hadoop/ALS/ALS.java:88-93``), group-by vector aggregation (A2/A3,
+``ALS/ALS.java:82-150,173-196``), per-key averages (A4,
+``ALS/ALS.java:152-171``), counts (A5/A6), dictionary encoding (A7,
+``ALS-Hadoop/mapid.py:28-38``), random split (A8, ``split.py:5-19``),
+broadcast-hash join (A10/A13, ``ALS/ALS.java:435-477``) and an RMSE
+aggregate (A14, ``ALS/ALS.java:423-433``). Everything else here fills
+the Part-B gaps (filters, shuffle/semi/anti/range joins, windows,
+top-k, set ops, rollup/cube, scalar/array/map/json functions) with pure
+built-in Spark so Catalyst plans them (predicate pushdown, partial
+aggregation, broadcast selection, AQE).
+
+Scale notes (100 TB posture) are in each docstring; the design rule is:
+no driver-side materialization, no unpartitioned windows over big data,
+broadcast only provably-small sides.
+
+Float discipline for the DuckDB oracle: per-row arithmetic is IEEE
+deterministic and left unrounded; multi-row aggregates are rounded
+(sums→2dp, avgs/ratios→4dp) because accumulation order differs between
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.ids import dense_ids
+from ..functions.joins import range_join_buckets
+from ..sources import load
+
+
+# ---------------------------------------------------------------------------
+# scans / filters / projections
+# ---------------------------------------------------------------------------
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: scan + project + cast (ALS-Hadoop/ALS/ALS.java:88-93 parses
+    csv, keeps 3 columns, casts). Column pruning reaches the parquet
+    reader (ReadSchema lists only 5 of 11 lineitem columns)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("net_price"),
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+    )
+
+
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: predicates (range + IN + LIKE + conjunction). All
+    four predicates are pushed into the parquet scan (PushedFilters)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 25.0)
+        & (F.col("l_returnflag").isin("R", "A"))
+        & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_linestatus") == "F")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+def q_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A4 analog — TPC-H Q1 shape: hash aggregate with map-side
+    partial (the reference hand-codes this as combiner classes,
+    ALS-Hadoop/ALS/ALS.java:132-150; Spark's HashAggregateExec does
+    partial→final automatically). 6 groups at any SF → the shuffle
+    moves only partial-agg rows, O(partitions×groups)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_avg_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-key average (AverageRatingMapper,
+    ALS-Hadoop/ALS/ALS.java:152-171 — which funnels all means into ONE
+    vector under key 0, a driver-side bottleneck; here it stays a
+    distributed 2-column result)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6: count + count distinct (mapid.py:14-15 set-inserts ids in
+    one process; here a distributed partial-distinct aggregate)."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: HyperLogLog++ sketch — the 100 TB replacement for A6's
+    exact in-memory sets (mapid.py:14-15 holds all ids in RAM; HLL is
+    fixed-size per partition and merges associatively). No oracle:
+    approximate results don't hash-match; pytest asserts relative error
+    vs exact instead."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: grouping sets. CUBE over (returnflag, linestatus)
+    = 4 grouping sets in one shuffle (Expand + single hash agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A13: broadcast hash join — the reference ships the small side
+    to every task via DistributedCache + an in-task hash map
+    (ALS-Hadoop/ALS/ALS.java:380-383, SolveExplicitFeedbackMapper.java:
+    67-90); Spark's torrent broadcast + BroadcastHashJoinExec is the
+    native form. `part` is a dimension (200 rows/SF-step) — always
+    broadcast, never shuffled."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.col("p_size") <= 25)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: multi-way equi-join. orders⋈customer shuffles on
+    custkey (both sides large at scale → sort-merge/shuffled-hash, AQE
+    decides); nation and region stay broadcast. At 100 TB, orders and
+    customer would be bucketed on custkey to eliminate this exchange."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: semi/anti join (EXISTS / NOT EXISTS). The reference's
+    only filter is its join-miss drop (ALS-Hadoop/ALS/ALS.java:460-464)
+    — a semi-join in disguise. Left-semi/anti never materialize the
+    right side's columns."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.lit("with_orders").alias("grp"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.lit("no_orders").alias("grp"))
+    )
+    return semi.unionAll(anti)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: non-equi (range) self-join — pairs of events within
+    60 s of each other. A naive theta join is BroadcastNestedLoopJoin
+    (O(n²), dies at scale); we bucketize ts into 60-s bins and turn it
+    into an equi-join on bucket id + residual filter — see
+    functions/joins.py. Count pairs per left event_type."""
+    ev = load(spark, sf_dir, "events")
+    pairs = range_join_buckets(
+        ev.select(F.col("ts").alias("ts1"), F.col("event_type")),
+        ev.select(F.col("ts").alias("ts2")),
+        left_ts="ts1",
+        right_ts="ts2",
+        window_seconds=60,
+    )
+    return pairs.groupBy("event_type").agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# windows / sort / top-k
+# ---------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: ranking windows — top-3 orders per customer. The
+    window partitions by o_custkey so it scales horizontally (one
+    shuffle on the partition key, no global sort)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: analytic windows with frames — running sum + lag/lead
+    per user ordered by time. Partitioned by user_id → scales; ordering
+    tie-broken by event_id so results are deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.sum("value").over(frame), 4).alias("running_sum"),
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: global top-k (cf. the unused Vectors.topKElements in
+    the reference's vendored mahout jar, SURVEY.md §2 Part B). Spark
+    plans orderBy+limit as TakeOrderedAndProject — per-partition heap
+    of k, no global sort, no full shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: UNION / INTERSECT / EXCEPT over key projections,
+    tagged and stacked into one result."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    union = c.union(o).distinct().select(F.lit("union").alias("op"), "k")
+    inter = c.intersect(o).select(F.lit("intersect").alias("op"), "k")
+    diff = c.exceptAll(o.distinct()).select(F.lit("except").alias("op"), "k")
+    return union.unionAll(inter).unionAll(diff)
+
+
+# ---------------------------------------------------------------------------
+# scalar / array / map / json functions
+# ---------------------------------------------------------------------------
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: string/date/math scalar functions, all JVM-side
+    (whole-stage codegen; zero Python in the row path)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_2002"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("abs_diff"),
+        F.round(F.pow(F.col("o_totalprice") / 10000.0, 2), 6).alias("pow_ratio"),
+    )
+
+
+def q_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: JSON extraction + map/array construction. props is a
+    JSON string; from_json parses it JVM-side (no UDF). Aggregates are
+    integer-exact so the oracle hash is stable."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    ).select(
+        "event_type",
+        F.col("p.k").alias("k"),
+        F.map_from_arrays(F.array(F.lit("k")), F.array(F.col("p.k"))).alias("m"),
+        F.array(F.col("p.k"), F.col("p.k") * 2).alias("arr"),
+    )
+    return (
+        parsed.select(
+            "event_type",
+            "k",
+            F.element_at("m", "k").alias("k_from_map"),
+            F.element_at("arr", 2).alias("k_doubled"),
+            F.size("arr").alias("arr_len"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k_doubled").alias("max_k2"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.sum("arr_len").alias("sum_len"),
+        )
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap + north-star: array math on the embedding column via
+    built-in higher-order functions (F.aggregate/F.transform — codegen,
+    no Python). Computes L2 norm and mean of each vector."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    total = F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 6).alias("mean_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dictionary encoding / split / metric
+# ---------------------------------------------------------------------------
+
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: dictionary-encode raw keys to dense 0..n-1 ints
+    (ALS-Hadoop/mapid.py:28-38 enumerates a driver-side set — O(n) RAM
+    in one process). Scale-safe re-expression in functions/ids.py:
+    range-repartition + per-partition enumeration + offset join; no
+    unpartitioned window, no driver set."""
+    c = load(spark, sf_dir, "customer")
+    mapping = dense_ids(c, "c_custkey")
+    return mapping.select(F.col("c_custkey"), F.col("dense_id"))
+
+
+def q_transpose_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: matrix transpose as explode + re-group (TransposeMapper +
+    MergeUserVectorsReducer, ALS-Hadoop/ALS/ALS.java:173-196). Builds
+    per-partkey sparse rows {suppkey: qty}, explodes them back out, and
+    regroups by suppkey — the round-trip must preserve totals. Dup
+    (part,supp) pairs are pre-summed (the reference is inconsistent:
+    sum at ALS.java:137,146 vs merge at :191 — we standardize on sum,
+    SURVEY.md §7.3.5)."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    rows = cells.groupBy("l_partkey").agg(
+        F.map_from_entries(F.collect_list(F.struct("l_suppkey", "qty"))).alias("row")
+    )
+    transposed = rows.select("l_partkey", F.explode("row").alias("l_suppkey", "qty"))
+    return transposed.groupBy("l_suppkey").agg(
+        F.round(F.sum("qty"), 2).alias("sum_qty"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: seeded Bernoulli train/probe split (ALS-Hadoop/split.py:5-19,
+    p=0.8/0.2 seed 1). Spark's randomSplit has the same per-row
+    independent-draw semantics. Engine-nondeterministic across
+    engines → no oracle; pytest asserts the partition invariants
+    (disjoint, exhaustive, ~80/20)."""
+    o = load(spark, sf_dir, "orders")
+    train, probe = o.randomSplit([0.8, 0.2], seed=1)
+    return spark.createDataFrame(
+        [("train", train.count()), ("probe", probe.count())], "split STRING, n LONG"
+    )
+
+
+def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: RMSE aggregate (ALS-Hadoop/ALS/ALS.java:423-433 scans error
+    files single-threaded in the driver; here one distributed agg).
+    Error = o_totalprice vs the global-mean predictor; the mean is
+    computed as a 1-row agg and broadcast-cross-joined (NOT a window
+    over an unpartitioned frame, which would serialize)."""
+    o = load(spark, sf_dir, "orders")
+    mean = o.agg(F.avg("o_totalprice").alias("mean_price"))
+    err = o.crossJoin(F.broadcast(mean)).select(
+        (F.col("o_totalprice") - F.col("mean_price")).alias("err")
+    )
+    return err.agg(F.round(F.sqrt(F.avg(F.pow("err", F.lit(2)))), 4).alias("rmse"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q_scan_project": q_scan_project,
+    "q_filter": q_filter,
+    "q_groupby_sum": q_groupby_sum,
+    "q_avg_per_key": q_avg_per_key,
+    "q_count_distinct": q_count_distinct,
+    "q_approx_count_distinct": q_approx_count_distinct,
+    "q_rollup_cube": q_rollup_cube,
+    "q_broadcast_join": q_broadcast_join,
+    "q_shuffle_join": q_shuffle_join,
+    "q_semi_anti_join": q_semi_anti_join,
+    "q_range_join": q_range_join,
+    "q_window_rank": q_window_rank,
+    "q_window_running": q_window_running,
+    "q_topk": q_topk,
+    "q_set_ops": q_set_ops,
+    "q_scalar_funcs": q_scalar_funcs,
+    "q_array_map_json": q_array_map_json,
+    "q_array_funcs": q_array_funcs,
+    "q_dense_ids": q_dense_ids,
+    "q_transpose_regroup": q_transpose_regroup,
+    "q_random_split": q_random_split,
+    "q_rmse": q_rmse,
+}
+
+ORACLES = {
+    "q_scan_project": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS qty,
+               l_extendedprice * (1.0 - l_discount) AS net_price,
+               CAST(l_shipdate AS TIMESTAMP) AS ship_ts
+        FROM lineitem
+    """,
+    "q_filter": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+        FROM lineitem
+        WHERE l_quantity >= 25.0
+          AND l_returnflag IN ('R', 'A')
+          AND l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_linestatus = 'F'
+    """,
+    "q_groupby_sum": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_avg_per_key": """
+        SELECT event_type,
+               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(SUM(value), 2) AS sum_value,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    "q_count_distinct": """
+        SELECT COUNT(DISTINCT o_custkey) AS n_custs,
+               COUNT(DISTINCT o_orderstatus) AS n_statuses,
+               COUNT(*) AS n_orders
+        FROM orders
+    """,
+    "q_rollup_cube": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_broadcast_join": """
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size <= 25
+        GROUP BY p_brand
+    """,
+    "q_shuffle_join": """
+        SELECT r_name, n_name,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "q_semi_anti_join": """
+        SELECT c_custkey, c_name, 'with_orders' AS grp
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_name, 'no_orders' AS grp
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_range_join": """
+        SELECT e1.event_type, COUNT(*) AS n_pairs
+        FROM events e1
+        JOIN events e2
+          ON e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 60 SECOND
+        GROUP BY e1.event_type
+    """,
+    "q_window_rank": """
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER w AS rn,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        ) WHERE rn <= 3
+    """,
+    "q_window_running": """
+        SELECT event_id, user_id, value,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+               LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+               LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events
+    """,
+    "q_topk": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 10
+    """,
+    "q_set_ops": """
+        SELECT 'union' AS op, k FROM (
+            SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'intersect' AS op, k FROM (
+            SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'except' AS op, k FROM (
+            SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+    """,
+    "q_scalar_funcs": """
+        SELECT o_orderkey,
+               UPPER(SUBSTRING(o_orderpriority, 1, 3)) AS pri3,
+               CONCAT(o_orderstatus, '-', o_orderpriority) AS tag,
+               LENGTH(o_orderpriority) AS pri_len,
+               EXTRACT(YEAR FROM o_orderdate) AS o_year,
+               EXTRACT(MONTH FROM o_orderdate) AS o_month,
+               DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+               ROUND(SQRT(o_totalprice), 4) AS sqrt_price,
+               ABS(o_totalprice - 1000.0) AS abs_diff,
+               ROUND(POW(o_totalprice / 10000.0, 2), 6) AS pow_ratio
+        FROM orders
+    """,
+    "q_array_map_json": """
+        SELECT event_type,
+               SUM(k) AS sum_k,
+               MAX(k * 2) AS max_k2,
+               COUNT(DISTINCT k) AS n_distinct_k,
+               SUM(2) AS sum_len
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k
+              FROM events)
+        GROUP BY event_type
+    """,
+    "q_array_funcs": """
+        SELECT vec_id, label,
+               len(embedding) AS dim,
+               ROUND(SQRT(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+               ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                     / len(embedding), 6) AS mean_val
+        FROM embeddings
+    """,
+    "q_dense_ids": """
+        SELECT c_custkey,
+               CAST(DENSE_RANK() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS dense_id
+        FROM (SELECT DISTINCT c_custkey FROM customer)
+    """,
+    "q_transpose_regroup": """
+        SELECT l_suppkey,
+               ROUND(SUM(qty), 2) AS sum_qty,
+               COUNT(*) AS n_parts
+        FROM (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+              FROM lineitem GROUP BY l_partkey, l_suppkey)
+        GROUP BY l_suppkey
+    """,
+    "q_rmse": """
+        SELECT ROUND(SQRT(AVG(POW(o_totalprice -
+                   (SELECT AVG(o_totalprice) FROM orders), 2))), 4) AS rmse
+        FROM orders
+    """,
+}

@@ -1,0 +1,33 @@
+"""Sources & sinks.
+
+The reference's I/O surface (SURVEY.md §2 A1/A15/A16):
+
+- CSV text scan with hard-coded schema      → ``read_ratings_csv``
+  (``ALS-Hadoop/ALS/ALS.java:88-93`` splits on ``","`` and casts).
+- SequenceFile ``(IntWritable, VectorWritable)`` inter-job storage
+  (``ALS/ALS.java:236,269,294``) → superseded by Parquet; ``write_table``
+  / ``read_table`` are the engine equivalents.
+- Overwrite-before-run (``ALS/ALS.java:75-77``) → ``mode("overwrite")``.
+- Text scalar sink ``rmse.txt`` (``ALS/ALS.java:411-419``) → tiny JSON.
+
+All readers take explicit schemas — never ``inferSchema`` (a full extra
+scan at 100 TB).
+"""
+
+from .tables import (
+    TABLES,
+    load,
+    load_all,
+    read_ratings_csv,
+    read_table,
+    write_table,
+)
+
+__all__ = [
+    "TABLES",
+    "load",
+    "load_all",
+    "read_ratings_csv",
+    "read_table",
+    "write_table",
+]

@@ -1,0 +1,96 @@
+"""Table loaders for the driver's synthetic star schema + engine readers/writers."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the ten driver tables (TESTDATA.md); one parquet file each under sf_dir.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: ratings CSV schema — the reference's sole logical input record,
+#: parsed at ALS-Hadoop/ALS/ALS.java:90-93 (comma split, int/int/float).
+RATINGS_SCHEMA = "user_id INT, item_id INT, rating FLOAT"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table. Parquet scan → vectorized reader, column
+    pruning and predicate pushdown apply automatically downstream.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark 4
+    has no timestamp type for (µs max). With
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a
+    ns-since-epoch long; we floor-divide to µs with *integer* `div`
+    (a double division would lose precision above 2^53) and rebuild the
+    timestamp — matching DuckDB's own ns→µs truncation, per the
+    FIXTURES.md precision note."""
+    if name == "events":
+        # Runtime-settable SQL conf; applied here too (not only in
+        # session.py) so the engine works under ANY caller-provided
+        # SparkSession, e.g. the driver's vanilla one.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all driver tables as temp views for the SQL API."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_ratings_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV ratings scan — engine twin of the reference's text parse
+    (ALS-Hadoop/ALS/ALS.java:88-93; python analog mapid.py:17-24).
+
+    Explicit schema (no inference pass), no header, comma-delimited,
+    extra columns (the MovieLens timestamp, dropped at mapid.py:21)
+    ignored via mode=DROPMALFORMED being unnecessary — schema projection
+    keeps only the first three columns.
+    """
+    return (
+        spark.read.schema(RATINGS_SCHEMA)
+        .options(header="false", mode="PERMISSIVE")
+        .csv(path)
+        .dropna(subset=["user_id", "item_id", "rating"])
+    )
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Engine twin of the reference's SequenceFile source
+    (ALS-Hadoop/ALS/ALS.java:261,286,366): columnar Parquet instead of
+    binary KV pairs."""
+    return spark.read.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Engine twin of the reference's SequenceFile sink + overwrite
+    semantics (ALS-Hadoop/ALS/ALS.java:236 et al., delete-if-exists at
+    75-77). Partitioned Parquet so downstream scans prune files."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

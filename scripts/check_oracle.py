@@ -1,0 +1,109 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs each ``__spark_entry__.queries()`` entry at sf0.01 and compares it
+against the matching ``oracle_sql()`` via DuckDB: row count, schema
+arity, and an order-insensitive value comparison (columns sorted by
+name, rows sorted, values canonicalized). Usage:
+
+    python scripts/check_oracle.py [query ...]     # default: all
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def rows_to_canonical(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main(names=None):
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from als_hadoop_spark.session import get_spark
+
+    spark = get_spark("check_oracle", cpus=8, shuffle_partitions=8)
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    selected = names or list(qs)
+    failures = []
+    for name in selected:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            s_can = rows_to_canonical(scols, [tuple(r) for r in srows])
+            d_can = rows_to_canonical(dcols, drows)
+            if s_can != d_can:
+                diff = next(
+                    (i for i, (a, b) in enumerate(zip(s_can, d_can)) if a != b), None
+                )
+                msg = f"values differ (first diff row {diff})"
+                if diff is not None:
+                    msg += f"\n  spark: {s_can[diff]}\n  duck : {d_can[diff]}"
+                problems.append(msg)
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {dt:.1f}s)")
+    print(f"\n{len(selected) - len(failures)}/{len(selected)} passed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
