@@ -1,4 +1,157 @@
-"""Placeholder — filled in by later milestone."""
+"""ALS collaborative filtering — the reference's entire capability
+(SURVEY.md §2 A9-A14, §3.1), re-expressed on Spark MLlib.
 
-QUERIES = {}
-ORACLES = {}
+The reference hand-builds the pipeline as 23 MapReduce job launches
+(``ALS-Hadoop/ALS/ALS.java:217-331``): CSV parse → item-keyed sparse
+vectors → transpose → per-item means → M₀ init → 10 × (solve U | solve
+M) with the fixed factor broadcast via DistributedCache → probe scoring
+→ RMSE. Here the whole thing is one driver program:
+
+    ratings → randomSplit → ml.recommendation.ALS(...).fit → transform
+            → RegressionEvaluator-style RMSE aggregate
+
+with identical hyperparameters (rank=20, maxIter=10, regParam=0.065 —
+``ALS/ALS.java:52-55``; λ=0.065 is the ALS-WR paper's tuned value, Zhou
+et al. AAIM 2008). Spark's block solver subsumes the reference's
+broadcast + gather + QR solve (``SolveExplicitFeedbackMapper.java:
+92-102``); per SURVEY.md §7.3.1 factor bits are never comparable across
+implementations, so parity is gated on RMSE like the reference's own
+gate (``ALS/ALS.java:423-433``).
+
+Scale: MLlib ALS partitions users and items into blocks and shuffles
+only factor blocks between halves of each iteration — the design that
+replaces the reference's full-matrix DistributedCache copy to every
+node per iteration (``ALS/ALS.java:380-383``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RANK = 20          # ALS-Hadoop/ALS/ALS.java:52 (numFeatures)
+MAX_ITER = 10      # ALS-Hadoop/ALS/ALS.java:53 (numIterations)
+REG_PARAM = 0.065  # ALS-Hadoop/ALS/ALS.java:55 (lambda)
+
+
+def _hash_unit(*cols) -> F.Column:
+    """Deterministic pseudo-uniform in [0,1) from xxhash64 of the given
+    columns — partition-layout independent (unlike F.rand(seed), whose
+    stream depends on task split), so the synthetic data is identical
+    on any cluster size."""
+    h = F.xxhash64(*cols)
+    return (F.pmod(h, F.lit(1_000_003)).cast("double")) / 1_000_003.0
+
+
+def synth_ratings(
+    spark: SparkSession,
+    n_users: int = 600,
+    n_items: int = 300,
+    n_ratings: int = 30_000,
+    latent_rank: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """FIXTURES.md §A1: seeded low-rank-plus-noise ratings so ALS at
+    rank 20 measurably beats the global-mean predictor. Fully
+    distributed generation — spark.range + hash arithmetic, no driver
+    loops, no numpy on the driver."""
+    pairs = (
+        spark.range(int(n_ratings * 1.25))
+        .select(
+            F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_users)).cast("int").alias("user_id"),
+            F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(n_items)).cast("int").alias("item_id"),
+        )
+        .dropDuplicates(["user_id", "item_id"])
+        .limit(n_ratings)
+    )
+    dims = F.sequence(F.lit(0), F.lit(latent_rank - 1))
+    # per-(entity, dim) latent factors in [-1, 1), derived from hashes
+    u_vec = F.transform(dims, lambda d: _hash_unit(F.col("user_id"), d, F.lit(seed + 2)) * 2 - 1)
+    i_vec = F.transform(dims, lambda d: _hash_unit(F.col("item_id"), d, F.lit(seed + 3)) * 2 - 1)
+    affinity = F.aggregate(
+        F.zip_with(u_vec, i_vec, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    noise = (_hash_unit(F.col("user_id"), F.col("item_id"), F.lit(seed + 4)) - 0.5) * 0.5
+    # affinity ∈ ~[-rank/3, rank/3]; squash into the 1..5 star scale
+    raw = 3.0 + affinity * (2.4 / (latent_rank / 3.0)) + noise
+    return pairs.select(
+        "user_id",
+        "item_id",
+        F.round(F.greatest(F.lit(1.0), F.least(F.lit(5.0), raw)), 2)
+        .cast("float")
+        .alias("rating"),
+    )
+
+
+def als_pipeline(
+    ratings: DataFrame,
+    rank: int = RANK,
+    max_iter: int = MAX_ITER,
+    reg_param: float = REG_PARAM,
+    seed: int = 42,
+) -> tuple[DataFrame, float, float]:
+    """§3.1 end-to-end: split → fit → score → RMSE.
+
+    Returns (predictions, rmse, global_mean_rmse). The split mirrors
+    split.py:5-19 (per-row Bernoulli 0.8/0.2, seed 1); cold-start rows
+    are dropped exactly like the reference's join-miss drop at
+    ALS/ALS.java:460-464.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    train, probe = ratings.randomSplit([0.8, 0.2], seed=1)
+    model = ALS(
+        rank=rank,
+        maxIter=max_iter,
+        regParam=reg_param,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+        seed=seed,
+    ).fit(train)
+
+    preds = model.transform(probe)
+    err = preds.select((F.col("rating") - F.col("prediction")).alias("err"))
+    rmse = err.agg(F.sqrt(F.avg(F.pow("err", F.lit(2))))).collect()[0][0]
+
+    mean = train.agg(F.avg("rating").alias("mu"))
+    base_err = probe.crossJoin(F.broadcast(mean)).select(
+        (F.col("rating") - F.col("mu")).alias("err")
+    )
+    base_rmse = base_err.agg(F.sqrt(F.avg(F.pow("err", F.lit(2))))).collect()[0][0]
+    return preds, float(rmse), float(base_rmse)
+
+
+def q_als_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-A13: full ALS fit + predict on the synthetic ratings fixture.
+    Factors are seed/impl-dependent → no SQL oracle (rows-only);
+    tests/test_als.py gates RMSE < 1.0 and beats-global-mean, the same
+    criterion as the reference's own rmse.txt gate."""
+    ratings = synth_ratings(spark)
+    preds, _, _ = als_pipeline(ratings)
+    return preds.select(
+        "user_id",
+        "item_id",
+        "rating",
+        F.col("prediction").cast("double").alias("prediction"),
+    )
+
+
+def q_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 on the real pipeline: one-row metrics frame (rmse vs the
+    global-mean baseline). Rows-only: RMSE depends on MLlib's seeded
+    factor init."""
+    ratings = synth_ratings(spark)
+    _, rmse, base = als_pipeline(ratings)
+    return spark.createDataFrame(
+        [(round(rmse, 4), round(base, 4), round(base - rmse, 4))],
+        "rmse DOUBLE, global_mean_rmse DOUBLE, improvement DOUBLE",
+    )
+
+
+QUERIES = {
+    "q_als_fit_predict": q_als_fit_predict,
+    "q_als_rmse": q_als_rmse,
+}
+ORACLES: dict[str, str] = {}
