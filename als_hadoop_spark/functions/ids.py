@@ -6,28 +6,35 @@ non-distributed anti-pattern. The obvious Spark rewrite,
 ``dense_rank() OVER (ORDER BY key)``, is just as bad at 100 TB: an
 unpartitioned window funnels every distinct key through ONE task.
 
-``dense_ids`` instead does a three-step distributed enumeration:
+``dense_ids`` instead does a fully-JVM distributed enumeration:
 
 1. ``distinct`` + ``repartitionByRange(key)`` + ``sortWithinPartitions``
    — keys globally sorted across partitions (partition *p*'s keys all
    precede partition *p+1*'s).
-2. per-partition local enumeration with ``mapInPandas`` (Arrow-batched,
-   a running counter per partition — no shuffle, no window).
-3. per-partition counts → cumulative offsets (a #partitions-row
-   driver-side cumsum — bounded by the partition count, never by data
-   size) broadcast-joined back: ``dense_id = offset[pid] + local_idx``.
+2. per-partition local index via ``monotonically_increasing_id()``
+   decomposition: Spark packs ``partition_id`` into the upper bits and a
+   0-based sequential row index into the lower 33 bits, so
+   ``local_idx = id & (2^33 - 1)`` — computed inside whole-stage
+   codegen, no shuffle, no Python.
+3. per-partition counts → cumulative offsets (a window over the
+   #partitions-row counts frame — bounded by the partition count, never
+   by data size) broadcast-joined back:
+   ``dense_id = offset[pid] + local_idx``.
 
 The result is bit-identical to ``dense_rank()-1`` ordered by key, while
-every step stays O(rows/partitions) per task.
+every step stays O(rows/partitions) per task. Correctness does not
+depend on where ``repartitionByRange`` places its sampled boundaries —
+any boundary choice preserves the global sort order.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: monotonically_increasing_id puts the in-partition row index in the
+#: low 33 bits and the partition id above them.
+_MONO_LOCAL_MASK = (1 << 33) - 1
 
 
 def dense_ids(df: DataFrame, key: str, num_partitions: int | None = None) -> DataFrame:
@@ -37,42 +44,27 @@ def dense_ids(df: DataFrame, key: str, num_partitions: int | None = None) -> Dat
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    distinct = (
+    mono = F.monotonically_increasing_id()
+    enumerated = (
         df.select(key)
         .distinct()
         .repartitionByRange(num_partitions, key)
         .sortWithinPartitions(key)
-        .withColumn("_pid", F.spark_partition_id())
+        .select(
+            key,
+            F.shiftrightunsigned(mono, 33).cast("int").alias("_pid"),
+            mono.bitwiseAND(F.lit(_MONO_LOCAL_MASK)).alias("_local_idx"),
+        )
     )
 
-    key_type = dict(df.dtypes)[key]
-    out_schema = f"{key} {key_type}, _pid INT, _local_idx BIGINT"
+    counts = enumerated.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # Cumulative count of rows in partitions before _pid. Unpartitioned
+    # window is safe here: the frame has at most `num_partitions` rows.
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_offset")
+    )
 
-    def enumerate_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        for pdf in batches:
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    key: pdf[key],
-                    "_pid": pdf["_pid"],
-                    "_local_idx": range(seen, seen + n),
-                }
-            )
-            seen += n
-
-    enumerated = distinct.mapInPandas(enumerate_partition, schema=out_schema)
-    # Cache: both the offsets aggregation and the final join consume it.
-    enumerated = enumerated.persist()
-
-    counts = enumerated.groupBy("_pid").count().orderBy("_pid").collect()
-    offsets, running = [], 0
-    for row in counts:
-        offsets.append((row["_pid"], running))
-        running += row["count"]
-    offsets_df = spark.createDataFrame(offsets, "_pid INT, _offset BIGINT")
-
-    return (
-        enumerated.join(F.broadcast(offsets_df), "_pid")
-        .select(key, (F.col("_offset") + F.col("_local_idx")).alias("dense_id"))
+    return enumerated.join(F.broadcast(offsets), "_pid").select(
+        key, (F.col("_offset") + F.col("_local_idx")).alias("dense_id")
     )

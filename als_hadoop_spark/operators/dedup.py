@@ -94,17 +94,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
     h = F.xxhash64("tok")
+    # Bit b is tested via shiftright+mask — a literal (1 << 63) would
+    # overflow Java long at the py4j boundary (NumberFormatException).
     votes = [
-        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b{b}")
+        F.sum(
+            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
         for b in range(64)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
+    one = F.lit(1).cast("long")
     hi = sum(
-        (F.when(F.col(f"b{b + 32}") > 0, F.lit(1 << b)).otherwise(0) for b in range(32)),
+        (F.when(F.col(f"b{b + 32}") > 0, F.shiftleft(one, b)).otherwise(0) for b in range(32)),
         start=F.lit(0),
     )
     lo = sum(
-        (F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0) for b in range(32)),
+        (F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(0) for b in range(32)),
         start=F.lit(0),
     )
     fp = agg.select(

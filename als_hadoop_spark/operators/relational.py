@@ -589,11 +589,13 @@ ORACLES = {
         FROM orders
     """,
     "q_array_map_json": """
+        -- DuckDB SUM(int) returns HUGEINT (int128); Spark returns BIGINT.
+        -- Explicit casts so a type-tagged value hash matches (VERDICT r1 #2).
         SELECT event_type,
-               SUM(k) AS sum_k,
-               MAX(k * 2) AS max_k2,
-               COUNT(DISTINCT k) AS n_distinct_k,
-               SUM(2) AS sum_len
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(MAX(k * 2) AS INT) AS max_k2,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+               CAST(SUM(2) AS BIGINT) AS sum_len
         FROM (SELECT event_type,
                      CAST(json_extract_string(props, '$.k') AS INT) AS k
               FROM events)

@@ -1,0 +1,75 @@
+"""Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with the `noop` write format — full
+distributed computation, zero driver-side row transfer — so the number is
+engine time, not collect/pickle time. Queries whose callable already
+materializes internally (counts, ML fit) still measure end-to-end.
+
+Usage: python bench.py [query ...]   # default: all registered queries
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main(names: list[str]) -> int:
+    import __spark_entry__ as entry_mod
+    from als_hadoop_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+    selected = names or list(qs)
+
+    # Warm up the JVM / parquet footer caches so q1 doesn't pay session
+    # startup; the metric is query time, not cold-start time.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in selected:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — a broken query must not kill the bench
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
