@@ -1,4 +1,157 @@
-"""Placeholder — filled in by later milestone."""
+"""Multimodal-column operators (north-star extension; SURVEY.md §2
+Part C q_multimodal).
 
-QUERIES = {}
-ORACLES = {}
+Design per the 100 TB training-data-pipeline brief: image/audio/video
+payloads are opaque ``BinaryType`` columns carried next to a typed
+metadata ``StructType`` — the engine moves and filters bytes without
+interpreting them, and media *decoding* happens in Arrow-batched Python
+(``mapInPandas``) at the edge of the pipeline.
+
+The driver testdata has no binary table, so ``_assets`` derives a
+deterministic multimodal frame from ``documents``: content =
+UTF-8-encoded text (a stand-in payload with real, checkable byte
+lengths), metadata = (format, width, height) computed from stable
+integer arithmetic. That keeps every byte reproducible in DuckDB, so
+the struct/binary *plumbing* — nested projection, predicate on struct
+fields, aggregation over binary lengths — is fully oracle-checked.
+
+``q_multimodal_features`` is the decode path: a ``mapInPandas`` stage
+whose batch shape (binary in → numeric features out) is exactly what a
+real image decoder needs. The actual pixel decode is STUBBED — this
+container has no image/audio libraries — behind ``_decode_payload``,
+which computes deterministic byte-level features instead; swapping in
+PIL/librosa changes one function, not the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: formats cycled across doc_ids — one per modality family
+FORMATS = ("png", "jpeg", "wav")
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, meta struct<format,width,height>, content
+    binary). Deterministic integer-derived metadata so the oracle can
+    rebuild the identical frame."""
+    docs = load(spark, sf_dir, "documents")
+    fmt = F.element_at(F.array(*[F.lit(f) for f in FORMATS]), (F.pmod("doc_id", F.lit(3)) + 1).cast("int"))
+    width = (F.lit(64) + F.pmod(F.col("doc_id") * 7, F.lit(1024))).cast("int")
+    height = (F.lit(64) + F.pmod(F.col("n_chars"), F.lit(768))).cast("int")
+    return docs.select(
+        "doc_id",
+        F.struct(
+            fmt.alias("format"), width.alias("width"), height.alias("height")
+        ).alias("meta"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct + binary column plumbing: filter on a struct field,
+    project through nested paths, aggregate binary payload sizes per
+    format. Catalyst prunes the struct access to the two fields read;
+    the group-by key (format) has cardinality 3 → tiny shuffle."""
+    assets = _assets(spark, sf_dir)
+    return (
+        assets.filter(F.col("meta.width") >= 128)
+        .select(
+            F.col("meta.format").alias("fmt"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.octet_length("content").alias("n_bytes"),
+        )
+        .groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+        )
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads: the
+    mapInPandas stage every real decode/resize/frame-sample operator
+    uses. Partition-parallel, zero shuffle; Python cost is one Arrow
+    round-trip per batch, not per row. Deterministic (stub decoder) but
+    Python-computed → rows-only; pytest pins exact feature values.
+
+    The closure is deliberately self-contained (decoder nested inside,
+    pickled by value) so executors never need this package on their
+    PYTHONPATH — required for running under the driver's vanilla
+    SparkSession from any working directory."""
+    assets = _assets(spark, sf_dir).select(
+        "doc_id", F.col("meta.format").alias("fmt"), "content"
+    )
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def decode_payload(fmt: str, payload: bytes) -> tuple[int, float, int]:
+            """STUB decoder — deterministic byte-level features instead
+            of a real media decode (no PIL/librosa/ffmpeg in this
+            container). A real deployment replaces this body with e.g.
+            ``PIL.Image.open(io.BytesIO(payload))``; the mapInPandas
+            plan, Arrow batch shape, and output schema stay identical."""
+            n = len(payload)
+            mean = float(sum(payload)) / n if n else 0.0
+            checksum = sum(payload) % 65_521  # Adler-style mod
+            return n, round(mean, 4), checksum
+
+        for pdf in batches:
+            feats = [decode_payload(f, b) for f, b in zip(pdf["fmt"], pdf["content"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": pdf["fmt"],
+                    "n_bytes": [f[0] for f in feats],
+                    "mean_byte": [f[1] for f in feats],
+                    "checksum": [f[2] for f in feats],
+                }
+            )
+
+    return assets.mapInPandas(
+        extract,
+        schema="doc_id LONG, fmt STRING, n_bytes INT, mean_byte DOUBLE, checksum INT",
+    )
+
+
+QUERIES = {
+    "q_multimodal": q_multimodal,
+    "q_multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "q_multimodal": """
+        WITH assets AS (
+            SELECT doc_id,
+                   ['png','jpeg','wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+                   CAST(64 + (doc_id * 7) % 1024 AS INT) AS width,
+                   CAST(64 + n_chars % 768 AS INT) AS height,
+                   encode(text) AS content
+            FROM documents
+        )
+        SELECT fmt,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               CAST(SUM(octet_length(content)) AS BIGINT) AS total_bytes,
+               CAST(MAX(octet_length(content)) AS INT) AS max_bytes,
+               ROUND(AVG(width), 4) AS avg_width,
+               ROUND(AVG(height), 4) AS avg_height
+        FROM assets
+        WHERE width >= 128
+        GROUP BY fmt
+    """,
+}

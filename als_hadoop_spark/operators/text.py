@@ -1,4 +1,285 @@
-"""Placeholder — filled in by later milestone."""
+"""Text-analysis operators over the ``documents`` table (north-star
+extension; SURVEY.md §2 Part C q_text_stats + the training-data-pipeline
+text surface: token counting, language ID, quality scoring, document
+fingerprinting).
 
-QUERIES = {}
-ORACLES = {}
+The reference has no text surface at all (its only string handling is
+the CSV comma-split at ``ALS-Hadoop/ALS/ALS.java:90-93``); everything
+here is a Part-B/north-star gap filled with pure built-in Spark SQL
+functions — ``split`` / ``explode`` / ``regexp`` / higher-order
+``aggregate`` — so the whole row path stays JVM-side with zero Python.
+
+Scale notes:
+- Tokenize→explode multiplies rows ~60× but never shuffles the exploded
+  form except grouped by bounded keys (lang, token); the token group-by
+  is the classic word-count shape — map-side partial aggregation makes
+  the shuffle O(distinct tokens), not O(total tokens).
+- Per-doc metrics (quality, fingerprint) are computed with higher-order
+  functions directly on the token array — no explode, no shuffle at all:
+  embarrassingly parallel over documents.
+- Every query here is deterministic → fully DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+
+#: tiny English stopword profile for the language-ID heuristic
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+#: rolling-hash parameters (polynomial hash, Horner form)
+FP_BASE = 31
+FP_MOD = 1_000_000_007
+
+#: top-k size for token frequency
+TOP_K_TOKENS = 20
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics: document counts, token totals
+    (whitespace tokenization), distinct-token cardinality, average
+    tokens/doc and chars/doc. The explode→groupBy(lang) aggregate is
+    partial-aggregated map-side; `lang` has bounded cardinality so the
+    final shuffle is tiny at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("lang", "doc_id", F.explode(_tokens()).alias("tok"))
+    tok_stats = toks.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.round(F.avg(F.length("tok")), 4).alias("avg_token_len"),
+    )
+    doc_stats = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    return (
+        doc_stats.join(tok_stats, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(F.col("n_tokens") / F.col("n_docs"), 4).alias("avg_tokens_per_doc"),
+            "avg_token_len",
+            "avg_chars",
+        )
+    )
+
+
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (word-count), top-K by global frequency with a
+    deterministic token tie-break. Two tokenizations are counted side by
+    side: whitespace split and a BPE-ish regex (word pieces + isolated
+    non-word marks) — on clean text they agree; on real corpora the
+    regex catches punctuation-glued tokens. TakeOrderedAndProject keeps
+    the top-K per partition → no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    ws = docs.select(F.explode(_tokens()).alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("n_ws")
+    )
+    rx = (
+        docs.select(
+            F.explode(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_regex"))
+    )
+    return (
+        ws.join(rx, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("n_ws", F.lit(0)).alias("n_ws"),
+            F.coalesce("n_regex", F.lit(0)).alias("n_regex"),
+        )
+        .orderBy(F.col("n_ws").desc(), "tok")
+        .limit(TOP_K_TOKENS)
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-profile n-gram scoring): a doc is
+    predicted `en` when its English-stopword token ratio clears 5%.
+    Confusion-matrix style output (actual lang × predicted) — on this
+    synthetic corpus every lang shares one vocabulary, so the heuristic
+    is exercised for plumbing + determinism, not accuracy. All
+    expression-level (no UDF), hence fully oracle-checkable."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    ratio = n_stop / F.size(toks)
+    pred = F.when(ratio >= 0.05, "en").otherwise("non_en")
+    return (
+        docs.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token count, mean token length,
+    stopword ratio, type-token ratio (lexical diversity), and a weighted
+    quality score — the filter-stage features of a training-data
+    pipeline. Computed with higher-order functions on the token array:
+    no explode, no shuffle, embarrassingly parallel."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    n_types = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    ttr = F.round(n_types / n_tokens, 4)
+    avg_len = F.round(sum_len / n_tokens, 4)
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + ttr * 0.4
+        + (F.lit(1.0) - stop_ratio) * 0.2,
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via a rolling polynomial hash (Horner
+    form) over per-token codes: fp = fold(acc·31 + code(tok)) mod 1e9+7,
+    code(tok) = ascii(first)·1000 + len·31 + ascii(last). Pure integer
+    arithmetic → engine-independent and oracle-checkable (DuckDB
+    list_reduce twin), unlike xxhash64 whose bits are impl-specific.
+    Groups by fingerprint to surface exact-duplicate clusters."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    codes = F.transform(
+        toks,
+        lambda t: (
+            F.ascii(t) * 1000
+            + F.length(t) * FP_BASE
+            + F.ascii(F.substring(t, -1, 1))
+        ).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(7).cast("long"),
+        lambda acc, c: F.pmod(acc * FP_BASE + c, F.lit(FP_MOD)),
+    )
+    fps = docs.select("doc_id", fp.alias("fingerprint"))
+    return fps.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs")
+    )
+
+
+QUERIES = {
+    "q_text_stats": q_text_stats,
+    "q_token_topk": q_token_topk,
+    "q_lang_id": q_lang_id,
+    "q_text_quality": q_text_quality,
+    "q_doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "q_text_stats": """
+        WITH toks AS (
+            SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), tok_stats AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+                   ROUND(AVG(LENGTH(tok)), 4) AS avg_token_len
+            FROM toks GROUP BY lang
+        ), doc_stats AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        )
+        SELECT d.lang, d.n_docs, t.n_tokens, t.n_distinct_tokens,
+               ROUND(CAST(t.n_tokens AS DOUBLE) / d.n_docs, 4) AS avg_tokens_per_doc,
+               t.avg_token_len, d.avg_chars
+        FROM doc_stats d JOIN tok_stats t ON d.lang = t.lang
+    """,
+    "q_token_topk": """
+        WITH ws AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_ws FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            ) GROUP BY tok
+        ), rx AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_regex FROM (
+                SELECT unnest(regexp_extract_all(text,
+                    '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS tok
+                FROM documents
+            ) GROUP BY tok
+        )
+        SELECT COALESCE(ws.tok, rx.tok) AS tok,
+               COALESCE(n_ws, 0) AS n_ws,
+               COALESCE(n_regex, 0) AS n_regex
+        FROM ws FULL OUTER JOIN rx ON ws.tok = rx.tok
+        ORDER BY n_ws DESC, tok
+        LIMIT 20
+    """,
+    "q_lang_id": """
+        SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (
+            SELECT lang,
+                   CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                             / len(string_split(text, ' ')) >= 0.05
+                        THEN 'en' ELSE 'non_en' END AS predicted
+            FROM documents
+        )
+        GROUP BY lang, predicted
+    """,
+    "q_text_quality": """
+        SELECT doc_id,
+               n_tokens,
+               ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+               ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+               ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS type_token_ratio,
+               ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+                     + ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) * 0.4
+                     + (1.0 - ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4)) * 0.2,
+                     4) AS quality_score
+        FROM (
+            SELECT doc_id,
+                   CAST(len(t) AS INT) AS n_tokens,
+                   CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+                   CAST(len(list_filter(t,
+                        x -> x IN ('the','a','of','and','to','in','is'))) AS INT) AS n_stop,
+                   CAST(len(list_distinct(t)) AS INT) AS n_types
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+    """,
+    "q_doc_fingerprint": """
+        WITH fps AS (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(7 AS BIGINT),
+                           list_transform(string_split(text, ' '),
+                               t -> CAST(ascii(t[1]) * 1000 + length(t) * 31
+                                         + ascii(t[-1]) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 1000000007
+                   ) AS fingerprint
+            FROM documents
+        )
+        SELECT fingerprint,
+               MIN(doc_id) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM fps
+        GROUP BY fingerprint
+    """,
+}

@@ -1,4 +1,136 @@
-"""Streaming queries."""
+"""Structured Streaming surface (north-star; SURVEY.md §2 Part C
+q_stream_tumbling / q_stream_session, §7.1 M4).
 
-QUERIES = {}
-ORACLES = {}
+The reference is batch-only MapReduce — no watermarks, windows, state,
+or late-data handling exist there (SURVEY.md §2 Part B). This module
+gives the engine the streaming capability a training-data pipeline
+needs, with ONE transformation function per operator applied to both
+execution modes:
+
+- **batch twin** (registered in ``queries()``): the same
+  ``window()`` / ``session_window()`` aggregation over the ``events``
+  table — deterministic, DuckDB-oracle-checkable (``time_bucket`` /
+  gaps-and-islands twins).
+- **true streaming** (pytest ``tests/test_streaming.py``): the
+  identical function over ``readStream`` input with a watermark,
+  executed with ``Trigger.AvailableNow`` into a memory sink and
+  asserted equal to the batch twin — the batch/stream unification
+  Structured Streaming is built on.
+
+Scale notes: tumbling windows shuffle on (window, key) — bounded state,
+watermark evicts closed windows; session windows keep per-key session
+state whose size is bounded by the gap × event rate per key. Both are
+the standard Spark state-store shapes; nothing custom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+
+#: tumbling-window width for q_stream_tumbling
+TUMBLE = "5 minutes"
+#: session gap for q_stream_session
+SESSION_GAP = "30 minutes"
+#: watermark delay for late data (streaming mode only)
+WATERMARK = "10 minutes"
+
+
+def _maybe_watermark(events: DataFrame) -> DataFrame:
+    """Watermark applies only on streaming plans; batch mode computes
+    the complete exact answer (the oracle twin)."""
+    return events.withWatermark("ts", WATERMARK) if events.isStreaming else events
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 5-minute window × event_type: count + value sum. Works
+    identically on a batch DataFrame and a watermarked stream."""
+    return (
+        _maybe_watermark(events)
+        .groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap:
+    session bounds + event count + value sum. Spark's session_window
+    end = last event ts + gap; sessions merge while events arrive
+    within the gap."""
+    return (
+        _maybe_watermark(events)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the tumbling-window stream (SURVEY §7.1 M4)."""
+    return tumbling_counts(load(spark, sf_dir, "events"))
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the session-window stream (SURVEY §7.1 M4)."""
+    return session_stats(load(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_session": q_stream_session,
+}
+
+ORACLES = {
+    "q_stream_tumbling": """
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start,
+               time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS w_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "q_stream_session": """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessioned AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS w_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS w_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM sessioned
+        GROUP BY user_id, sid
+    """,
+}
