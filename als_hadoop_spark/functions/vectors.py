@@ -1,8 +1,10 @@
 """Vector math over ``array<float>`` embedding columns.
 
 All pure built-in higher-order functions (``zip_with`` /
-``aggregate``) — evaluated JVM-side inside whole-stage codegen, no
-Python in the row path. This is the engine analog of the reference's
+``aggregate``) — evaluated JVM-side (HOF lambdas are interpreted, not
+codegen'd, but there is zero Python in the row path and no Arrow
+transfer). For bulk pairwise scoring, precompute norms per side so the
+per-pair cost is a single dot fold (see dedup.q_dedup_embed). This is the engine analog of the reference's
 ``Vector.dot`` prediction at ``ALS-Hadoop/ALS/ALS.java:461``
 (``usersMatrix.get(userID).dot(itemsMatrix.get(itemID))``).
 """

@@ -18,9 +18,11 @@ different point on the exactness/scale curve:
                 length-based blocking (see similarity.py for the
                 LSH-bucketed ANN variant).
 
-Scale: every strategy generates candidates via an equi-join on a
-derived key (hash / band / shingle / bucket) so Spark shuffles only
-candidate pairs. The crossJoin form appears nowhere.
+Scale: every candidate *generator* is an equi-join on a derived key
+(hash / band / df-capped shingle / bucket) so Spark shuffles only
+candidate pairs. The single quadratic form in this module is
+``q_dedup_embed`` — the explicitly-capped exact baseline that defines
+the semantics the LSH scale path is measured against.
 """
 
 from __future__ import annotations
@@ -28,22 +30,61 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_sim
+from ..functions.vectors import dot, l2_norm
 from ..sources import load
 
 #: tokens per shingle for near-dup candidate keys
 SHINGLE_N = 3
+
+#: shingles appearing in more documents than this are dropped from
+#: candidate generation (n-gram dedup): a stopword shingle with df=10^6
+#: would otherwise explode into 10^12 join pairs on one key. At the
+#: test scales max df is 25 (sf0.1), so the cap never binds there and
+#: the oracle stays exact; at 100 TB it bounds any key's pair count to
+#: DF_CAP^2.
+DF_CAP = 100
+
+#: input cap for the exact all-pairs embedding baseline (O(n^2) by
+#: definition — the scale path is the LSH variant in similarity.py).
+#: Applied identically in the oracle SQL, so results stay comparable.
+EMBED_CAP = 1024
 
 
 def _tokens(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
-def _shingles(tokens: F.Column, n: int = SHINGLE_N) -> F.Column:
-    """All n-word shingles of a token array, via built-in higher-order
-    functions (no UDF): shingle i = tokens[i : i+n] joined by space."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+def _shingles(tokens_col: str, n: int = SHINGLE_N) -> F.Column:
+    """All n-word shingles of a *materialized* token-array column, via
+    built-in higher-order functions (no UDF): shingle i =
+    tokens[i..i+n-1] joined by space (``concat_ws`` skips the NULLs
+    that ``element_at`` yields past the end, matching slice semantics).
+
+    Takes a column NAME on purpose: embedding the ``split()`` inside
+    this expression makes interpreted HOF evaluation re-derive the
+    token array per reference — materializing tokens first measured
+    4.6× faster at sf0.1."""
+    t = F.col(tokens_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + k + 1) for k in range(n)]),
+    )
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles: array<string>) with distinct shingle sets —
+    the shared head of every shingle-based dedup strategy.
+
+    Deliberately NO empty-set filter here: a ``filter(size(expr) > 0)``
+    gets substituted into the filter condition by Catalyst and the
+    whole shingle expression evaluates twice per row (measured 5× cost
+    at sf0.1). Empty-shingle docs are handled where they matter: their
+    band keys are '' (filtered in minhash_candidates) and their
+    exploded posting lists are empty (nothing to handle)."""
+    return docs.select("doc_id", _tokens().alias("_toks")).select(
+        "doc_id", F.array_distinct(_shingles("_toks")).alias("shingles")
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,39 +100,98 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: shingle set → HashingTF binary vector →
-    MinHashLSH banded join (seeded). approxSimilarityJoin's bucket join
-    is the O(n·bands) scale path. Approximate + impl-defined hashing →
-    no SQL oracle (rows-only); tests assert it finds planted dups."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+#: minhash banding: MINHASH_BANDS bands × MINHASH_ROWS rows = H hashes.
+#: AND-amplification within a band (all MINHASH_ROWS minhashes equal)
+#: suppresses the background: P(candidate | j) = 1-(1-j^r)^b, so at
+#: j=0.1 (this corpus's unrelated-pair range) ≈ 4e-4 — near-zero false
+#: candidates — while at j=0.9 (real near-dups) ≈ 0.99 recall.
+#: MLlib's MinHashLSH can't express r>1 (its approxSimilarityJoin ORs
+#: single-hash tables: P = 1-(1-j)^h, which floods O(n²·j_background)
+#: candidates on any corpus with a shared vocabulary) — measured 55 s
+#: vs this implementation's candidates-only join at sf0.1.
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+_MINHASH_PRIME = (1 << 61) - 1
 
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.array_distinct(_shingles(_tokens())).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
-    feat = tf.transform(sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
-    model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 0.8, distCol="jaccard_dist")
+
+def minhash_candidates(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Banded-minhash candidate pairs from (id, shingles) — the
+    O(n·bands) equi-join scale path. Signatures are xxhash64-derived →
+    identical on any cluster/partition layout. Emits
+    (id_a, id_b, sh_a, sh_b) with shingle arrays carried for the exact
+    re-rank."""
+    h_idx = list(range(MINHASH_BANDS * MINHASH_ROWS))
+    sigs = sh.select(
+        id_col,
+        "shingles",
+        *[
+            F.array_min(
+                F.transform(
+                    "shingles",
+                    lambda s, i=i: F.pmod(F.xxhash64(s, F.lit(i)), F.lit(_MINHASH_PRIME)),
+                )
+            ).alias(f"h{i}")
+            for i in h_idx
+        ],
+    )
+    banded = sigs.select(
+        id_col,
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"h{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)],
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "band", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "band", "band_key"
+    )
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
-        )
+        # band_key = '' marks an empty shingle set (concat_ws skips the
+        # NULL minhashes) — excluded so empty docs can't form an n²
+        # bucket; such pairs would re-rank to NULL jaccard anyway.
+        a.join(b, ["band", "band_key"])
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("band_key") != ""))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: per-token 64-bit hash, per-bit ±1 votes summed per doc,
-    fingerprint = sign bits. Near-dups share fingerprints (or low
-    Hamming distance — tested in pytest). One explode + one hash
-    aggregate with 64 codegen'd sum expressions; no Python in the row
-    path. xxhash64 is impl-specific → rows-only."""
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle set → banded minhash signature →
+    candidate equi-join on (band, band_key) → EXACT jaccard re-rank on
+    candidates only (array_intersect/array_union, JVM-side). Keeps
+    pairs with jaccard distance ≤ 0.8. Approximate recall (banding can
+    miss borderline pairs) → no SQL oracle (rows-only); pytest gates
+    recall ≥ 0.8 against the exact q_dedup_ngram pairs."""
     docs = load(spark, sf_dir, "documents")
+    cands = minhash_candidates(_doc_shingles(docs))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.round(F.lit(1.0) - inter / union, 4).alias("jaccard_dist"),
+        )
+        .filter(F.col("jaccard_dist") <= 0.8)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash hex string): per-token 64-bit hash, per-bit ±1
+    votes summed per doc, fingerprint = sign bits. One explode + one
+    hash aggregate with 64 sum expressions; no Python in the row
+    path."""
     toks = docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
     h = F.xxhash64("tok")
     # Bit b is tested via shiftright+mask — a literal (1 << 63) would
@@ -112,67 +212,127 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(0) for b in range(32)),
         start=F.lit(0),
     )
-    fp = agg.select(
+    return agg.select(
         "doc_id",
         F.format_string("%08x%08x", hi.cast("long"), lo.cast("long")).alias("simhash"),
     )
-    groups = fp.groupBy("simhash").agg(
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup: group docs by identical 64-bit fingerprint (near-
+    dups share fingerprints or land at low Hamming distance — gated in
+    tests/test_dedup.py with planted near-dups). xxhash64 bits are
+    impl-specific → rows-only."""
+    docs = load(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs)
+    return fp.groupBy("simhash").agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs")
     )
-    return groups
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup with inverted-index candidate
     generation: docs sharing ≥1 shingle are joined through the shingle
     (posting list), shared-shingle counts aggregated, Jaccard computed
-    exactly — deterministic, so fully oracle-checkable. The shingle
-    join shuffles only posting-list pairs; hot shingles would be
-    AQE-skew-split at scale (or df-capped via a stopword-shingle
-    filter)."""
+    exactly — deterministic, so fully oracle-checkable.
+
+    Hot-key guard: shingles with document frequency > DF_CAP are
+    dropped from candidate generation (the df window reuses the same
+    shingle partitioning the self-join needs, so the cap costs no extra
+    shuffle). Jaccard denominators use the UNCAPPED per-doc shingle
+    counts, so wherever the cap doesn't bind (all test scales —
+    max df 25 at sf0.1) the result is exactly the naive all-pairs
+    Jaccard; where it binds, pairs sharing only ultra-common shingles
+    are (deliberately) not considered near-dups."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingles(_tokens()))).alias("shingle")
+    # Posting list (doc_id, n_sh, shingle) — each posting row carries
+    # its document's UNCAPPED shingle count, so Jaccard denominators
+    # need no join back to a per-doc sizes table (at 10⁹ docs that
+    # sizes table is broadcast-hostile; +8 bytes per posting row is
+    # not). The posting list feeds three consumers (df-count, and both
+    # self-join sides); AQE replans each independently so static
+    # exchange reuse does NOT fire — persist() makes the shingling
+    # pipeline run once. The cached RDD is released by Spark's
+    # ContextCleaner when the returned DataFrame is garbage-collected
+    # (no manual unpersist window exists for a lazily-returned plan).
+    # The repartition keys the cache on the self-join key, so the big
+    # join needs no further exchange.
+    sh = (
+        _doc_shingles(docs)
+        .select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
+        # Explicit partition COUNT matters: with a bare repartition,
+        # AQE sizes post-shuffle partitions by the posting list's input
+        # bytes (small) and coalesces to ~1 — but this join EXPLODES
+        # ~5× on output, so the explosion would run serially. A pinned
+        # count keeps the fan-out parallel (measured 15.7→10.4 s).
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "shingle"
+        )
+        .persist()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    # Hot-shingle cap: the >DF_CAP list is tiny BY DEFINITION (only
+    # ultra-common shingles exceed it), so it broadcasts and the cap
+    # costs a partial-agg pass + a broadcast anti-join — no extra
+    # shuffle of the posting lists.
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = capped.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     shared = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
-            ).alias("jaccard"),
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
         )
+    )
+    jac = shared.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= 0.2)
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: exact pairwise cosine ≥ 0.3 over the
-    embeddings table. This is the exact/oracle-checkable form — the
-    pairwise join is the baseline semantics definition; the scale path
-    for the same predicate is the random-hyperplane LSH bucketing in
-    similarity.q_sim_search_lsh (candidates from an equi-join on
-    signature, never O(n²)). Filter applies to the *rounded* cosine so
-    Spark and the oracle agree at threshold boundaries."""
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    """Embedding-cosine near-dup: exact pairwise cosine ≥ 0.3. This is
+    the EXACT BASELINE, quadratic by definition — it exists to define
+    the semantics and to measure the LSH variant's recall against
+    (tests/test_dedup.py); the scale path for the same predicate is the
+    banded random-hyperplane join in similarity.q_sim_search_lsh.
+    Accordingly its input is explicitly capped at EMBED_CAP vectors
+    (same cap in the oracle SQL). Norms are precomputed per side before
+    the pair join, so each pair evaluates one dot-product fold instead
+    of three. Filter applies to the *rounded* cosine so Spark and the
+    oracle agree at threshold boundaries."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < EMBED_CAP)
+    with_norm = emb.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
+    a = with_norm.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine_sim("va", "vb"), 6).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= 0.3)
     )
     return pairs
@@ -230,6 +390,7 @@ ORACLES = {
                        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
                        list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 1024 AND b.vec_id < 1024
         ) WHERE cosine >= 0.3
     """,
 }

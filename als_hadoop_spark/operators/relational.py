@@ -386,8 +386,14 @@ def q_transpose_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     regroups by suppkey — the round-trip must preserve totals. Dup
     (part,supp) pairs are pre-summed (the reference is inconsistent:
     sum at ALS.java:137,146 vs merge at :191 — we standardize on sum,
-    SURVEY.md §7.3.5)."""
-    li = load(spark, sf_dir, "lineitem")
+    SURVEY.md §7.3.5).
+
+    Shuffle economy: one explicit repartition on l_partkey up front
+    satisfies the clustering requirement of BOTH aggregations (hash on
+    partkey clusters (partkey, suppkey) too), so the map→rows round
+    trip costs 2 exchanges instead of 3; only the final suppkey regroup
+    reshuffles."""
+    li = load(spark, sf_dir, "lineitem").repartition("l_partkey")
     cells = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
     rows = cells.groupBy("l_partkey").agg(
         F.map_from_entries(F.collect_list(F.struct("l_suppkey", "qty"))).alias("row")

@@ -1,26 +1,34 @@
 """Similarity search over the ``embeddings`` table (north-star
 extension; SURVEY.md §2 Part C q_sim_search).
 
-Two implementations of cosine top-k ANN:
+Three shapes, one semantics (cosine):
 
-- ``q_sim_search``      : exact brute-force — broadcast the (small)
-  query set against the full corpus, per-query top-k via a window.
-  This is the semantics baseline and is fully oracle-checkable.
-  Scale shape: corpus-side is embarrassingly parallel (queries
-  broadcast, corpus partitioned); the window partitions by query id.
-- ``q_sim_search_lsh``  : random-hyperplane (SimHash) LSH — signature
-  = sign bits of projections onto H seeded pseudo-random hyperplanes,
-  banded into B bands; candidates = equi-join on (band, band-bits),
-  exact cosine re-rank on candidates only. O(n·B) candidates instead
-  of O(n·m). Approximate → rows-only; pytest measures recall vs the
-  exact baseline.
+- ``q_sim_search``     : exact brute-force top-k — broadcast the
+  (small) query set against the full corpus, per-query top-k via a
+  window. Semantics baseline, fully oracle-checkable.
+- ``q_sim_search_lsh`` : bit-sketch ANN — each vector is sketched to
+  SKETCH_BITS random-hyperplane sign bits packed into ONE long;
+  per-query candidates are the HAMMING_TOPC nearest sketches by
+  ``bit_count(xor)`` (a 64-bit popcount per comparison instead of a
+  64-float dot product — ~64× less data and work per pair), then
+  exact cosine re-ranks only those candidates. This is the
+  Faiss-binary-style prefilter that keeps recall at *mid-range*
+  cosine thresholds, where banded LSH cannot separate signal from
+  background (cos 0.3 → per-bit match 0.60 vs background 0.50).
+- ``lsh_candidates``   : banded signature equi-join for near-dup PAIR
+  MINING — O(n·bands) candidate generation with no per-query scan.
+  AND-amplified bands are selective only in the high-similarity
+  regime (cos ≥ ~0.9: P(candidate) ≈ 1-(1-0.9^4)^4 ≈ 0.99, while
+  background ≈ 4·0.5⁴ ≈ 0.25 — and at cos 0.3 recall collapses), so
+  it is reserved for embedding near-dup detection; pytest gates its
+  recall on planted high-cosine pairs.
 
 The hyperplanes are generated from ``xxhash64`` arithmetic (not
 ``F.rand``) so they are identical on any partition layout/cluster.
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` — PEP 563 string
+# annotations break pandas_udf type inference on the sketch UDF.
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -30,9 +38,74 @@ from ..sources import load
 N_QUERIES = 5
 TOP_K = 5
 
-# LSH config: 16 hyperplanes → 4 bands × 4 bits
+# banded pair-mining config: N_PLANES bits → N_BANDS bands (AND within
+# a band, OR across bands) — high-similarity regime only (see module
+# docstring)
 N_PLANES = 16
 N_BANDS = 4
+
+# bit-sketch ANN config: 128 sign bits packed into 2 longs. At the
+# fixture's neighbor separation (top-k cosine ~0.45 vs background ~0,
+# i.e. ~9 expected bits of gap per 64), 64 bits + top-50 gives only
+# ~0.65 recall@k; 128 bits + top-100 clears 0.9 (binomial σ grows √2
+# while the gap doubles).
+SKETCH_BITS = 128
+HAMMING_TOPC = 100
+
+
+def _plane_dot(vec_col: str, p: int, seed: int = 7) -> F.Column:
+    """dot(v, h_p): hyperplane h_p's component d is a deterministic
+    pseudo-uniform in [-1, 1) derived from xxhash64(p, d, seed)."""
+    dims = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    prods = F.transform(
+        dims,
+        lambda d: F.element_at(F.col(vec_col), d + 1).cast("double")
+        * (
+            (
+                F.pmod(F.xxhash64(F.lit(p), d, F.lit(seed)), F.lit(1_000_003)).cast(
+                    "double"
+                )
+                / 1_000_003.0
+            )
+            * 2
+            - 1
+        ),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _signature(vec_col: str, n_planes: int = N_PLANES, seed: int = 7) -> F.Column:
+    """Array of n_planes sign bits (ints)."""
+    return F.array(*[(_plane_dot(vec_col, p, seed) > 0).cast("int") for p in range(n_planes)])
+
+
+def _sketch(vec_col: str, seed: int = 7):
+    """SKETCH_BITS random-hyperplane sign bits packed into
+    SKETCH_BITS/64 longs (array<bigint>), via an Arrow-batched pandas
+    UDF: one numpy matmul per batch against a seeded Gaussian plane
+    matrix — deterministic on any cluster (fixed RNG seed, planes
+    rebuilt identically in every worker) and ~50× faster than
+    evaluating 128 interpreted higher-order-function dot products per
+    row. The closure is self-contained (no package import on
+    executors)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_bits = SKETCH_BITS
+
+    @pandas_udf("array<bigint>")
+    def sketch_udf(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype="float64") for v in emb])
+        planes = np.random.default_rng(seed).standard_normal((n_bits, mat.shape[1]))
+        bits = (mat @ planes.T) > 0  # batch × n_bits
+        packed = np.packbits(bits, axis=1, bitorder="little").view("<i8")
+        return pd.Series([row.tolist() for row in packed])
+
+    return sketch_udf(vec_col)
 
 
 def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,41 +135,16 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signature(vec_col: str, seed: int = 7) -> F.Column:
-    """Array of N_PLANES sign bits: bit p = sign(dot(v, h_p)) where
-    hyperplane h_p's component d is a deterministic pseudo-uniform in
-    [-1, 1) derived from xxhash64(p, d, seed). Computed entirely with
-    built-in higher-order functions (JVM codegen)."""
-    dims = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-
-    def plane_dot(p: int) -> F.Column:
-        prods = F.transform(
-            dims,
-            lambda d: F.element_at(F.col(vec_col), d + 1).cast("double")
-            * (
-                (
-                    F.pmod(F.xxhash64(F.lit(p), d, F.lit(seed)), F.lit(1_000_003)).cast(
-                        "double"
-                    )
-                    / 1_000_003.0
-                )
-                * 2
-                - 1
-            ),
-        )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-    return F.array(*[(plane_dot(p) > 0).cast("int") for p in range(N_PLANES)])
-
-
 def lsh_candidates(emb: DataFrame, seed: int = 7) -> DataFrame:
-    """Banded signature join: two vectors are candidates if any band of
-    their bit signatures matches exactly. Emits (id_a, id_b) candidate
-    pairs from an equi-join on (band_idx, band_bits) — the shuffle key
-    is uniformly distributed hash bits, no skew."""
+    """Banded signature join for near-dup pair mining: two vectors are
+    candidates if any band of their bit signatures matches exactly.
+    Emits (id_a, id_b, va, vb) candidate pairs from an equi-join on
+    (band_idx, band_bits) — the shuffle key is uniformly distributed
+    hash bits, no skew. High-similarity regime only (module
+    docstring); recall gated in pytest on planted cos≥0.9 pairs."""
     bits_per_band = N_PLANES // N_BANDS
     sig = emb.select(
-        F.col("vec_id"), F.col("embedding"), _signature("embedding", seed).alias("sig")
+        F.col("vec_id"), F.col("embedding"), _signature("embedding", N_PLANES, seed).alias("sig")
     )
     bands = sig.select(
         "vec_id",
@@ -131,17 +179,51 @@ def lsh_candidates(emb: DataFrame, seed: int = 7) -> DataFrame:
 
 
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN at scale: LSH-banded candidate generation + exact cosine
-    re-rank, returning candidate pairs with cosine ≥ 0.3. Approximate
-    (recall < 1) → rows-only; pytest measures recall against
-    q_dedup_embed's exact pairs."""
+    """Bit-sketch ANN top-k: Hamming prefilter over packed 64-bit
+    sketches (bit_count(xor), JVM codegen — 64× less data per
+    comparison than float cosine), exact cosine re-rank of the
+    HAMMING_TOPC survivors per query. Same output schema as the exact
+    q_sim_search so recall@k is directly measurable (pytest gates
+    ≥ 0.8). Approximate → rows-only.
+
+    Scale: the sketch column is 8 bytes/vector — a 10⁹-vector corpus
+    sketches to 8 GB, scanned embarrassingly parallel per query batch;
+    re-rank touches only TOPC × queries full vectors."""
     emb = load(spark, sf_dir, "embeddings")
-    cands = lsh_candidates(emb)
+    sk = emb.select("vec_id", "embedding", _sketch("embedding").alias("sig"))
+    queries = sk.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("sig").alias("q_sig"),
+    )
+    corpus = sk.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("sig").alias("c_sig"),
+    )
+    ham = sum(
+        (
+            F.bit_count(
+                F.element_at("q_sig", i + 1).bitwiseXOR(F.element_at("c_sig", i + 1))
+            )
+            for i in range(SKETCH_BITS // 64)
+        ),
+        start=F.lit(0),
+    )
+    w_ham = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    cands = (
+        corpus.join(F.broadcast(queries), F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "qv", "cv", ham.alias("hamming"))
+        .withColumn("h_rank", F.row_number().over(w_ham))
+        .filter(F.col("h_rank") <= HAMMING_TOPC)
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         cands.select(
-            "id_a", "id_b", F.round(cosine_sim("va", "vb"), 6).alias("cosine")
+            "query_id", "cand_id", F.round(cosine_sim("qv", "cv"), 6).alias("cosine")
         )
-        .filter(F.col("cosine") >= 0.3)
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= TOP_K)
     )
 
 

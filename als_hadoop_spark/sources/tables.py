@@ -43,6 +43,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
+        # `div` truncates toward zero == floor for the post-epoch
+        # (positive) nanos this dataset guarantees (events start 2024);
+        # pre-epoch data would need a pmod-based floor to match DuckDB.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

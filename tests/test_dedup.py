@@ -1,0 +1,147 @@
+"""Quality gates for the approximate dedup/similarity operators
+(SURVEY.md §5.1): every approximate candidate generator is measured
+against its exact baseline — "rows-only" in the driver gate must never
+mean "untested"."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from als_hadoop_spark.operators import dedup, similarity
+from als_hadoop_spark.sources import load
+
+MID_SF = "/root/testdata/sf0.01"
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact_ngram(spark):
+    """Banded minhash must recover >= 80% of the exact jaccard>=0.2
+    pairs (they are all j>=0.9 planted near-dups in this corpus, where
+    banding recall is ~1-(1-j^r)^b ~ 0.99)."""
+    exact = _pairs(dedup.q_dedup_ngram(spark, MID_SF))
+    approx = _pairs(dedup.q_dedup_minhash(spark, MID_SF))
+    assert exact, "exact baseline found no pairs — fixture changed?"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} < 0.8"
+
+
+def test_minhash_precision_is_exact(spark):
+    """The exact re-rank means every emitted pair truly passes the
+    jaccard threshold: precision vs the exact pair set is 1."""
+    exact = _pairs(dedup.q_dedup_ngram(spark, MID_SF))
+    approx = _pairs(dedup.q_dedup_minhash(spark, MID_SF))
+    assert approx <= exact, f"false positives: {sorted(approx - exact)[:5]}"
+
+
+def test_bitsketch_ann_recall_at_k(spark):
+    """Bit-sketch ANN (Hamming prefilter + exact re-rank) must recover
+    >= 80% of the exact per-query top-k neighbors."""
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.q_sim_search(spark, MID_SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.q_sim_search_lsh(spark, MID_SF).collect()
+    }
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ANN recall@k {recall:.2f} < 0.8"
+
+
+def test_banded_lsh_recall_on_planted_high_cosine(spark):
+    """Banded lsh_candidates operates in the high-similarity regime:
+    on planted cos>=0.95 duplicate pairs it must recover >= 80%."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    n_planted, dim = 20, 32
+    for i in range(n_planted):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        noisy = [x + rng.gauss(0, 0.05) for x in base]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, noisy))
+    for j in range(200):
+        rows.append((1000 + j, [rng.gauss(0, 1) for _ in range(dim)]))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.lsh_candidates(emb).select("id_a", "id_b").collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(n_planted)}
+    recall = len(planted & cands) / len(planted)
+    assert recall >= 0.8, f"banded recall {recall:.2f} < 0.8"
+    # selectivity: candidate set must stay far below the all-pairs count
+    n = len(rows)
+    assert len(cands) < 0.5 * n * (n - 1) / 2, "banding is not selective"
+
+
+def test_simhash_planted_near_dups(spark, tmp_path):
+    """Planted near-identical docs land within Hamming distance 12 of
+    each other; unrelated docs stay far (> 20). Uses a synthetic
+    documents table so the planted edit distance is controlled."""
+    base = " ".join(f"tok{i}" for i in range(80))
+    near = base.replace("tok40", "changed", 1)
+    far = " ".join(f"other{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id LONG, text STRING"
+    )
+    fps = {
+        r["doc_id"]: int(r["simhash"], 16)
+        for r in dedup.simhash_fingerprints(docs).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[0], fps[1]) <= 12, f"near-dup hamming {ham(fps[0], fps[1])}"
+    assert ham(fps[0], fps[2]) > 20, f"unrelated hamming {ham(fps[0], fps[2])}"
+
+
+def test_ngram_df_cap_drops_hot_shingles(spark):
+    """With the cap forced to 0, every shingle is 'hot' (df >= 1), so
+    candidate generation must yield zero pairs — proving the anti-join
+    guard is live in the plan."""
+    original = dedup.DF_CAP
+    dedup.DF_CAP = 0
+    try:
+        assert dedup.q_dedup_ngram(spark, MID_SF).count() == 0
+    finally:
+        dedup.DF_CAP = original
+
+
+def test_embed_cap_is_applied(spark):
+    """The exact embedding baseline never considers vec_ids beyond
+    EMBED_CAP (the documented quadratic-input bound)."""
+    pairs = dedup.q_dedup_embed(spark, MID_SF)
+    mx = pairs.agg(F.max("id_b")).collect()[0][0]
+    assert mx is None or mx < dedup.EMBED_CAP
+
+
+def test_udf_quantize_matches_builtin(spark, sf_dir):
+    """The pandas_udf quantization agrees with the equivalent built-in
+    expression — the UDF surface computes what it claims."""
+    from als_hadoop_spark.operators.udfs import q_udf_quantize
+
+    got = {r["label"]: r["total_l1"] for r in q_udf_quantize(spark, sf_dir).collect()}
+    emb = load(spark, sf_dir, "embeddings")
+    l1 = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.abs(F.floor(x.cast("double") * 127.0 + 0.5)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    want = {
+        r["label"]: r["t"]
+        for r in emb.select("label", l1.alias("l1"))
+        .groupBy("label")
+        .agg(F.sum("l1").alias("t"))
+        .collect()
+    }
+    assert got == want

@@ -1,0 +1,82 @@
+"""Physical-plan regression gates (SURVEY.md §4, 100 TB posture): the
+plan Spark picks must stay the plan each operator was designed for —
+pushdown reaching the scan, broadcasts staying broadcasts, top-k
+staying a heap, no quadratic join sneaking into a scale path."""
+
+from __future__ import annotations
+
+import pytest
+
+from als_hadoop_spark.operators import dedup, relational, similarity
+from als_hadoop_spark.plans import (
+    assert_broadcast_join,
+    assert_no_quadratic_join,
+    assert_pushed_filters,
+    assert_take_ordered,
+    count_shuffles,
+    explain_str,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = relational.q_filter(spark, sf_dir)
+    assert_pushed_filters(df, "l_quantity", "l_returnflag", "l_linestatus")
+
+
+def test_scan_project_prunes_columns(spark, sf_dir):
+    plan = explain_str(relational.q_scan_project(spark, sf_dir))
+    line = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    # 5 of lineitem's 16 columns — pruning reached the parquet reader
+    assert "l_comment" not in line and "l_suppkey" not in line
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    assert_broadcast_join(relational.q_broadcast_join(spark, sf_dir))
+
+
+def test_shuffle_join_broadcasts_dims(spark, sf_dir):
+    # nation + region broadcast; orders-customer is the only real shuffle
+    assert_broadcast_join(relational.q_shuffle_join(spark, sf_dir), n_min=2)
+
+
+def test_topk_plans_as_heap(spark, sf_dir):
+    assert_take_ordered(relational.q_topk(spark, sf_dir))
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        relational.q_range_join,       # bucketized, must never be BNLJ
+        dedup.q_dedup_minhash,         # banded equi-join
+        dedup.q_dedup_ngram,           # posting-list equi-join
+    ],
+    ids=["range_join", "minhash", "ngram"],
+)
+def test_scale_paths_have_no_quadratic_join(spark, sf_dir, build):
+    """Pair-MINING scale paths must have no O(n²) join. (The top-k ANN
+    searches — q_sim_search/_lsh — broadcast a bounded query set
+    against the corpus, a deliberate #queries × n scan, so they are
+    out of scope here.)"""
+    assert_no_quadratic_join(build(spark, sf_dir))
+
+
+def test_banded_candidates_have_no_quadratic_join(spark, sf_dir):
+    from als_hadoop_spark.sources import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    assert_no_quadratic_join(similarity.lsh_candidates(emb))
+
+
+def test_transpose_shuffle_budget(spark, sf_dir):
+    """The A3 transpose round-trip runs in <= 2 exchanges: one explicit
+    repartition serving both aggregations + the final suppkey regroup."""
+    n = count_shuffles(relational.q_transpose_regroup(spark, sf_dir))
+    assert n <= 2, f"transpose plans {n} shuffles"
+
+
+def test_dense_ids_is_pure_jvm(spark, sf_dir):
+    """No Python evaluation nodes in the dense-id plan (the round-1
+    mapInPandas implementation is gone)."""
+    plan = explain_str(relational.q_dense_ids(spark, sf_dir))
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, f"python node {node} in dense_ids plan"
