@@ -7,6 +7,7 @@ batch/stream unification contract."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from als_hadoop_spark import streaming
 from als_hadoop_spark.sources import load
@@ -45,6 +46,120 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path, transform, name):
     got = _run_stream(spark, transform, events, str(tmp_path / "ev_src"), name)
     want = transform(events)
     assert _canon(got) == _canon(want)
+
+
+def test_stateful_sessionize_matches_batch_sessions(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState sessionizer's emitted (closed)
+    sessions must each exactly match a batch session_window session.
+    Events arrive in four time-ordered batches (maxFilesPerTrigger=1,
+    mtime-ordered files) so state genuinely crosses micro-batches and
+    event-time timeouts fire as the watermark advances — while staying
+    within the watermark contract (a random split would deliver events
+    months out of order, which ANY streaming operator drops)."""
+    import time
+
+    from als_hadoop_spark.streaming.stateful import stateful_sessionize
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", F.unix_micros("ts").alias("_us")
+    )
+    q1, q2, q3 = events.approxQuantile("_us", [0.25, 0.5, 0.75], 0.001)
+    src = str(tmp_path / "ev_state")
+    slices = [
+        events.filter(F.col("_us") < q1),
+        events.filter((F.col("_us") >= q1) & (F.col("_us") < q2)),
+        events.filter((F.col("_us") >= q2) & (F.col("_us") < q3)),
+        events.filter(F.col("_us") >= q3),
+    ]
+    slices = [sl.drop("_us") for sl in slices]
+    events = events.drop("_us")
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180), "stream did not finish in time"
+    finally:
+        q.stop()
+    emitted = spark.table("t_stateful").collect()
+    assert emitted, "no sessions emitted — timeouts/gap-splits never fired"
+    batch = {
+        (r["user_id"], r["w_start"], r["w_end"], r["n_events"], r["sum_value"])
+        for r in streaming.session_stats(load(spark, sf_dir, "events")).collect()
+    }
+    for r in emitted:
+        key = (r["user_id"], r["w_start"], r["w_end"], r["n_events"], r["sum_value"])
+        assert key in batch, f"emitted session not in batch twin: {key}"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving later than the watermark delay behind the
+    stream's max event time must be dropped from a windowed aggregate
+    (late-data semantics, SURVEY §5.5)."""
+    import datetime as dt
+    import time
+
+    src = str(tmp_path / "late_src")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "event_id LONG, ts TIMESTAMP, value DOUBLE"
+    cols = ["event_id", "ts", "value"]
+    batches = [
+        # on-time events in the 12:00 window
+        [(i, base + dt.timedelta(minutes=m), 1.0) for i, m in enumerate([0, 1, 2])],
+        # two watermark-advancing batches: Spark filters late events
+        # against the PREVIOUS batch's watermark (SPARK-40925), so the
+        # watermark must be ahead one batch BEFORE the late row arrives
+        [(90, base + dt.timedelta(hours=1), 1.0)],
+        [(91, base + dt.timedelta(hours=2), 1.0)],
+        # the late row: 12:03, > 10 min behind the watermark
+        [(99, base + dt.timedelta(minutes=3), 1.0)],
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+        .select(*cols)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    emitted = [
+        (r["w_start"], r["n"])
+        for r in spark.table("t_late").collect()
+        if r["w_start"] == dt.datetime(2024, 1, 1, 12, 0, 0)
+    ]
+    # Had the late event (12:03) been accepted it would either have
+    # raised the window to 4 (pre-eviction) or re-opened it as a second
+    # (12:00, 1) row (post-eviction). Exactly one row with the 3
+    # on-time events proves the watermark dropped it.
+    assert emitted == [(dt.datetime(2024, 1, 1, 12, 0, 0), 3)], f"late row leaked: {emitted}"
 
 
 def test_watermark_is_applied_in_stream_plan(spark, sf_dir, tmp_path):
