@@ -12,8 +12,8 @@ materializes internally (counts, ML fit) still measure end-to-end.
 Usage: python bench.py [query ...]   # default: all registered queries
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` — PEP 563 breaks the
+# pandas_udf warmup signature below.
 import json
 import os
 import re
@@ -41,6 +41,18 @@ def main(names: list[str]) -> int:
     # Warm up the JVM / parquet footer caches so q1 doesn't pay session
     # startup; the metric is query time, not cold-start time.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # ... and the Python/Arrow workers, so the first pandas_udf query
+    # doesn't pay ~2 s of interpreter + numpy import per executor.
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return s + int(np.int64(0))
+
+    spark.range(1_000).select(_warm("id")).collect()
 
     timings: dict[str, float] = {}
     for name in selected:
