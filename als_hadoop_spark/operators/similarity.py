@@ -227,9 +227,80 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF config: coarse k-means codebook size and probed clusters/query.
+# nprobe/k is the recall/scan-fraction dial: 8/16 holds recall@5 ≈ 0.9
+# on the fixture's mid-cosine neighbors (which straddle cell borders —
+# low-dim random-ish data clusters weakly); corpora with real cluster
+# structure run far lower nprobe at the same recall.
+IVF_K = 16
+IVF_NPROBE = 8
+IVF_MAX_ITER = 8
+
+
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: a seeded spherical k-means
+    codebook partitions the corpus into IVF_K cells; each query probes
+    its IVF_NPROBE nearest cells and exact cosine re-ranks only those
+    cells' members — the corpus scanned per query drops to
+    ~nprobe/k. Same output schema as q_sim_search; recall@k gated in
+    pytest.
+
+    Scale: the codebook is fit on (a sample of) the corpus once and
+    holds K centers — K and the query set are bounded, so the two
+    driver-side collects here (centers, query vectors) are O(K·d) and
+    O(queries·d), never O(corpus). Cell assignment is one broadcast
+    argmin pass over the corpus; per-query work is an equi-join on
+    cell id. At 10⁹ vectors: K ≈ √n cells, fit on a 1% sample, same
+    plan."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    unit = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double") / F.sqrt(sq)).alias("u"),
+    )
+    feat = unit.withColumn("fv", array_to_vector("u"))
+    model = KMeans(k=IVF_K, seed=42, maxIter=IVF_MAX_ITER, featuresCol="fv").fit(feat)
+    assigned = model.transform(feat).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("prediction").alias("cell"),
+    )
+    centers = np.stack(model.clusterCenters())  # K × d, bounded
+    qrows = unit.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding", "u").collect()
+    probes = []
+    for r in qrows:
+        qv = np.asarray(r["u"])
+        sims = centers @ qv / (np.linalg.norm(centers, axis=1) + 1e-12)
+        for cell in np.argsort(-sims)[:IVF_NPROBE]:
+            probes.append((r["vec_id"], int(cell), r["embedding"]))
+    probe_df = spark.createDataFrame(
+        probes, "query_id LONG, cell INT, qv ARRAY<FLOAT>"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", F.round(cosine_sim("qv", "cv"), 6).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 QUERIES = {
     "q_sim_search": q_sim_search,
     "q_sim_search_lsh": q_sim_search_lsh,
+    "q_sim_search_ivf": q_sim_search_ivf,
 }
 
 ORACLES = {

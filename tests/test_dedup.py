@@ -52,6 +52,21 @@ def test_bitsketch_ann_recall_at_k(spark):
     assert recall >= 0.8, f"ANN recall@k {recall:.2f} < 0.8"
 
 
+def test_ivf_ann_recall_at_k(spark):
+    """IVF (k-means cells + nprobe search) must recover >= 80% of the
+    exact per-query top-k neighbors."""
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.q_sim_search(spark, MID_SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.q_sim_search_ivf(spark, MID_SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall@k {recall:.2f} < 0.8"
+
+
 def test_banded_lsh_recall_on_planted_high_cosine(spark):
     """Banded lsh_candidates operates in the high-similarity regime:
     on planted cos>=0.95 duplicate pairs it must recover >= 80%."""
