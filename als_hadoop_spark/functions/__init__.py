@@ -5,7 +5,9 @@
 - ``joins``   : bucketized range/as-of join (reference Part-B gap).
 - ``vectors`` : embedding math on ``array<float>`` columns — dot,
                 cosine, L2 — as pure built-in higher-order functions.
-- ``texts``   : text-analysis expressions (tokens, shingles, quality).
+
+(Text-analysis expressions — tokens, shingles, quality — live with
+their operators in ``operators/text.py`` and ``operators/dedup.py``.)
 """
 
 from .ids import dense_ids

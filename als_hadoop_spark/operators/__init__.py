@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import als, dedup, multimodal, relational, similarity, text, udfs
+from . import als, dedup, multimodal, relational, similarity, text, timeseries, udfs
 
-_MODULES = (relational, als, dedup, similarity, text, multimodal, udfs)
+_MODULES = (relational, als, dedup, similarity, text, multimodal, timeseries, udfs)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,170 @@
+"""Time-series operators over ``events`` (north-star extensions: as-of
+join, hypertable-style rollup).
+
+The reference has no time concept at all (it drops the MovieLens
+timestamp at ``ALS-Hadoop/mapid.py:21``); these fill the classic
+time-series surface a 100 TB event pipeline needs.
+
+- ``q_asof_join``: for every event, the same user's most recent
+  'click' strictly before it. Spark lacks a native AS-OF join; the
+  O(n log n)-per-partition expression is a running ``last_value``
+  window over the union of both sides — ONE shuffle on (user_id),
+  no range join, no nested loop. (DuckDB has native ASOF JOIN, which
+  is the oracle.)
+- ``q_time_rollup``: multi-granularity continuous-aggregate (minute /
+  hour / day) in ONE pass via GROUPING SETS over pre-computed
+  ``date_trunc`` buckets — the hypertable-rollup shape: Expand + a
+  single hash aggregate, not three scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic distributed AS-OF join: each left row gains the right
+    row's ``value_cols`` from the latest ``right_ts`` strictly before
+    its ``left_ts``, matched on the equi-key ``on``.
+
+    Implementation: tag and union both sides, then per-key running
+    ``last(..., ignoreNulls)`` over rows ordered by (ts, side). One
+    shuffle on the key; each partition is a single ordered scan.
+    """
+    # Side ordering encodes the strict `<`: at equal timestamps left
+    # rows (side 0) sort BEFORE right rows (side 1), so a frame ending
+    # at the current row can only contain right rows with ts strictly
+    # earlier than the left row's — exactly DuckDB ASOF's `l.ts > r.ts`.
+    lt = left.withColumn("_side", F.lit(0)).withColumn("_ts", F.col(left_ts))
+    rt = right.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(right_ts))
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in value_cols:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None))
+    cols = [on, "_ts", "_side", *value_cols] + [
+        c for c in left.columns if c not in {on, *value_cols}
+    ]
+    both = lt.select(*cols).unionByName(rt.select(*cols))
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = both.select(
+        *[F.col(c) for c in both.columns],
+        F.last(F.when(F.col("_side") == 1, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts"),
+        *[
+            F.last(F.when(F.col("_side") == 1, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return matched.filter(F.col("_side") == 0).select(
+        *[c for c in left.columns if c not in value_cols],
+        "asof_ts",
+        *[f"asof_{c}" for c in value_cols],
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: every non-click event matched to the same user's
+    latest click strictly before it. Equal-timestamp click duplicates
+    are pre-collapsed (max value) so both engines see a unique as-of
+    candidate per instant."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    rest = ev.filter(F.col("event_type") != "click").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = as_of_join(
+        rest, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_value"],
+    )
+    return out.select("event_id", "user_id", "event_type", "asof_ts", "asof_click_value")
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: event counts + value sums at minute,
+    hour, and day granularity in ONE aggregation pass (GROUPING SETS →
+    Expand + single shuffle), the continuous-aggregate pattern. The
+    grain column disambiguates rows; finer grains dominate row count
+    so the shuffle key (grain, bucket) stays well distributed."""
+    ev = load(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.date_trunc("minute", "ts").alias("minute"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("day", "ts").alias("day"),
+        "value",
+    )
+    rolled = bucketed.groupingSets(
+        [["minute"], ["hour"], ["day"]],
+        "minute", "hour", "day",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    grain = (
+        F.when(F.col("minute").isNotNull(), "minute")
+        .when(F.col("hour").isNotNull(), "hour")
+        .otherwise("day")
+    )
+    bucket = F.coalesce("minute", "hour", "day")
+    return rolled.select(
+        grain.alias("grain"), bucket.alias("bucket"), "n_events", "sum_value"
+    )
+
+
+QUERIES = {
+    "q_asof_join": q_asof_join,
+    "q_time_rollup": q_time_rollup,
+}
+
+ORACLES = {
+    "q_asof_join": """
+        WITH clicks AS (
+            SELECT user_id, ts, MAX(value) AS click_value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ), rest AS (
+            SELECT event_id, user_id, ts, event_type
+            FROM events WHERE event_type != 'click'
+        )
+        SELECT r.event_id, r.user_id, r.event_type,
+               c.ts AS asof_ts, c.click_value AS asof_click_value
+        FROM rest r
+        ASOF LEFT JOIN clicks c
+          ON r.user_id = c.user_id AND r.ts > c.ts
+    """,
+    "q_time_rollup": """
+        SELECT grain, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM (
+            SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket, value FROM events
+            UNION ALL
+            SELECT 'hour', date_trunc('hour', ts), value FROM events
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts), value FROM events
+        )
+        GROUP BY grain, bucket
+    """,
+}

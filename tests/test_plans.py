@@ -74,6 +74,31 @@ def test_transpose_shuffle_budget(spark, sf_dir):
     assert n <= 2, f"transpose plans {n} shuffles"
 
 
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The as-of join plans as ONE exchange on the equi-key (union +
+    ordered window scan) — never a range/nested-loop join."""
+    from als_hadoop_spark.operators import timeseries
+
+    df = timeseries.q_asof_join(spark, sf_dir)
+    assert_no_quadratic_join(df)
+    # clicks pre-aggregation shuffles on (user_id, ts); the window
+    # shuffles on user_id: 2 exchanges total, none quadratic
+    assert count_shuffles(df) <= 2, f"asof plans {count_shuffles(df)} shuffles"
+
+
+def test_time_rollup_is_single_pass(spark, sf_dir):
+    """GROUPING SETS rollup: one Expand + one aggregation shuffle, not
+    three scans of events."""
+    from als_hadoop_spark.operators import timeseries
+
+    import re
+
+    plan = explain_str(timeseries.q_time_rollup(spark, sf_dir))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE))
+    assert n_scans == 1, f"rollup reads events {n_scans} times"
+    assert "Expand" in plan
+
+
 def test_dense_ids_is_pure_jvm(spark, sf_dir):
     """No Python evaluation nodes in the dense-id plan (the round-1
     mapInPandas implementation is gone)."""

@@ -1,0 +1,37 @@
+"""Source/sink parity tests (reference A1/A15/A16: CSV ratings scan,
+SequenceFile-equivalent storage, overwrite semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from als_hadoop_spark.sources import load, read_ratings_csv, write_table
+from als_hadoop_spark.sources.tables import read_table
+
+
+def test_read_ratings_csv_parses_and_drops_malformed(spark, tmp_path):
+    """A1: comma CSV, no header, explicit schema (no inference pass),
+    extra columns ignored, malformed rows dropped — the reference's
+    parse at ALS-Hadoop/ALS/ALS.java:90-93 with its split(',')."""
+    p = tmp_path / "ratings.csv"
+    p.write_text("1,10,4.5,884182806\n2,20,3.0,881171488\nbad,line\n3,30,5.0,0\n")
+    df = read_ratings_csv(spark, str(p))
+    rows = {(r["user_id"], r["item_id"], r["rating"]) for r in df.collect()}
+    assert rows == {(1, 10, 4.5), (2, 20, 3.0), (3, 30, 5.0)}
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["int", "int", "float"]
+
+
+def test_write_table_partitioned_roundtrip_and_overwrite(spark, sf_dir, tmp_path):
+    """A15/A16: partitioned parquet sink with overwrite; downstream
+    scans prune partitions (PartitionFilters on the partition column)."""
+    out = str(tmp_path / "events_by_type")
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    write_table(ev, out, partition_by=["event_type"])
+    write_table(ev, out, partition_by=["event_type"])  # overwrite, not append
+    back = read_table(spark, out)
+    assert back.count() == ev.count()
+    one_type = back.filter(F.col("event_type") == "click")
+    from als_hadoop_spark.plans import explain_str
+
+    plan = explain_str(one_type)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
