@@ -12,6 +12,16 @@ their operators in ``operators/text.py`` and ``operators/dedup.py``.)
 
 from .ids import dense_ids
 from .joins import range_join_buckets
+from .scale import bucketed_join, salted_join, write_bucketed
 from .vectors import cosine_sim, dot, l2_norm
 
-__all__ = ["dense_ids", "range_join_buckets", "cosine_sim", "dot", "l2_norm"]
+__all__ = [
+    "dense_ids",
+    "range_join_buckets",
+    "cosine_sim",
+    "dot",
+    "l2_norm",
+    "write_bucketed",
+    "bucketed_join",
+    "salted_join",
+]
