@@ -180,6 +180,37 @@ def q_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def reference_pipeline(spark: SparkSession, csv_path: str) -> tuple[DataFrame, float, float]:
+    """The reference's FULL §3.1 workflow, end to end, from raw CSV:
+
+        csv scan (A1) → dense-id encode user+item (A7, mapid.py) →
+        seeded 0.8/0.2 split (A8, split.py) → ALS fit/predict
+        (A9-A13) → RMSE (A14)
+
+    — the 23 MapReduce job launches of ``ALS-Hadoop/ALS/ALS.java:
+    217-331`` as one lazy driver program. Returns (predictions, rmse,
+    global_mean_rmse). Note modern ml.ALS accepts arbitrary int ids, so
+    the dense encoding is not strictly required (SURVEY §1.2) — it is
+    applied anyway for workflow parity and because compact ids shrink
+    MLlib's internal block structures."""
+    from ..functions.ids import dense_ids
+    from ..sources import read_ratings_csv
+
+    raw = read_ratings_csv(spark, csv_path)
+    umap = dense_ids(raw, "user_id").withColumnRenamed("dense_id", "u")
+    imap = dense_ids(raw, "item_id").withColumnRenamed("dense_id", "i")
+    encoded = (
+        raw.join(umap, "user_id")
+        .join(imap, "item_id")
+        .select(
+            F.col("u").cast("int").alias("user_id"),
+            F.col("i").cast("int").alias("item_id"),
+            "rating",
+        )
+    )
+    return als_pipeline(encoded)
+
+
 QUERIES = {
     "q_als_fit_predict": q_als_fit_predict,
     "q_als_rmse": q_als_rmse,

@@ -27,6 +27,30 @@ def test_als_beats_global_mean(spark):
     assert rmse < base_rmse, f"rmse={rmse} vs global-mean={base_rmse}"
 
 
+def test_reference_pipeline_from_csv(spark, tmp_path):
+    """The reference's complete workflow from raw CSV (scan → dense-id
+    encode → split → fit → RMSE) in one driver program — the engine
+    twin of ALS-Hadoop/ALS/ALS.java:217-331 + mapid.py + split.py. The
+    CSV carries MovieLens-style raw (non-dense) ids and a trailing
+    timestamp column that must be ignored (mapid.py:21)."""
+    from als_hadoop_spark.operators.als import reference_pipeline
+
+    ratings = synth_ratings(spark, n_users=150, n_items=80, n_ratings=6000)
+    # de-densify ids the way raw MovieLens ids are sparse, add timestamp
+    csv = ratings.selectExpr(
+        "user_id * 7 + 3 as user_id", "item_id * 11 + 5 as item_id", "rating",
+        "cast(886307828 as long) as ts",
+    )
+    path = str(tmp_path / "ratings.csv")
+    csv.write.mode("overwrite").option("header", "false").csv(path)
+    preds, rmse, base_rmse = reference_pipeline(spark, path)
+    assert preds.count() > 0
+    assert rmse < base_rmse, f"rmse={rmse} vs global-mean={base_rmse}"
+    # dense re-encoding: ids are 0..n-1
+    mx = preds.selectExpr("max(user_id) mu", "max(item_id) mi").collect()[0]
+    assert mx["mu"] < 150 and mx["mi"] < 80
+
+
 def test_cold_start_rows_dropped(spark):
     """ALS/ALS.java:460-464 semantics: probe rows whose user/item is
     unseen in training are dropped, not NaN-predicted."""

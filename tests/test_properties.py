@@ -1,0 +1,65 @@
+"""Property-based tests (SURVEY.md §5.4): hypothesis-generated small
+frames against brute-force Python references. Example counts are kept
+low — each example pays a Spark job — but the generators cover the
+edges unit fixtures miss (duplicate keys, ties, empty sides)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**SETTINGS)
+@given(keys=st.lists(st.integers(-(10**6), 10**6), min_size=1, max_size=40))
+def test_dense_ids_is_sorted_bijection(spark, keys):
+    """dense_ids == rank in sorted distinct order, for ANY key multiset
+    (duplicates collapse, negatives sort before positives)."""
+    from als_hadoop_spark.functions.ids import dense_ids
+
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    got = {r["k"]: r["dense_id"] for r in dense_ids(df, "k", num_partitions=3).collect()}
+    want = {k: i for i, k in enumerate(sorted(set(keys)))}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=25
+    ),
+)
+def test_as_of_join_matches_bruteforce(spark, lefts, rights):
+    """as_of_join == per-row 'latest right strictly before me on my
+    key' brute force, including ties (same-ts right must NOT match)
+    and keys with no right rows at all."""
+    from als_hadoop_spark.operators.timeseries import as_of_join
+
+    rights = list({(k, t): (k, t) for k, t in rights}.values())  # unique (key, ts)
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "row_id LONG, k LONG, t LONG"
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(k * 100 + t)) for k, t in rights] or [(99, 99, 0.0)],
+        "k LONG, rt LONG, val DOUBLE",
+    )
+    if not rights:
+        right = right.filter("k < 0")  # truly empty right side
+    out = {
+        r["row_id"]: (r["asof_ts"], r["asof_val"])
+        for r in as_of_join(
+            left, right, on="k", left_ts="t", right_ts="rt", value_cols=["val"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        prior = [(rt, v) for (rk, rt, v) in ((a, b, float(a * 100 + b)) for a, b in rights) if rk == k and rt < t]
+        want = max(prior) if prior else (None, None)
+        assert out[i] == want, f"row {i} (k={k}, t={t}): {out[i]} != {want}"
