@@ -77,6 +77,14 @@ def read_ratings_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with explicit schema (no inference pass — at
+    100 TB an inference scan is a full extra read). Nested fields come
+    back as StructType columns; pair with ``F.from_json`` for JSON
+    embedded in string columns (see relational.q_array_map_json)."""
+    return spark.read.schema(schema).json(path)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Engine twin of the reference's SequenceFile source
     (ALS-Hadoop/ALS/ALS.java:261,286,366): columnar Parquet instead of
