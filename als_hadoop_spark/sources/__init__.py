@@ -18,8 +18,10 @@ from .tables import (
     TABLES,
     load,
     load_all,
+    read_json,
     read_ratings_csv,
     read_table,
+    register_views,
     write_table,
 )
 
@@ -27,7 +29,9 @@ __all__ = [
     "TABLES",
     "load",
     "load_all",
+    "read_json",
     "read_ratings_csv",
     "read_table",
+    "register_views",
     "write_table",
 ]
