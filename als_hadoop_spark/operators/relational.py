@@ -364,6 +364,49 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: pivot (cross-tab). Pivot values are FIXED, not
+    discovered — a dynamic pivot needs a driver-side distinct pass
+    before planning, which is the anti-pattern at scale; with pinned
+    values the whole thing is one hash aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"F": "qty_F", "O": "qty_O"})
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: exact percentiles (continuous interpolation) per
+    group. The exact form sorts within groups — fine for bounded-
+    cardinality groups; q_approx_count_distinct shows the sketch
+    pattern used when exactness must be traded for one-pass merges
+    (percentile_approx is the same trade)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: statistical aggregates — stddev/variance (sample),
+    covariance and Pearson correlation between price and quantity per
+    return flag. All built-in one-pass distributed aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("cov_pq"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dictionary encoding / split / metric
 # ---------------------------------------------------------------------------
@@ -455,6 +498,9 @@ QUERIES = {
     "q_scalar_funcs": q_scalar_funcs,
     "q_array_map_json": q_array_map_json,
     "q_array_funcs": q_array_funcs,
+    "q_pivot": q_pivot,
+    "q_percentiles": q_percentiles,
+    "q_stats_agg": q_stats_agg,
     "q_dense_ids": q_dense_ids,
     "q_transpose_regroup": q_transpose_regroup,
     "q_random_split": q_random_split,
@@ -615,6 +661,32 @@ ORACLES = {
                ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
                      / len(embedding), 6) AS mean_val
         FROM embeddings
+    """,
+    "q_pivot": """
+        SELECT l_returnflag,
+               ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F,
+               ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "q_percentiles": """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    "q_stats_agg": """
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+               ROUND(var_samp(l_quantity), 4) AS var_qty,
+               ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq,
+               ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
     """,
     "q_dense_ids": """
         SELECT c_custkey,
