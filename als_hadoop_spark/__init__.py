@@ -10,11 +10,16 @@ Layout
 ------
 - ``session``    : SparkSession builder tuned for local + cluster use.
 - ``sources``    : table loaders / readers / writers (parquet, csv, json).
-- ``functions``  : scalar/array helpers (vector math, text metrics).
+- ``functions``  : ids, range joins, vector math, bucketing/salting
+                   scale helpers.
 - ``operators``  : the query library — relational, ALS, dedup,
-                   similarity, text analysis, multimodal.
-- ``streaming``  : Structured Streaming queries + batch twins.
-- ``plans``      : plan-inspection helpers (pushdown/broadcast asserts).
+                   similarity (exact + bit-sketch + banded LSH + IVF),
+                   text analysis, multimodal, time-series, pandas UDFs.
+- ``streaming``  : tumbling/session windows (one transform for batch
+                   AND streams) + an applyInPandasWithState custom
+                   stateful sessionizer.
+- ``plans``      : plan-inspection asserts (pushdown, broadcast,
+                   no-quadratic-join, shuffle counts).
 
 Every public query takes ``(spark, sf_dir)`` and returns a lazy
 ``DataFrame`` — no driver-side materialization anywhere in the library

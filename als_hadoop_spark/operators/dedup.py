@@ -4,19 +4,19 @@ extension; SURVEY.md §2 Part C q_dedup_*).
 Five strategies over the ``documents`` table, each picked for a
 different point on the exactness/scale curve:
 
-- exact       : sha256 hash group-by — one shuffle on a 32-byte key,
-                the only fully-oracle-checkable form.
-- minhash LSH : shingle → MinHash signature → banded bucket join —
-                O(n·bands) candidate generation instead of O(n²)
-                (`ml.feature.MinHashLSH`, seeded).
+- exact       : sha256 hash group-by — one shuffle on a 32-byte key.
+- minhash LSH : shingle set → banded xxhash64 minhash signature →
+                candidate equi-join on (band, band_key) → exact
+                jaccard re-rank; O(n·bands) candidate generation,
+                AND-amplified bands (see MINHASH_BANDS note).
 - simhash     : 64-bit sign-aggregated token hashes; near-dups collide
                 on the fingerprint. Pure built-in aggregates.
-- n-gram Jaccard: exact Jaccard over 3-word shingles, but candidates
-                come from an inverted-index join (docs sharing a
-                shingle), never a crossJoin.
-- embedding cosine: near-dup pairs above a cosine threshold with
-                length-based blocking (see similarity.py for the
-                LSH-bucketed ANN variant).
+- n-gram Jaccard: exact Jaccard over 3-word shingles; candidates from
+                a df-capped inverted-index join (docs sharing a
+                non-hot shingle), never a crossJoin.
+- embedding cosine: exact pairwise baseline, input-capped (the ANN
+                scale paths live in similarity.py: bit-sketch Hamming
+                prefilter, banded LSH, IVF).
 
 Scale: every candidate *generator* is an equi-join on a derived key
 (hash / band / df-capped shingle / bucket) so Spark shuffles only
@@ -237,9 +237,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly — deterministic, so fully oracle-checkable.
 
     Hot-key guard: shingles with document frequency > DF_CAP are
-    dropped from candidate generation (the df window reuses the same
-    shingle partitioning the self-join needs, so the cap costs no extra
-    shuffle). Jaccard denominators use the UNCAPPED per-doc shingle
+    dropped from candidate generation via a broadcast anti-join against
+    the (tiny by definition) hot-shingle list — no extra shuffle of the
+    posting lists. Jaccard denominators use the UNCAPPED per-doc shingle
     counts, so wherever the cap doesn't bind (all test scales —
     max df 25 at sf0.1) the result is exactly the naive all-pairs
     Jaccard; where it binds, pairs sharing only ultra-common shingles
