@@ -86,6 +86,20 @@ def session_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each (user_id, props)
+    payload wins; duplicates arriving later are dropped. On a stream,
+    dropDuplicates keeps per-key state bounded by the watermark (a
+    duplicate can only be recognized within the watermark horizon —
+    exactly the contract a streaming ingest dedup wants); on a batch
+    frame the same call is a plain exact dedup. This is the streaming
+    face of operators/dedup.q_dedup_exact."""
+    keys = ["user_id", "props"]
+    if events.isStreaming:
+        return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the tumbling-window stream (SURVEY §7.1 M4)."""
     return tumbling_counts(load(spark, sf_dir, "events"))

@@ -48,6 +48,45 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path, transform, name):
     assert _canon(got) == _canon(want)
 
 
+def test_stream_dedup_drops_cross_batch_duplicates(spark, sf_dir, tmp_path):
+    """Streaming exact dedup: duplicates planted in a LATER micro-batch
+    (within the watermark horizon) are dropped; the surviving key set
+    equals the batch dedup's."""
+    import time
+
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "props").limit(200)
+    dupes = events.limit(40)  # re-send the first 40 payloads
+    src = str(tmp_path / "ev_dedup")
+    events.coalesce(1).write.parquet(f"{src}/b0")
+    time.sleep(1.1)
+    dupes.coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        streaming.dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = spark.table("t_dedup").select("user_id", "props").collect()
+    got_keys = [(r["user_id"], r["props"]) for r in got]
+    want_keys = {
+        (r["user_id"], r["props"])
+        for r in streaming.dedup_events(events).collect()
+    }
+    assert len(got_keys) == len(set(got_keys)), "stream emitted a duplicate"
+    assert set(got_keys) == want_keys
+
+
 def test_stateful_sessionize_matches_batch_sessions(spark, sf_dir, tmp_path):
     """The applyInPandasWithState sessionizer's emitted (closed)
     sessions must each exactly match a batch session_window session.
