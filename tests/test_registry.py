@@ -1,0 +1,49 @@
+"""Registry invariants for the driver contract: every oracle has a
+query, rows-only queries are a deliberate documented set (sketches,
+LSH/ANN, random split, ML fits, Python feature extraction), and no
+module silently shadows another's query name."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from als_hadoop_spark import operators, streaming
+
+#: queries intentionally declared WITHOUT a DuckDB oracle (SURVEY §7.3)
+ROWS_ONLY = {
+    "q_approx_count_distinct",  # HLL sketch — not hashable
+    "q_random_split",           # engine-specific RNG stream
+    "q_als_fit_predict",        # factor bits are impl/seed-dependent
+    "q_als_rmse",               # depends on the fit above
+    "q_dedup_minhash",          # banding recall < 1 (gated in pytest)
+    "q_dedup_simhash",          # xxhash64 bits are impl-specific
+    "q_sim_search_lsh",         # ANN recall < 1 (gated in pytest)
+    "q_sim_search_ivf",         # ANN recall < 1 (gated in pytest)
+    "q_multimodal_features",    # Python stub decoder — pinned in pytest
+}
+
+
+def test_every_oracle_has_a_query():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+
+
+def test_rows_only_set_is_exactly_documented():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(qs) - set(oracles) == ROWS_ONLY
+
+
+def test_no_cross_module_name_collisions():
+    seen: dict[str, str] = {}
+    modules = list(operators._MODULES) + [streaming]
+    for mod in modules:
+        for name in mod.QUERIES:
+            assert name not in seen, f"{name} in both {seen[name]} and {mod.__name__}"
+            seen[name] = mod.__name__
+
+
+def test_all_queries_are_binary_callables():
+    import inspect
+
+    for name, fn in entry_mod.queries().items():
+        params = inspect.signature(fn).parameters
+        assert len(params) == 2, f"{name} must take (spark, sf_dir)"
