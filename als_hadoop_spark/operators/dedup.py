@@ -173,7 +173,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with jaccard distance ≤ 0.8. Approximate recall (banding can
     miss borderline pairs) → no SQL oracle (rows-only); pytest gates
     recall ≥ 0.8 against the exact q_dedup_ngram pairs."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     cands = minhash_candidates(_doc_shingles(docs))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -223,7 +223,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups share fingerprints or land at low Hamming distance — gated in
     tests/test_dedup.py with planted near-dups). xxhash64 bits are
     impl-specific → rows-only."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     fp = simhash_fingerprints(docs)
     return fp.groupBy("simhash").agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs")
@@ -244,7 +244,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     max df 25 at sf0.1) the result is exactly the naive all-pairs
     Jaccard; where it binds, pairs sharing only ultra-common shingles
     are (deliberately) not considered near-dups."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     # Posting list (doc_id, n_sh, shingle) — each posting row carries
     # its document's UNCAPPED shingle count, so Jaccard denominators
     # need no join back to a per-doc sizes table (at 10⁹ docs that
@@ -318,7 +318,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair join, so each pair evaluates one dot-product fold instead
     of three. Filter applies to the *rounded* cosine so Spark and the
     oracle agree at threshold boundaries."""
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < EMBED_CAP)
+    emb = load(spark, sf_dir, "embeddings", spread=True).filter(F.col("vec_id") < EMBED_CAP)
     with_norm = emb.select("vec_id", "embedding", l2_norm("embedding").alias("nrm"))
     a = with_norm.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")

@@ -44,7 +44,7 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, meta struct<format,width,height>, content
     binary). Deterministic integer-derived metadata so the oracle can
     rebuild the identical frame."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     fmt = F.element_at(F.array(*[F.lit(f) for f in FORMATS]), (F.pmod("doc_id", F.lit(3)) + 1).cast("int"))
     width = (F.lit(64) + F.pmod(F.col("doc_id") * 7, F.lit(1024))).cast("int")
     height = (F.lit(64) + F.pmod(F.col("n_chars"), F.lit(768))).cast("int")

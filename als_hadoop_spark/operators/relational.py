@@ -296,8 +296,11 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-B gap: string/date/math scalar functions, all JVM-side
-    (whole-stage codegen; zero Python in the row path)."""
-    o = load(spark, sf_dir, "orders")
+    (whole-stage codegen; zero Python in the row path). spread=True:
+    the testdata's single-row-group files make the scan stage one task,
+    and 10 expressions × 150k rows is compute-bound — one small shuffle
+    buys 32-way evaluation (3.1 s → 0.8 s at sf0.1)."""
+    o = load(spark, sf_dir, "orders", spread=True)
     return o.select(
         "o_orderkey",
         F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
@@ -348,7 +351,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-B gap + north-star: array math on the embedding column via
     built-in higher-order functions (F.aggregate/F.transform — codegen,
     no Python). Computes L2 norm and mean of each vector."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     sq_sum = F.aggregate(
         "embedding",
         F.lit(0.0),

@@ -114,7 +114,7 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partition-parallel pass; per-query top-k via ranking window
     partitioned by query id (scales with #queries × corpus
     partitioning, no global sort)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -189,7 +189,7 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sketch column is 8 bytes/vector — a 10⁹-vector corpus
     sketches to 8 GB, scanned embarrassingly parallel per query batch;
     re-rank touches only TOPC × queries full vectors."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     sk = emb.select("vec_id", "embedding", _sketch("embedding").alias("sig"))
     queries = sk.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -256,7 +256,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     sq = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),

@@ -48,7 +48,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens/doc and chars/doc. The explode→groupBy(lang) aggregate is
     partial-aggregated map-side; `lang` has bounded cardinality so the
     final shuffle is tiny at any scale."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = docs.select("lang", "doc_id", F.explode(_tokens()).alias("tok"))
     tok_stats = toks.groupBy("lang").agg(
         F.count("*").alias("n_tokens"),
@@ -80,7 +80,7 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-word marks) — on clean text they agree; on real corpora the
     regex catches punctuation-glued tokens. TakeOrderedAndProject keeps
     the top-K per partition → no global sort."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     ws = docs.select(F.explode(_tokens()).alias("tok")).groupBy("tok").agg(
         F.count("*").alias("n_ws")
     )
@@ -110,7 +110,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus every lang shares one vocabulary, so the heuristic
     is exercised for plumbing + determinism, not accuracy. All
     expression-level (no UDF), hence fully oracle-checkable."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = _tokens()
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
     ratio = n_stop / F.size(toks)
@@ -128,7 +128,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score — the filter-stage features of a training-data
     pipeline. Computed with higher-order functions on the token array:
     no explode, no shuffle, embarrassingly parallel."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = _tokens()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
@@ -162,7 +162,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic → engine-independent and oracle-checkable (DuckDB
     list_reduce twin), unlike xxhash64 whose bits are impl-specific.
     Groups by fingerprint to surface exact-duplicate clusters."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = _tokens()
     codes = F.transform(
         toks,

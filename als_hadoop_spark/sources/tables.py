@@ -23,7 +23,7 @@ TABLES = (
 RATINGS_SCHEMA = "user_id INT, item_id INT, rating FLOAT"
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
     """Read one driver table. Parquet scan → vectorized reader, column
     pruning and predicate pushdown apply automatically downstream.
 
@@ -47,6 +47,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (positive) nanos this dataset guarantees (events start 2024);
         # pre-epoch data would need a pmod-based floor to match DuckDB.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        # The driver's testdata files hold a SINGLE parquet row group,
+        # so a scan stage runs as one task no matter the split config —
+        # and any expensive per-row work fused into it (HOF shingling,
+        # sketch UDFs, Arrow batches) runs single-threaded. Operators
+        # with heavy compute per row opt into one up-front round-robin
+        # shuffle to use every core. Production multi-row-group files
+        # parallelize at the scan and don't need this.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
