@@ -113,6 +113,18 @@ def als_pipeline(
     # release right after (the reference instead re-reads HDFS
     # SequenceFiles every iteration, ALS/ALS.java:312-327).
     train = train.cache()
+    # Size the factor blocks to the data: every ALS iteration launches
+    # O(blocks) tasks per side, so the default 10×10 grid pays pure
+    # scheduling overhead on small inputs (4 blocks: 4.1 s → 1.4 s fit
+    # on the 24k-rating fixture). The count also materializes the
+    # cache before the iterative fit. ~250k ratings/block keeps block
+    # state comfortably in executor memory at any scale, capped at the
+    # session's parallelism.
+    n_train = train.count()
+    spark = train.sparkSession
+    blocks = int(
+        min(max(4, n_train // 250_000), spark.sparkContext.defaultParallelism)
+    )
     model = ALS(
         rank=rank,
         maxIter=max_iter,
@@ -122,6 +134,8 @@ def als_pipeline(
         ratingCol="rating",
         coldStartStrategy="drop",
         seed=seed,
+        numUserBlocks=blocks,
+        numItemBlocks=blocks,
     ).fit(train)
 
     # preds is consumed twice (RMSE here + the caller's own action) and
