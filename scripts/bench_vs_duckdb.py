@@ -8,8 +8,8 @@ Prints a table plus geomean ratio. Usage:
     python scripts/bench_vs_duckdb.py [query ...]
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` — PEP 563 breaks the
+# pandas_udf warmup signature below.
 import math
 import os
 import sys
@@ -28,7 +28,19 @@ def main(names: list[str]) -> int:
     from als_hadoop_spark.session import get_spark
 
     spark = get_spark("bench_vs_duckdb")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up JVM
+    # warm Python/Arrow workers too (else the first pandas_udf query
+    # pays ~2-3 s of interpreter + numpy import)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return s + int(np.int64(0))
+
+    spark.range(1_000).select(_warm("id")).collect()
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     con = duckdb.connect()
