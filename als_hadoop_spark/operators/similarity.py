@@ -7,9 +7,9 @@ Three shapes, one semantics (cosine):
   (small) query set against the full corpus, per-query top-k via a
   window. Semantics baseline, fully oracle-checkable.
 - ``q_sim_search_lsh`` : bit-sketch ANN — each vector is sketched to
-  SKETCH_BITS random-hyperplane sign bits packed into ONE long;
-  per-query candidates are the HAMMING_TOPC nearest sketches by
-  ``bit_count(xor)`` (a 64-bit popcount per comparison instead of a
+  SKETCH_BITS random-hyperplane sign bits packed into SKETCH_BITS/64
+  longs; per-query candidates are the HAMMING_TOPC nearest sketches by
+  ``bit_count(xor)`` (a popcount per word per comparison instead of a
   64-float dot product — ~64× less data and work per pair), then
   exact cosine re-ranks only those candidates. This is the
   Faiss-binary-style prefilter that keeps recall at *mid-range*
@@ -23,8 +23,11 @@ Three shapes, one semantics (cosine):
   it is reserved for embedding near-dup detection; pytest gates its
   recall on planted high-cosine pairs.
 
-The hyperplanes are generated from ``xxhash64`` arithmetic (not
-``F.rand``) so they are identical on any partition layout/cluster.
+All hyperplanes are deterministic on any partition layout/cluster: the
+banded signatures derive from ``xxhash64`` arithmetic; the bit sketch
+rebuilds a fixed-seed numpy Gaussian matrix identically in every
+worker. (There is also ``q_sim_search_ivf`` below: a k-means
+inverted-file index probing nprobe cells per query.)
 """
 
 # NOTE: no `from __future__ import annotations` — PEP 563 string

@@ -86,6 +86,37 @@ def session_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def click_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: every non-click event attributed to
+    any click by the same user in the preceding 30 minutes. On streams
+    both sides carry watermarks and the time-range predicate bounds the
+    join state (rows age out once the watermark passes the interval) —
+    the canonical stream-stream join shape. On batch frames the same
+    expression is a plain interval join, giving the oracle twin.
+
+    Scale: state is O(events within the watermark+interval horizon) per
+    user shard; the equi-key (user_id) shards the state store."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    rest = events.filter(F.col("event_type") != "click").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", WATERMARK)
+        rest = rest.withWatermark("ts", WATERMARK)
+    cond = (
+        (rest.user_id == clicks.c_user)
+        & (rest.ts > clicks.click_ts)
+        & (rest.ts <= clicks.click_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return rest.join(clicks, cond).select(
+        "event_id", "user_id", "event_type", "click_id", "click_ts"
+    )
+
+
 def dedup_events(events: DataFrame) -> DataFrame:
     """Streaming exact dedup: first occurrence of each (user_id, props)
     payload wins; duplicates arriving later are dropped. On a stream,

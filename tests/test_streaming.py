@@ -48,6 +48,37 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path, transform, name):
     assert _canon(got) == _canon(want)
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (click attribution) over two
+    watermarked sides must produce exactly the batch join's pairs."""
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    src = str(tmp_path / "ev_ss")
+    events.coalesce(2).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        streaming.click_attribution(stream)
+        .writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {
+        (r["event_id"], r["click_id"]) for r in spark.table("t_ssjoin").collect()
+    }
+    want = {
+        (r["event_id"], r["click_id"])
+        for r in streaming.click_attribution(events).collect()
+    }
+    assert got == want and want, f"stream {len(got)} vs batch {len(want)} pairs"
+
+
 def test_stream_dedup_drops_cross_batch_duplicates(spark, sf_dir, tmp_path):
     """Streaming exact dedup: duplicates planted in a LATER micro-batch
     (within the watermark horizon) are dropped; the surviving key set
