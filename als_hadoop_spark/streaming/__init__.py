@@ -141,9 +141,17 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load(spark, sf_dir, "events"))
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (click
+    attribution); the true streaming form is pytest-verified equal
+    (tests/test_streaming.py)."""
+    return click_attribution(load(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_session": q_stream_session,
+    "q_stream_join": q_stream_join,
 }
 
 ORACLES = {
@@ -155,6 +163,15 @@ ORACLES = {
                ROUND(SUM(value), 2) AS sum_value
         FROM events
         GROUP BY 1, 2, 3
+    """,
+    "q_stream_join": """
+        SELECT r.event_id, r.user_id, r.event_type,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type != 'click') r
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON r.user_id = c.user_id
+         AND r.ts > c.ts
+         AND r.ts <= c.ts + INTERVAL 30 MINUTE
     """,
     "q_stream_session": """
         WITH marked AS (
