@@ -122,6 +122,24 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_score_col() -> F.Column:
+    """The weighted quality score expression over the whitespace token
+    array of ``text`` — shared by q_text_quality and the curation
+    pipeline so both stages filter on identical semantics."""
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    n_types = F.size(F.array_distinct(toks))
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    ttr = F.round(n_types / n_tokens, 4)
+    return F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + ttr * 0.4
+        + (F.lit(1.0) - stop_ratio) * 0.2,
+        4,
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring: token count, mean token length,
     stopword ratio, type-token ratio (lexical diversity), and a weighted
@@ -139,12 +157,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = F.round(n_stop / n_tokens, 4)
     ttr = F.round(n_types / n_tokens, 4)
     avg_len = F.round(sum_len / n_tokens, 4)
-    score = F.round(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
-        + ttr * 0.4
-        + (F.lit(1.0) - stop_ratio) * 0.2,
-        4,
-    )
+    score = quality_score_col()
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -183,8 +196,43 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pipeline — the composition the
+    individual operators exist for:
+
+        quality filter (score ≥ 0.5) → exact dedup (sha256, keep
+        smallest doc_id) → per-language corpus summary
+
+    One lazy plan: the quality filter is a narrow projection+filter
+    fused into the scan stage, dedup is one shuffle on the content
+    hash, and the summary is a bounded-key aggregate. At 100 TB this
+    exact shape is the curation job's skeleton — swap the quality
+    threshold and add near-dup stages without touching the plan
+    structure."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    kept = docs.select(
+        "doc_id", "lang", "n_chars", quality_score_col().alias("q"),
+        F.sha2("text", 256).alias("h"),
+    ).filter(F.col("q") >= 0.5)
+    deduped = (
+        kept.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+            F.min_by("q", "doc_id").alias("q"),
+        )
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
 QUERIES = {
     "q_text_stats": q_text_stats,
+    "q_curation": q_curation,
     "q_token_topk": q_token_topk,
     "q_lang_id": q_lang_id,
     "q_text_quality": q_text_quality,
@@ -192,6 +240,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_curation": """
+        WITH scored AS (
+            SELECT doc_id, lang, n_chars, sha256(text) AS h,
+                   ROUND(LEAST(len(t) / 100.0, 1.0) * 0.4
+                         + ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) * 0.4
+                         + (1.0 - ROUND(CAST(len(list_filter(t,
+                               x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                               / len(t), 4)) * 0.2,
+                         4) AS q
+            FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+        ), kept AS (
+            SELECT * FROM scored WHERE q >= 0.5
+        ), deduped AS (
+            SELECT h,
+                   MIN(doc_id) AS doc_id,
+                   arg_min(lang, doc_id) AS lang,
+                   arg_min(n_chars, doc_id) AS n_chars,
+                   arg_min(q, doc_id) AS q
+            FROM kept GROUP BY h
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(AVG(q), 4) AS avg_quality
+        FROM deduped
+        GROUP BY lang
+    """,
     "q_text_stats": """
         WITH toks AS (
             SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
