@@ -69,8 +69,45 @@ def q_udf_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: chunking config: CHUNK_SIZE-token windows every CHUNK_STRIDE tokens
+#: (50% overlap) — the standard pre-embedding document chunking shape
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 25
+
+
+def q_udf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via a real Python UDTF (table function): each
+    document explodes into overlapping CHUNK_SIZE-token windows with
+    stride CHUNK_STRIDE — the chunk-for-embedding stage of an LLM data
+    pipeline, and the engine's UDTF extensibility story (scalar and
+    grouped-agg pandas UDFs live above; mapInPandas in multimodal.py).
+    Applied with a SQL LATERAL join. Deterministic splitting → full
+    DuckDB oracle despite the Python path."""
+    from pyspark.sql.functions import udtf
+
+    size, stride = CHUNK_SIZE, CHUNK_STRIDE
+
+    @udtf(returnType="doc_id BIGINT, chunk_idx INT, chunk STRING, n_tokens INT")
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF contract
+            toks = text.split(" ")
+            i = 0
+            while i * stride < len(toks) or i == 0:
+                window = toks[i * stride : i * stride + size]
+                yield doc_id, i, " ".join(window), len(window)
+                i += 1
+
+    load(spark, sf_dir, "documents", spread=True).createOrReplaceTempView("_chunk_src")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.chunk, c.n_tokens "
+        "FROM _chunk_src, LATERAL chunk_doc(doc_id, text) c"
+    )
+
+
 QUERIES = {
     "q_udf_quantize": q_udf_quantize,
+    "q_udf_chunk": q_udf_chunk,
 }
 
 ORACLES = {
@@ -85,5 +122,13 @@ ORACLES = {
             FROM embeddings
         )
         GROUP BY label
+    """,
+    "q_udf_chunk": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               array_to_string(toks[i * 25 + 1 : i * 25 + 50], ' ') AS chunk,
+               CAST(LEAST(50, len(toks) - i * 25) AS INT) AS n_tokens
+        FROM t, LATERAL unnest(range(0, GREATEST(CAST(CEIL(CAST(len(toks) AS DOUBLE) / 25) AS BIGINT), 1))) AS u(i)
     """,
 }
