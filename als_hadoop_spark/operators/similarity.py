@@ -192,7 +192,7 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sketch column is 8 bytes/vector — a 10⁹-vector corpus
     sketches to 8 GB, scanned embarrassingly parallel per query batch;
     re-rank touches only TOPC × queries full vectors."""
-    emb = load(spark, sf_dir, "embeddings", spread=True)
+    emb = load(spark, sf_dir, "embeddings", spread=8)
     sk = emb.select("vec_id", "embedding", _sketch("embedding").alias("sig"))
     queries = sk.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -58,7 +58,7 @@ def q_udf_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one agg() call, so the row count is a pandas aggregate too.
         return int(len(s))
 
-    emb = load(spark, sf_dir, "embeddings", spread=True)
+    emb = load(spark, sf_dir, "embeddings", spread=8)
     return (
         emb.select("label", quant_l1("embedding").alias("l1"))
         .groupBy("label")

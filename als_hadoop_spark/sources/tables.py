@@ -23,7 +23,9 @@ TABLES = (
 RATINGS_SCHEMA = "user_id INT, item_id INT, rating FLOAT"
 
 
-def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | int = False
+) -> DataFrame:
     """Read one driver table. Parquet scan → vectorized reader, column
     pruning and predicate pushdown apply automatically downstream.
 
@@ -55,7 +57,13 @@ def load(spark: SparkSession, sf_dir: str, name: str, spread: bool = False) -> D
         # with heavy compute per row opt into one up-front round-robin
         # shuffle to use every core. Production multi-row-group files
         # parallelize at the scan and don't need this.
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        #
+        # Pass an int to pin the count: Arrow/Python stages over SMALL
+        # tables want FEW, LARGE batches — per-task Python overhead
+        # dominates tiny ones (pandas_udf over 2k rows: 32 partitions
+        # 2.8 s vs 8 partitions 0.6 s).
+        n = spread if isinstance(spread, int) and spread is not True else None
+        df = df.repartition(n or spark.sparkContext.defaultParallelism)
     return df
 
 
