@@ -54,18 +54,44 @@ def main(names: list[str]) -> int:
 
     spark.range(1_000).select(_warm("id")).collect()
 
+    # Each query runs twice and we report the SECOND (warm) time: the first
+    # run pays one-time whole-stage-codegen compilation of that query's
+    # generated classes (~3-10 s for wide projections), which is a per-query
+    # JVM warmup cost, not steady-state engine time — on a long-lived cluster
+    # it is paid once per plan shape, not once per execution. Data caches are
+    # cleared between the two runs (clearCache) so persisted intermediates
+    # from the cold run can't make the warm run artificially cheap; codegen
+    # class caches survive clearCache, which is exactly the warmth we want.
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
+
+    # q_als_fit_predict memoizes its fitted model per session
+    # (als._PIPELINE_CACHE) so that q_als_rmse can reuse the same fit.
+    # Left alone, its warm run would report the memoized lookup (~0.1 s)
+    # instead of a fit — so reset the memo before EACH of its runs: the
+    # warm number is then a genuine warm-JVM re-fit. q_als_rmse keeps the
+    # shared fit, matching its documented contract.
+    from als_hadoop_spark.operators import als as _als
+
+    def run_once(name: str, fn) -> float:
+        if name == "q_als_fit_predict":
+            _als._PIPELINE_CACHE.clear()
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     for name in selected:
         fn = qs[name]
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
+            timings_cold[name] = run_once(name, fn)
+            spark.catalog.clearCache()
+            timings[name] = run_once(name, fn)
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001 — a broken query must not kill the bench
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -75,6 +101,7 @@ def main(names: list[str]) -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": timings_cold,
                 "sf": sf_from_dir(SF_DIR),
             }
         )
