@@ -45,10 +45,15 @@ def load(
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        # `div` truncates toward zero == floor for the post-epoch
-        # (positive) nanos this dataset guarantees (events start 2024);
-        # pre-epoch data would need a pmod-based floor to match DuckDB.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Floor division via (ts - pmod(ts, 1000)) div 1000: `div`
+        # alone truncates toward zero, which differs from floor for
+        # PRE-epoch (negative) nanos — this form matches DuckDB's
+        # ns→µs floor on the whole timestamp range, not just the
+        # post-epoch data the fixtures happen to contain.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+        )
     if spread:
         # The driver's testdata files hold a SINGLE parquet row group,
         # so a scan stage runs as one task no matter the split config —
