@@ -121,19 +121,24 @@ def minhash_candidates(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (id_a, id_b, sh_a, sh_b) with shingle arrays carried for the exact
     re-rank."""
     h_idx = list(range(MINHASH_BANDS * MINHASH_ROWS))
-    sigs = sh.select(
-        id_col,
-        "shingles",
-        *[
-            F.array_min(
-                F.transform(
-                    "shingles",
-                    lambda s, i=i: F.pmod(F.xxhash64(s, F.lit(i)), F.lit(_MINHASH_PRIME)),
-                )
-            ).alias(f"h{i}")
-            for i in h_idx
-        ],
-    )
+
+    def _mh(i: int) -> F.Column:
+        # NB: the hash-function index must be captured in a dedicated
+        # scope and the transform lambda must stay SINGLE-argument: a
+        # two-arg lambda receives (element, position-in-array) from
+        # F.transform, so a `lambda s, i=i:` default is silently
+        # overridden by the array position — which made all 16
+        # "independent" minhashes identical (single-hash LSH, band
+        # AND-amplification vacuous) until caught by the planted
+        # cross-language near-dup test.
+        return F.array_min(
+            F.transform(
+                "shingles",
+                lambda s: F.pmod(F.xxhash64(s, F.lit(i)), F.lit(_MINHASH_PRIME)),
+            )
+        )
+
+    sigs = sh.select(id_col, "shingles", *[_mh(i).alias(f"h{i}") for i in h_idx])
     banded = sigs.select(
         id_col,
         "shingles",

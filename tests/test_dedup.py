@@ -160,3 +160,27 @@ def test_udf_quantize_matches_builtin(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_curation_neardup_collapses_planted_dups(spark, tmp_path):
+    """q_curation_neardup end-to-end on a controlled corpus: an exact
+    duplicate collapses in the sha256 stage, a planted near-dup (one
+    token changed out of 100) collapses in the minhash stage even
+    across languages, an unrelated doc survives — and the per-lang
+    summary reconciles with the expected keeper set."""
+    from als_hadoop_spark.operators.text import q_curation_neardup
+
+    base = " ".join(f"tok{i}" for i in range(100))        # quality 1.0
+    near = base.replace("tok50", "changed", 1)            # jaccard ~0.94
+    far = " ".join(f"other{i}" for i in range(100))
+    rows = [
+        (0, "en", len(base), base),   # keeper of the near-dup cluster
+        (1, "de", len(near), near),   # near-dup of 0 -> dropped (cross-lang)
+        (2, "en", len(base), base),   # exact dup of 0 -> dropped
+        (3, "fr", len(far), far),     # unrelated -> kept
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, n_chars LONG, text STRING"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["lang"]: r["n_kept"] for r in q_curation_neardup(spark, str(tmp_path)).collect()}
+    assert out == {"en": 1, "fr": 1}, out
