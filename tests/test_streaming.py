@@ -244,3 +244,54 @@ def test_watermark_is_applied_in_stream_plan(spark, sf_dir, tmp_path):
         streaming.tumbling_counts(events)._jdf.queryExecution().analyzed().toString()
     )
     assert "EventTimeWatermark" not in batch_plan
+
+
+def test_streaming_neardup_flags_cross_batch_pair(spark, tmp_path):
+    """Incremental minhash ingest: a near-dup whose first copy arrived
+    in an EARLIER micro-batch is flagged when the second copy arrives,
+    via the persisted band index — no rescan of batch 0's docs. Also
+    covers intra-batch pairs and non-matches."""
+    import time
+
+    from als_hadoop_spark.streaming import neardup
+
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = base.replace("tok50", "changed", 1)      # jaccard ~0.94 vs base
+    far = " ".join(f"other{i}" for i in range(100))
+    far_near = far.replace("other7", "edited", 1)   # intra-batch pair in b1
+    src = str(tmp_path / "docs_src")
+    idx = str(tmp_path / "nd_index")
+    b0 = spark.createDataFrame([(0, base), (1, far)], "doc_id LONG, text STRING")
+    b1 = spark.createDataFrame(
+        [(10, near), (11, far_near), (12, " ".join(f"zzz{i}" for i in range(100)))],
+        "doc_id LONG, text STRING",
+    )
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        neardup.neardup_ingest(stream, idx)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {
+        (r["id_a"], r["id_b"]): r["batch_id"]
+        for r in neardup.read_matches(spark, idx).collect()
+    }
+    # cross-batch: doc 10 (batch 1) duplicates doc 0 (batch 0)
+    assert (0, 10) in got and got[(0, 10)] == 1, got
+    # intra-batch: 1 (batch 0) ~ 11 (batch 1) cross-batch too
+    assert (1, 11) in got, got
+    # the unrelated doc matches nothing
+    assert not any(12 in pair for pair in got), got
+    assert len(got) == 2, got
