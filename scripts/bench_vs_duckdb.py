@@ -51,12 +51,19 @@ def main(names: list[str]) -> int:
     selected = [n for n in (names or list(qs)) if n in oracles]
     rows = []
     for name in selected:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t_spark = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        con.execute(oracles[name]).fetchall()
-        t_duck = time.perf_counter() - t0
+        # Warm (second-run) timing on BOTH engines, mirroring bench.py:
+        # run 1 pays Spark's per-plan codegen compile / DuckDB's buffer
+        # warm-up; run 2 is steady state.
+        t_spark = t_duck = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            t_spark = time.perf_counter() - t0
+            spark.catalog.clearCache()
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            t_duck = time.perf_counter() - t0
         rows.append((name, t_spark, t_duck, t_spark / max(t_duck, 1e-9)))
 
     rows.sort(key=lambda r: -r[3])
