@@ -12,9 +12,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import als, dedup, multimodal, relational, similarity, text, timeseries, udfs
+from . import (
+    als,
+    analytics,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    timeseries,
+    udfs,
+)
 
-_MODULES = (relational, als, dedup, similarity, text, multimodal, timeseries, udfs)
+_MODULES = (
+    relational,
+    analytics,
+    als,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    timeseries,
+    udfs,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

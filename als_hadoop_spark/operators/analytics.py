@@ -1,0 +1,146 @@
+"""Composite multi-join analytics queries (TPC-H Q3/Q5 shapes) — the
+workloads that exercise Catalyst's join planning end-to-end: filter
+pushdown into every scan, dimension broadcasts, join reordering, AQE
+runtime re-plan, and top-k as TakeOrderedAndProject.
+
+The reference has nothing comparable (its only joins are two
+broadcast-hash joins inside the ALS solver, ``ALS-Hadoop/ALS/
+ALS.java:380-383``); these exist because a query engine claiming the
+reference's *data* (TPC-H-ish star schema, TESTDATA.md) must run the
+canonical analytics shapes over it, and because they are the best
+single-plan showcase of the 100 TB posture: every dimension side
+(customer at Q3 scale, region/nation/supplier at Q5 scale) broadcasts,
+so the only real shuffle is the orders⋈lineitem fact join + the final
+bounded aggregation.
+
+Float determinism note: revenue = Σ extendedprice·(1-discount) is a
+float sum whose addition order differs between engines; both engine
+and oracle ROUND to 2 decimals AFTER the aggregate, and top-k ties
+break on the group key, so the driver's value-hash is stable (same
+discipline as q_groupby_sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+
+#: Q3 parameters — segment + cutoff date (mid-range of the fixture's
+#: 1995-2001 date span so both filter sides are selective)
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_TOPN = 10
+
+#: Q5 parameters
+Q5_REGION = "ASIA"
+Q5_YEAR_LO = "1997-01-01"
+Q5_YEAR_HI = "1999-01-01"
+
+def _revenue() -> F.Column:
+    # built lazily — Column construction needs an active SparkContext,
+    # which doesn't exist at import time
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def q_order_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-N unshipped-order revenue for one market
+    segment. customer (filtered, broadcast) ⋈ orders (date-filtered)
+    ⋈ lineitem (date-filtered) → per-order revenue → top 10.
+
+    Plan shape at any scale: both date filters push into the parquet
+    scans; customer broadcasts (a filtered dimension); the
+    orders⋈lineitem fact join shuffles on o_orderkey (uniform key);
+    the top-10 runs as TakeOrderedAndProject (per-partition heaps, no
+    global sort)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(Q3_TOPN)
+    )
+
+
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation from LOCAL suppliers (the
+    customer's and supplier's nation must match) within one region and
+    a one-year-ish date window — a 6-way join.
+
+    Plan shape: region→nation→customer prune to one region's
+    customers; region, nation, customer (pruned), and supplier all
+    broadcast; orders⋈lineitem is again the only fact shuffle; the
+    final aggregate has ≤ #nations groups. The c_nationkey =
+    s_nationkey local-supplier condition rides the supplier broadcast
+    join — no extra shuffle."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_YEAR_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_YEAR_HI).cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    )
+
+
+QUERIES = {
+    "q_order_revenue_topn": q_order_revenue_topn,
+    "q_nation_volume": q_nation_volume,
+}
+
+ORACLES = {
+    "q_order_revenue_topn": f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = '{Q3_SEGMENT}'
+          AND o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+          AND l_shipdate  > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT {Q3_TOPN}
+    """,
+    "q_nation_volume": f"""
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = '{Q5_REGION}'
+          AND o_orderdate >= TIMESTAMP '{Q5_YEAR_LO} 00:00:00'
+          AND o_orderdate <  TIMESTAMP '{Q5_YEAR_HI} 00:00:00'
+        GROUP BY n_name
+    """,
+}

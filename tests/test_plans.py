@@ -105,3 +105,29 @@ def test_dense_ids_is_pure_jvm(spark, sf_dir):
     plan = explain_str(relational.q_dense_ids(spark, sf_dir))
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert node not in plan, f"python node {node} in dense_ids plan"
+
+
+def test_q3_topn_plan_shape(spark, sf_dir):
+    """TPC-H Q3 shape: date filters reach the scans, the filtered
+    customer dimension broadcasts, and the top-10 is a heap
+    (TakeOrderedAndProject), not a global sort."""
+    from als_hadoop_spark.operators import analytics
+
+    df = analytics.q_order_revenue_topn(spark, sf_dir)
+    assert_pushed_filters(df, "o_orderdate", "l_shipdate", "c_mktsegment")
+    assert_broadcast_join(df)
+    assert_take_ordered(df)
+    assert_no_quadratic_join(df)
+
+
+def test_q5_volume_plan_shape(spark, sf_dir):
+    """TPC-H Q5 shape: all four dimension sides broadcast — the only
+    shuffles are the orders⋈lineitem fact join and the bounded final
+    aggregate."""
+    from als_hadoop_spark.operators import analytics
+
+    df = analytics.q_nation_volume(spark, sf_dir)
+    assert_broadcast_join(df, n_min=4)
+    assert_no_quadratic_join(df)
+    n = count_shuffles(df)
+    assert n <= 3, f"q5 plans {n} shuffles"
