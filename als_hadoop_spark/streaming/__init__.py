@@ -64,6 +64,36 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+#: sliding-window config for q_stream_sliding: 10-minute windows every
+#: 5 minutes — each event lands in exactly WIDTH/SLIDE = 2 windows
+SLIDE_WIDTH = "10 minutes"
+SLIDE_STEP = "5 minutes"
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding 10-minute window every 5 minutes × event_type: count +
+    value sum. Spark's window(ts, width, slide) replicates each row
+    into width/slide windows BEFORE the aggregation shuffle (an Expand
+    node), so state per window stays one aggregate row — the standard
+    overlapping-window shape. Works identically on batch and
+    watermarked streams."""
+    return (
+        _maybe_watermark(events)
+        .groupBy(F.window("ts", SLIDE_WIDTH, SLIDE_STEP).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_stats(events: DataFrame) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap:
     session bounds + event count + value sum. Spark's session_window
@@ -141,6 +171,13 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load(spark, sf_dir, "events"))
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the sliding-window stream. Oracle: every event
+    belongs to exactly 2 windows (w = bucket(ts, 5min) - k·5min for
+    k ∈ {0,1}), expressed as an unnest cross join in DuckDB."""
+    return sliding_counts(load(spark, sf_dir, "events"))
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream interval join (click
     attribution); the true streaming form is pytest-verified equal
@@ -151,6 +188,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_session": q_stream_session,
+    "q_stream_sliding": q_stream_sliding,
     "q_stream_join": q_stream_join,
 }
 
@@ -162,6 +200,16 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                ROUND(SUM(value), 2) AS sum_value
         FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "q_stream_sliding": """
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE AS w_start,
+               time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE
+                   + INTERVAL 10 MINUTE AS w_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events, LATERAL unnest([0, 1]) AS u(k)
         GROUP BY 1, 2, 3
     """,
     "q_stream_join": """

@@ -38,8 +38,12 @@ def _canon(df):
 
 @pytest.mark.parametrize(
     "transform,name",
-    [(streaming.tumbling_counts, "t_tumble"), (streaming.session_stats, "t_session")],
-    ids=["tumbling", "session"],
+    [
+        (streaming.tumbling_counts, "t_tumble"),
+        (streaming.session_stats, "t_session"),
+        (streaming.sliding_counts, "t_slide"),
+    ],
+    ids=["tumbling", "session", "sliding"],
 )
 def test_stream_equals_batch(spark, sf_dir, tmp_path, transform, name):
     events = load(spark, sf_dir, "events")
