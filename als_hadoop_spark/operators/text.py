@@ -279,10 +279,62 @@ def q_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language sampling rates for the training-mixture query — the
+#: standard "re-weight the corpus mix" curation step (upsample nothing,
+#: downsample over-represented languages). Unlisted langs keep 100%.
+MIXTURE_RATES = {"en": 0.5, "zh": 0.8}
+
+#: Knuth multiplicative hash constant (2654435761 = 2^32 / φ) — chosen
+#: over xxhash64 because the SAME arithmetic is expressible in ANSI SQL,
+#: making hash-based sampling fully oracle-checkable across engines.
+#: doc_id is pre-reduced mod 2^31 so the product stays < 2^63 (no ANSI
+#: long overflow) for ANY doc_id, including 100 TB-scale id spaces.
+_KNUTH = 2654435761
+_MOD31 = 1 << 31
+
+
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling — the corpus
+    re-weighting step of a training-data pipeline (e.g. downsample
+    over-represented languages before tokenization). A doc is kept iff
+    pmod(doc_id · 2654435761, 2³²) / 2³² < rate(lang): a pure per-row
+    arithmetic predicate, so the selection is
+
+    - layout/partitioning/cluster-size INDEPENDENT (unlike
+      F.rand(seed) or df.sample, whose streams depend on the task
+      split — the same property argued for synth_ratings in als.py),
+    - reproducible forever given (doc_id, rates), which is what makes
+      a training mixture auditable,
+    - pushdown-friendly: the predicate filters at the scan, no
+      shuffle at all until the summary aggregate.
+
+    Returns per-lang kept/total counts + the realized rate (rounded;
+    deviation from the target rate is the hash's equidistribution
+    error, O(1/√n) — visible in the oracle twin identically since both
+    engines evaluate the same integer arithmetic)."""
+    docs = load(spark, sf_dir, "documents")
+    u = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_MOD31)) * F.lit(_KNUTH), F.lit(_MOD31)
+    ) / F.lit(float(_MOD31))
+    rate = F.lit(1.0)
+    for lang, r in MIXTURE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", (u < rate).cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.sum("kept").alias("n_kept"),
+            F.count("*").alias("n_total"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("realized_rate"),
+        )
+    )
+
+
 QUERIES = {
     "q_text_stats": q_text_stats,
     "q_curation": q_curation,
     "q_curation_neardup": q_curation_neardup,
+    "q_sample_mixture": q_sample_mixture,
     "q_token_topk": q_token_topk,
     "q_lang_id": q_lang_id,
     "q_text_quality": q_text_quality,
@@ -290,6 +342,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sample_mixture": """
+        SELECT lang,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 4) AS realized_rate
+        FROM (
+            SELECT lang,
+                   CASE WHEN CAST(((doc_id % 2147483648) * 2654435761)
+                                 % 2147483648 AS DOUBLE) / 2147483648.0
+                        < (CASE lang WHEN 'en' THEN 0.5
+                                     WHEN 'zh' THEN 0.8
+                                     ELSE 1.0 END)
+                        THEN 1 ELSE 0 END AS kept
+            FROM documents
+        )
+        GROUP BY lang
+    """,
     "q_curation": """
         WITH scored AS (
             SELECT doc_id, lang, n_chars, sha256(text) AS h,

@@ -19,9 +19,11 @@ from .tables import (
     load,
     load_all,
     read_json,
+    read_jsonl,
     read_ratings_csv,
     read_table,
     register_views,
+    write_jsonl,
     write_table,
 )
 
@@ -30,8 +32,10 @@ __all__ = [
     "load",
     "load_all",
     "read_json",
+    "read_jsonl",
     "read_ratings_csv",
     "read_table",
     "register_views",
+    "write_jsonl",
     "write_table",
 ]

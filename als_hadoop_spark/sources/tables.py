@@ -127,3 +127,36 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """JSONL export sink — the interchange format LLM training
+    pipelines hand to tokenizers. Spark's json writer emits one JSON
+    object per line per part file (i.e. JSONL), embarrassingly
+    parallel; nested structs/arrays (multimodal metadata, embeddings)
+    serialize naturally. Gzip by default: JSONL compresses ~10× and
+    every downstream loader reads .jsonl.gz. Partitioning (e.g. by
+    lang) gives the mixture-sampling stage file-level pruning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSONL source. Pass an explicit schema string to skip the
+    inference scan (mandatory at 100 TB — inference reads the data
+    twice) and to keep types stable when a batch happens to contain
+    only nulls in some field."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)

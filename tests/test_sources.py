@@ -35,3 +35,23 @@ def test_write_table_partitioned_roundtrip_and_overwrite(spark, sf_dir, tmp_path
 
     plan = explain_str(one_type)
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    """LLM-export sink: documents → partitioned gzip JSONL → read back
+    with explicit schema; content and per-partition pruning intact."""
+    from als_hadoop_spark.sources import read_jsonl, write_jsonl
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, partition_by=["lang"])
+    back = read_jsonl(spark, out, "doc_id BIGINT, text STRING")
+    assert back.count() == docs.count()
+    # partition column round-trips via directory layout
+    assert set(back.columns) >= {"doc_id", "text", "lang"}
+    a = {(r["doc_id"], r["text"]) for r in docs.collect()}
+    b = {(r["doc_id"], r["text"]) for r in back.select("doc_id", "text").collect()}
+    assert a == b
+    import glob
+
+    assert glob.glob(f"{out}/lang=*/*.gz"), "expected gzip jsonl part files"
