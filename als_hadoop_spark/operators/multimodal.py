@@ -129,9 +129,66 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: frame-sampling config: fixed-size pseudo-frames, every k-th kept
+FRAME_SIZE = 256
+FRAME_EVERY = 4
+FRAME_MAX = 8
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling + resize plumbing — the 1→N mapInPandas shape
+    (one input row yields MANY output rows) that a real video
+    frame-sampler uses, complementing q_multimodal_features' 1→1
+    decode shape. The payload is treated as a stream of FRAME_SIZE-byte
+    frames; every FRAME_EVERY-th frame is kept up to FRAME_MAX per
+    asset, and each kept frame also computes a "resized" checksum
+    (byte-stride-2 downsample — the stub stand-in for a pixel resize;
+    a real deployment swaps the two marked lines for an ffmpeg/PIL
+    call, the plan and schema stay identical).
+
+    Scale: pure partition-parallel expansion, no shuffle; output rows
+    ≤ FRAME_MAX × assets regardless of payload size, and frames are
+    sliced lazily per Arrow batch so peak memory is one batch of
+    payloads. Deterministic stub → rows-only; values pinned in
+    tests/test_multimodal.py."""
+    assets = _assets(spark, sf_dir).select(
+        "doc_id", F.col("meta.format").alias("fmt"), "content"
+    )
+    frame_size, every, cap = FRAME_SIZE, FRAME_EVERY, FRAME_MAX
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "fmt": [], "frame_idx": [], "n_bytes": [], "checksum": [], "resized_checksum": []}
+            for doc_id, fmt, payload in zip(pdf["doc_id"], pdf["fmt"], pdf["content"]):
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for k, idx in enumerate(range(0, n_frames, every)):
+                    if k >= cap:
+                        break
+                    frame = payload[idx * frame_size : (idx + 1) * frame_size]  # STUB: real decoder extracts pixels here
+                    resized = frame[::2]  # STUB: real resize downsamples pixels here
+                    out["doc_id"].append(doc_id)
+                    out["fmt"].append(fmt)
+                    out["frame_idx"].append(idx)
+                    out["n_bytes"].append(len(frame))
+                    out["checksum"].append(sum(frame) % 65_521)
+                    out["resized_checksum"].append(sum(resized) % 65_521)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        sample,
+        schema=(
+            "doc_id LONG, fmt STRING, frame_idx INT, n_bytes INT, "
+            "checksum INT, resized_checksum INT"
+        ),
+    )
+
+
 QUERIES = {
     "q_multimodal": q_multimodal,
     "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES = {
