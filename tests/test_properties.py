@@ -63,3 +63,42 @@ def test_as_of_join_matches_bruteforce(spark, lefts, rights):
         prior = [(rt, v) for (rk, rt, v) in ((a, b, float(a * 100 + b)) for a, b in rights) if rk == k and rt < t]
         want = max(prior) if prior else (None, None)
         assert out[i] == want, f"row {i} (k={k}, t={t}): {out[i]} != {want}"
+
+
+@settings(**SETTINGS)
+@given(
+    ids=st.lists(st.integers(0, 10**14), unique=True, min_size=1, max_size=30),
+)
+def test_mixture_sampling_is_layout_independent(spark, ids):
+    """The mixture-sampling predicate must select the IDENTICAL doc set
+    under any partition layout (its whole point vs F.rand/sample), and
+    must agree with a host-side recomputation of the same arithmetic —
+    including ids far beyond 2^31 (the overflow-guard range)."""
+    from als_hadoop_spark.operators.text import _KNUTH, _MOD31, MIXTURE_RATES
+
+    langs = ["en", "zh", "fr"]
+    rows = [(i, langs[k % 3], 1, "x") for k, i in enumerate(ids)]
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, n_chars LONG, text STRING"
+    )
+
+    from pyspark.sql import functions as F
+
+    def kept_set(df):
+        u = F.pmod(F.pmod(F.col("doc_id"), F.lit(_MOD31)) * F.lit(_KNUTH), F.lit(_MOD31)) / F.lit(
+            float(_MOD31)
+        )
+        rate = F.lit(1.0)
+        for lang, r in MIXTURE_RATES.items():
+            rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+        return {r["doc_id"] for r in df.filter(u < rate).select("doc_id").collect()}
+
+    got1 = kept_set(docs.repartition(1))
+    got7 = kept_set(docs.repartition(7, "lang"))
+    want = {
+        i
+        for k, i in enumerate(ids)
+        if ((i % _MOD31) * _KNUTH) % _MOD31 / _MOD31
+        < MIXTURE_RATES.get(langs[k % 3], 1.0)
+    }
+    assert got1 == got7 == want
