@@ -102,3 +102,54 @@ def test_mixture_sampling_is_layout_independent(spark, ids):
         < MIXTURE_RATES.get(langs[k % 3], 1.0)
     }
     assert got1 == got7 == want
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.floats(0, 10**6, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_grouped_rank_percentiles_match_numpy(spark, vals):
+    """The distributed rank-based exact percentile (grouped_ranks +
+    interpolation) equals numpy's linear interpolation for any value
+    multiset — including single-element groups (frac paths) and ties."""
+    import numpy as np
+
+    from als_hadoop_spark.functions.ids import grouped_ranks
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(vals, "g STRING, v DOUBLE").repartition(5)
+    ranked = grouped_ranks(df, ["g"], "v", num_partitions=3)
+    counts = df.groupBy("g").agg(F.count("*").alias("n"))
+    j = ranked.join(F.broadcast(counts), "g")
+    q = 0.9
+    pos = (F.col("n") - 1) * F.lit(q)
+    lo, frac = F.floor(pos) + 1, pos - F.floor(pos)
+    got = {
+        r["g"]: r["p"]
+        for r in (
+            j.filter((F.col("rank") == lo) | (F.col("rank") == lo + 1))
+            .groupBy("g")
+            .agg(
+                F.max(F.when(F.col("rank") == lo, F.col("v"))).alias("vlo"),
+                F.max(F.when(F.col("rank") == lo + 1, F.col("v"))).alias("vhi"),
+                F.first(frac).alias("f"),
+            )
+            .select(
+                "g",
+                F.when(F.col("f") == 0, F.col("vlo"))
+                .otherwise(F.col("vlo") + F.col("f") * (F.col("vhi") - F.col("vlo")))
+                .alias("p"),
+            )
+            .collect()
+        )
+    }
+    for g in {g for g, _ in vals}:
+        want = float(np.percentile([v for gg, v in vals if gg == g], 90))
+        assert abs(got[g] - want) < 1e-6, (g, got[g], want)
