@@ -330,6 +330,49 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= F.lit(NGRAM_JACCARD_T))
 
 
+#: minhash-candidate pairs at jaccard distance ≤ this form cluster
+#: edges for q_dedup_cluster (tighter than q_dedup_minhash's 0.8 report
+#: threshold: clustering merges transitively, so edges should be
+#: confident near-dups, not borderline ones).
+CLUSTER_DIST_T = 0.5
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: minhash candidate pairs → connected
+    components (alternating large-star/small-star,
+    ``functions/graph.py``) → one row per document with its cluster id
+    and keeper flag — the actual "collapse duplicates" output a
+    curation pipeline consumes, where pairwise q_dedup_minhash stops at
+    the pair list.
+
+    Near-dup similarity is not transitive; without the closure a chain
+    A≈B≈C survives as two "distinct" texts (A, C). Components merge
+    the chain; keeper = smallest doc_id per component (deterministic).
+
+    Scale: edges are the banded-minhash candidate pairs (linear in
+    corpus size), components converge in O(log² n) two-shuffle rounds,
+    and the final label join is an equi-join on doc_id. Banding is
+    approximate → rows-only; the planted-chain pytest gates the
+    transitive merge."""
+    from ..functions.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    cands = minhash_candidates(_doc_shingles(docs))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    edges = cands.select(
+        "id_a", "id_b", (F.lit(1.0) - inter / union).alias("dist")
+    ).filter(F.col("dist") <= CLUSTER_DIST_T)
+    labels = connected_components(edges, "id_a", "id_b")
+    return docs.select("doc_id").join(
+        labels, docs["doc_id"] == labels["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+        (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("is_keeper"),
+    )
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: exact pairwise cosine ≥ 0.3. This is
     the EXACT BASELINE, quadratic by definition — it exists to define
@@ -366,6 +409,7 @@ QUERIES = {
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram": q_dedup_ngram,
+    "q_dedup_cluster": q_dedup_cluster,
     "q_dedup_embed": q_dedup_embed,
 }
 

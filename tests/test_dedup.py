@@ -162,6 +162,68 @@ def test_udf_quantize_matches_builtin(spark, sf_dir):
     assert got == want
 
 
+def test_connected_components_star_and_path(spark):
+    """large-star/small-star closure on a 31-node path (multi-round
+    convergence), a triangle, and a 2-node component — every node must
+    label with its component minimum."""
+    from als_hadoop_spark.functions.graph import connected_components
+
+    path = [(i, i + 1) for i in range(100, 130)]        # one long chain
+    tri = [(1, 2), (2, 3), (3, 1)]                      # cycle
+    pair = [(50, 51)]
+    edges = spark.createDataFrame(path + tri + pair, "src LONG, dst LONG")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert {got[i] for i in range(100, 131)} == {100}
+    assert {got[i] for i in (1, 2, 3)} == {1}
+    assert got[50] == got[51] == 50
+    assert len(got) == 31 + 3 + 2
+
+
+def test_dedup_cluster_merges_transitive_chain(spark, tmp_path):
+    """A 13-doc chain where consecutive docs are near-identical
+    (jaccard ≈ 0.94) but the ENDPOINTS fall below the edge threshold
+    (jaccard < 0.5 — verified directly on the shingle sets, so no
+    direct edge is possible): only the transitive closure can merge
+    the chain into one cluster. An unrelated doc stays its own
+    cluster."""
+    from als_hadoop_spark.operators.dedup import (
+        CLUSTER_DIST_T,
+        SHINGLE_N,
+        q_dedup_cluster,
+    )
+
+    n_chain = 13
+    toks = [f"tok{i}" for i in range(100)]
+    docs, cur = [], list(toks)
+    for d in range(n_chain):
+        docs.append((d, " ".join(cur)))
+        cur = list(cur)
+        # one token per link, spaced > SHINGLE_N apart so each link
+        # destroys 3 DISTINCT shingles (consecutive positions would
+        # overlap and keep the endpoints too similar)
+        cur[10 + 5 * d] = f"chg{d}"
+    docs.append((99, " ".join(f"other{i}" for i in range(100))))
+
+    def shingle_set(text):
+        t = text.split(" ")
+        return {
+            " ".join(t[i : i + SHINGLE_N]) for i in range(len(t) - SHINGLE_N + 1)
+        }
+    s0, s_end = shingle_set(docs[0][1]), shingle_set(docs[n_chain - 1][1])
+    j_endpoints = len(s0 & s_end) / len(s0 | s_end)
+    assert 1.0 - j_endpoints > CLUSTER_DIST_T, "fixture: endpoints must not be a direct edge"
+
+    spark.createDataFrame(docs, "doc_id LONG, text STRING").withColumn(
+        "lang", F.lit("en")
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in q_dedup_cluster(
+        spark, str(tmp_path)
+    ).collect()}
+    assert {out[d][0] for d in range(n_chain)} == {0}, "chain must merge transitively"
+    assert out[0][1] is True and all(out[d][1] is False for d in range(1, n_chain))
+    assert out[99] == (99, True)
+
+
 def test_curation_neardup_collapses_planted_dups(spark, tmp_path):
     """q_curation_neardup end-to-end on a controlled corpus: an exact
     duplicate collapses in the sha256 stage, a planted near-dup (one

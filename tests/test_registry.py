@@ -21,6 +21,7 @@ ROWS_ONLY = {
     "q_multimodal_features",    # Python stub decoder — pinned in pytest
     "q_multimodal_frames",      # Python stub frame sampler — pinned in pytest
     "q_curation_neardup",       # minhash banding stage (gated in pytest)
+    "q_dedup_cluster",          # minhash banding edges (planted-chain pytest)
 }
 
 
