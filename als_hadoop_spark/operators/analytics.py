@@ -110,12 +110,98 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: histogram bucket width for events.value (range ~0-500 → ~20 buckets)
+HIST_WIDTH = 25.0
+
+#: z-score threshold for the outlier query
+OUTLIER_Z = 2.0
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value — the profiling primitive
+    behind every data-quality dashboard. bucket = floor(value/width):
+    a per-row expression fused into the scan, then ONE bounded-key hash
+    aggregate (≈ range/width buckets) with map-side partials — the
+    whole 100 TB histogram costs one tiny shuffle. Contrast
+    `width_bucket`-free engines that sort to bucket; nothing here
+    sorts."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long")
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(HIST_WIDTH)).alias("bucket_lo"),
+            "n", "min_value", "max_value", "sum_value",
+        )
+    )
+
+
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly detection: events whose value sits
+    more than OUTLIER_Z sample standard deviations above their
+    event_type's mean. Two-pass shape: one bounded-key stats aggregate
+    (avg + stddev_samp, map-side partials), broadcast back onto the
+    stream, filter per-row — no window, no sort, no second shuffle.
+    The per-key window formulation would sort every event within its
+    type; this never sorts.
+
+    Float note: avg/stddev differ between engines only in low-order
+    bits (~1e-12 relative); values carry 2 decimals so |z - threshold|
+    is ≥ ~1e-4 — the unrounded threshold compare is engine-stable, and
+    the emitted z rounds to 4."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.stddev_samp("value").alias("_sd")
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(z > OUTLIER_Z)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("z_score"),
+        )
+    )
+
+
 QUERIES = {
     "q_order_revenue_topn": q_order_revenue_topn,
     "q_nation_volume": q_nation_volume,
+    "q_histogram": q_histogram,
+    "q_outliers": q_outliers,
 }
 
 ORACLES = {
+    "q_histogram": """
+        SELECT bucket,
+               CAST(bucket * 25.0 AS DOUBLE) AS bucket_lo,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(value), 2) AS min_value,
+               ROUND(MAX(value), 2) AS max_value,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM (SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket, value
+              FROM events)
+        GROUP BY bucket
+    """,
+    "q_outliers": """
+        SELECT event_id, event_type, value,
+               ROUND((value - _mu) / _sd, 4) AS z_score
+        FROM events
+        JOIN (SELECT event_type, AVG(value) AS _mu,
+                     STDDEV_SAMP(value) AS _sd
+              FROM events GROUP BY event_type) USING (event_type)
+        WHERE (value - _mu) / _sd > 2.0
+    """,
     "q_order_revenue_topn": f"""
         SELECT o_orderkey, o_orderdate, o_orderpriority,
                ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

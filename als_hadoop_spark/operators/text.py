@@ -330,6 +330,93 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: top terms kept per document by TF-IDF
+TFIDF_TOP_K = 3
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K TF-IDF terms — the classic keyword-extraction
+    / relevance-weighting primitive (smooth idf = ln((1+N)/(1+df)) + 1,
+    sklearn's formulation; score = tf · idf).
+
+    Shape at scale: tf is one (doc_id, term) hash aggregate with
+    map-side partials; df is one more aggregate over the (already
+    distinct) tf pairs; N arrives via a broadcast one-row cross join
+    (never a driver-side .count()); the scored join shuffles on term
+    (vocabulary-sized, Zipf skew absorbed by AQE). The per-doc top-K
+    window partitions by doc_id — high-cardinality key, so every
+    window partition is ~distinct-terms-per-doc rows: safe at any
+    corpus size (contrast the low-cardinality windows q_percentiles
+    documents). Ordering ties break on the term string; ranks compare
+    the ROUNDED score so both engines rank identical values."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(_tokens()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = F.round(
+        F.col("tf")
+        * (F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)),
+        6,
+    )
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n))
+        .select("doc_id", "term", score.alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.select("doc_id", "term", "tfidf", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+    )
+
+
+#: blocklist lexicon for the scrub stage — stand-in for a PII/unsafe
+#: term list (the synthetic corpus has no real PII, so the lexicon is
+#: drawn from its vocabulary to exercise the path with live matches)
+SCRUB_LEXICON = ("value", "hash")
+
+#: digit-run pattern (phone/ID-number shaped) — second scrub stage;
+#: matches nothing in the synthetic corpus, which pins the zero-path
+SCRUB_PATTERN = r"[0-9]{3,}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage content scrubbing — the redaction step of a curation
+    pipeline: (1) lexicon blocklist over tokens (broadcast-sized term
+    list → a per-token CASE, no join), (2) digit-run regex for
+    phone/ID-shaped spans. Emits per-doc redaction counts and the
+    sha256 of the scrubbed text, so the oracle verifies the exact
+    scrubbed BYTES without hauling full text through the compare.
+
+    Purely per-row expressions (higher-order transform + regexp) —
+    fused into the scan stage, no shuffle, embarrassingly parallel at
+    any scale."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = _tokens()
+    masked = F.transform(
+        toks,
+        lambda t: F.when(t.isin(*SCRUB_LEXICON), F.lit("[REDACTED]")).otherwise(t),
+    )
+    scrubbed = F.regexp_replace(
+        F.concat_ws(" ", masked), SCRUB_PATTERN, "[NUM]"
+    )
+    n_lex = F.size(F.filter(toks, lambda t: t.isin(*SCRUB_LEXICON)))
+    n_pat = F.size(F.regexp_extract_all("text", F.lit(SCRUB_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_lex.alias("n_lexicon_hits"),
+        n_pat.alias("n_pattern_hits"),
+        F.sha2(scrubbed, 256).alias("scrubbed_hash"),
+    )
+
+
 QUERIES = {
     "q_text_stats": q_text_stats,
     "q_curation": q_curation,
@@ -339,9 +426,48 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_text_quality": q_text_quality,
     "q_doc_fingerprint": q_doc_fingerprint,
+    "q_tfidf": q_tfidf,
+    "q_pii_scrub": q_pii_scrub,
 }
 
 ORACLES = {
+    "q_tfidf": """
+        WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (
+            SELECT COUNT(*) AS n_docs FROM documents
+        )
+        SELECT doc_id, term, tfidf, rnk
+        FROM (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf,
+                   CAST(row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY ROUND(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6)
+                                DESC, tf.term
+                   ) AS INT) AS rnk
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ) WHERE rnk <= 3
+    """,
+    "q_pii_scrub": """
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN ('value', 'hash'))) AS n_lexicon_hits,
+               len(regexp_extract_all(text, '[0-9]{3,}')) AS n_pattern_hits,
+               sha256(regexp_replace(
+                   array_to_string(
+                       list_transform(string_split(text, ' '),
+                                      t -> CASE WHEN t IN ('value', 'hash')
+                                                THEN '[REDACTED]' ELSE t END),
+                       ' '),
+                   '[0-9]{3,}', '[NUM]', 'g')) AS scrubbed_hash
+        FROM documents
+    """,
     "q_sample_mixture": """
         SELECT lang,
                CAST(SUM(kept) AS BIGINT) AS n_kept,

@@ -133,9 +133,38 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert compaction: the LATEST event per user — the "current
+    state" view a changelog table needs (MERGE INTO / snapshot-compact
+    semantics). Tie-break on (ts, event_id) is total because event_id
+    is unique, so the result is deterministic.
+
+    Shape: ONE hash aggregate of max(struct(ts, event_id, payload...))
+    with map-side partial merge — each mapper keeps a single struct per
+    key, so the shuffle moves one row per (key × partition), NOT one
+    per event. The window-row_number formulation a SQL engine would
+    use (the oracle twin here) shuffles and SORTS every raw event per
+    key; at 10¹¹ events the struct-max aggregate is the only shape
+    that survives. Struct comparison is lexicographic by field order —
+    (ts, event_id) first, payload after — which is exactly the
+    ORDER BY ts DESC, event_id DESC of the oracle."""
+    ev = load(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_s")
+    )
+    return latest.select(
+        "user_id",
+        F.col("_s.ts").alias("ts"),
+        F.col("_s.event_id").alias("event_id"),
+        F.col("_s.event_type").alias("event_type"),
+        F.col("_s.value").alias("value"),
+    )
+
+
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_time_rollup": q_time_rollup,
+    "q_latest_by_key": q_latest_by_key,
 }
 
 ORACLES = {
@@ -153,6 +182,17 @@ ORACLES = {
         FROM rest r
         ASOF LEFT JOIN clicks c
           ON r.user_id = c.user_id AND r.ts > c.ts
+    """,
+    "q_latest_by_key": """
+        SELECT user_id, ts, event_id, event_type, value
+        FROM (
+            SELECT user_id, ts, event_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
     """,
     "q_time_rollup": """
         SELECT grain, bucket,

@@ -1,0 +1,99 @@
+"""Invariant + plan gates for the round-3 profiling/compaction surface
+(q_latest_by_key, q_histogram, q_outliers, q_tfidf, q_pii_scrub) —
+value-level correctness is gated by the DuckDB oracle harness; these
+tests pin semantics the oracle can't see (tie-breaks on synthetic
+input, plan shapes, the zero-match regex path)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from als_hadoop_spark.operators.analytics import q_histogram, q_outliers
+from als_hadoop_spark.operators.text import (
+    SCRUB_LEXICON,
+    TFIDF_TOP_K,
+    q_pii_scrub,
+    q_tfidf,
+)
+from als_hadoop_spark.operators.timeseries import q_latest_by_key
+from als_hadoop_spark.plans import assert_broadcast_join, count_shuffles, explain_str
+from als_hadoop_spark.sources import load
+
+
+def test_latest_by_key_tie_break(spark, tmp_path):
+    """Equal timestamps resolve to the larger event_id — the struct-max
+    aggregate must order (ts, event_id) exactly like the documented
+    ORDER BY ts DESC, event_id DESC."""
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "a", 1.0),
+        (2, "2024-01-01 10:00:00", 7, "b", 2.0),   # same ts, higher id wins
+        (3, "2024-01-01 09:00:00", 7, "c", 3.0),
+        (4, "2024-01-01 09:00:00", 8, "d", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in q_latest_by_key(spark, str(tmp_path)).collect()
+    }
+    assert got == {7: (2, "b"), 8: (4, "d")}
+
+
+def test_latest_by_key_is_one_agg_no_window(spark, sf_dir):
+    """The compaction must plan as a single partial+final hash
+    aggregate — exactly one shuffle, no Window sort anywhere."""
+    df = q_latest_by_key(spark, sf_dir)
+    assert count_shuffles(df) == 1
+    assert "Window" not in explain_str(df)
+
+
+def test_histogram_partitions_the_data(spark, sf_dir):
+    """Buckets tile the value range: counts sum to the table total and
+    every row's min/max sit inside [bucket_lo, bucket_lo + width)."""
+    rows = q_histogram(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == total
+    for r in rows:
+        assert r["bucket_lo"] <= r["min_value"] <= r["max_value"] < r["bucket_lo"] + 25.0
+
+
+def test_outliers_broadcast_and_threshold(spark, sf_dir):
+    df = q_outliers(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert df.filter(F.col("z_score") <= 2.0).count() == 0
+
+
+def test_tfidf_topk_shape(spark, sf_dir):
+    """Per-doc groups emit ≤ K rows with dense ranks 1..K and
+    non-increasing scores within each doc."""
+    rows = q_tfidf(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["tfidf"]))
+    assert per_doc
+    for doc, rs in per_doc.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TFIDF_TOP_K
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_pii_scrub_bytes_and_zero_pattern(spark, sf_dir):
+    """The scrubbed-text sha256 equals a Python re-scrub of the same
+    doc (the hash really is over the redacted bytes), and the digit-run
+    pattern matches nothing in the synthetic corpus (zero-path pin)."""
+    docs = {r["doc_id"]: r["text"] for r in load(spark, sf_dir, "documents").limit(50).collect()}
+    out = {r["doc_id"]: r for r in q_pii_scrub(spark, sf_dir).collect()}
+    assert all(r["n_pattern_hits"] == 0 for r in out.values())
+    assert any(r["n_lexicon_hits"] > 0 for r in out.values())
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        scrubbed = " ".join("[REDACTED]" if t in SCRUB_LEXICON else t for t in toks)
+        want = hashlib.sha256(scrubbed.encode()).hexdigest()
+        assert out[doc_id]["scrubbed_hash"] == want
+        assert out[doc_id]["n_lexicon_hits"] == sum(t in SCRUB_LEXICON for t in toks)
