@@ -98,10 +98,10 @@ def als_pipeline(
     max_iter: int = MAX_ITER,
     reg_param: float = REG_PARAM,
     seed: int = 42,
-) -> tuple[DataFrame, float, float]:
+) -> tuple[DataFrame, float, float, "object"]:
     """§3.1 end-to-end: split → fit → score → RMSE.
 
-    Returns (predictions, rmse, global_mean_rmse). The split mirrors
+    Returns (predictions, rmse, global_mean_rmse, fitted_model). The split mirrors
     split.py:5-19 (per-row Bernoulli 0.8/0.2, seed 1); cold-start rows
     are dropped exactly like the reference's join-miss drop at
     ALS/ALS.java:460-464.
@@ -151,7 +151,7 @@ def als_pipeline(
     )
     base_rmse = base_err.agg(F.sqrt(F.avg(F.pow("err", F.lit(2))))).collect()[0][0]
     train.unpersist()
-    return preds, float(rmse), float(base_rmse)
+    return preds, float(rmse), float(base_rmse), model
 
 
 #: one fitted pipeline per SparkContext — q_als_fit_predict and
@@ -160,10 +160,10 @@ def als_pipeline(
 #: applicationId string (unique per context, never recycled) — the r2
 #: id(jvm object) key could in principle be reused after GC and serve
 #: a dead session's DataFrames to a new one (VERDICT r2 #4).
-_PIPELINE_CACHE: dict[str, tuple[DataFrame, float, float]] = {}
+_PIPELINE_CACHE: dict[str, tuple[DataFrame, float, float, object]] = {}
 
 
-def _shared_pipeline(spark: SparkSession) -> tuple[DataFrame, float, float]:
+def _shared_pipeline(spark: SparkSession) -> tuple[DataFrame, float, float, object]:
     key = spark.sparkContext.applicationId
     if key not in _PIPELINE_CACHE:
         _PIPELINE_CACHE.clear()  # at most one live session's artifacts
@@ -176,7 +176,7 @@ def q_als_fit_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     Factors are seed/impl-dependent → no SQL oracle (rows-only);
     tests/test_als.py gates RMSE < 1.0 and beats-global-mean, the same
     criterion as the reference's own rmse.txt gate."""
-    preds, _, _ = _shared_pipeline(spark)
+    preds, _, _, _ = _shared_pipeline(spark)
     return preds.select(
         "user_id",
         "item_id",
@@ -190,14 +190,14 @@ def q_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-mean baseline). Rows-only: RMSE depends on MLlib's seeded
     factor init. Reuses q_als_fit_predict's fitted model — one .fit()
     per session."""
-    _, rmse, base = _shared_pipeline(spark)
+    _, rmse, base, _ = _shared_pipeline(spark)
     return spark.createDataFrame(
         [(round(rmse, 4), round(base, 4), round(base - rmse, 4))],
         "rmse DOUBLE, global_mean_rmse DOUBLE, improvement DOUBLE",
     )
 
 
-def reference_pipeline(spark: SparkSession, csv_path: str) -> tuple[DataFrame, float, float]:
+def reference_pipeline(spark: SparkSession, csv_path: str) -> tuple[DataFrame, float, float, "object"]:
     """The reference's FULL §3.1 workflow, end to end, from raw CSV:
 
         csv scan (A1) → dense-id encode user+item (A7, mapid.py) →
@@ -206,7 +206,7 @@ def reference_pipeline(spark: SparkSession, csv_path: str) -> tuple[DataFrame, f
 
     — the 23 MapReduce job launches of ``ALS-Hadoop/ALS/ALS.java:
     217-331`` as one lazy driver program. Returns (predictions, rmse,
-    global_mean_rmse). Note modern ml.ALS accepts arbitrary int ids, so
+    global_mean_rmse, fitted_model). Note modern ml.ALS accepts arbitrary int ids, so
     the dense encoding is not strictly required (SURVEY §1.2) — it is
     applied anyway for workflow parity and because compact ids shrink
     MLlib's internal block structures."""
@@ -228,8 +228,39 @@ def reference_pipeline(spark: SparkSession, csv_path: str) -> tuple[DataFrame, f
     return als_pipeline(encoded)
 
 
+#: recommendations emitted per user
+RECOMMEND_K = 5
+
+
+def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K item recommendations per user — the product query the
+    reference's whole pipeline exists to serve (its code stops at the
+    RMSE gate, ``ALS-Hadoop/ALS/ALS.java:411-419``; the factors' only
+    consumer would be exactly this ranking).
+
+    ``recommendForAllUsers`` runs as MLlib's blocked factor-matrix
+    product with per-block top-K heaps — O(users·items) dot products
+    but only K survivors per user cross the shuffle, the same
+    bounded-output pattern as TakeOrderedAndProject. Reuses the
+    session's single fitted model (_shared_pipeline). Factor values
+    are seed/impl-dependent → rows-only; pytest gates shape, score
+    monotonicity, and id validity."""
+    _, _, _, model = _shared_pipeline(spark)
+    recs = model.recommendForAllUsers(RECOMMEND_K)
+    return recs.select(
+        "user_id",
+        F.posexplode("recommendations").alias("rec_rank", "rec"),
+    ).select(
+        "user_id",
+        (F.col("rec_rank") + 1).alias("rec_rank"),
+        F.col("rec.item_id").alias("item_id"),
+        F.round(F.col("rec.rating").cast("double"), 4).alias("score"),
+    )
+
+
 QUERIES = {
     "q_als_fit_predict": q_als_fit_predict,
     "q_als_rmse": q_als_rmse,
+    "q_als_recommend": q_als_recommend,
 }
 ORACLES: dict[str, str] = {}

@@ -458,6 +458,56 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: correlated scalar subquery (TPC-H Q17 shape) —
+    lineitems of one brand whose quantity falls below 20% of that
+    part's average quantity. Expressed through the SQL surface on
+    purpose: Catalyst DECORRELATES the per-row subquery into one
+    aggregate + join (RewriteCorrelatedScalarSubquery), so the plan is
+    two scans + an aggregate + an equi-join — never a per-row
+    re-execution. A naive engine runs the inner query once per outer
+    row (10¹¹ aggregate scans at scale); the decorrelated plan costs
+    the same as writing the join by hand, which is exactly what "let
+    the optimizer do it" buys (SURVEY.md §4)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#2'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+#: quantile probed by the approx-percentile sketch query
+APPROX_PCTL_Q = 0.9
+#: relative accuracy knob for percentile_approx (10000 ≈ 0.01% rank error)
+APPROX_PCTL_ACC = 10000
+
+
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles: per-group p90 via percentile_approx
+    (Greenwald-Khanna quantile summary) — the ONE-PASS MERGEABLE
+    companion to the exact rank-based q_percentiles. The GK summary is
+    O(1/ε) memory per group regardless of row count and merges
+    associatively map-side, so at 100 TB this runs as a plain hash
+    aggregate while the exact form pays a range repartition. Sketch
+    contents are engine-specific → rows-only; pytest gates the result
+    against the exact interpolated percentile within rank tolerance."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx(
+            "o_totalprice", F.lit(APPROX_PCTL_Q), F.lit(APPROX_PCTL_ACC)
+        ).alias("p90_approx"),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dictionary encoding / split / metric
 # ---------------------------------------------------------------------------
@@ -556,9 +606,20 @@ QUERIES = {
     "q_transpose_regroup": q_transpose_regroup,
     "q_random_split": q_random_split,
     "q_rmse": q_rmse,
+    "q_correlated_subquery": q_correlated_subquery,
+    "q_approx_percentile": q_approx_percentile,
 }
 
 ORACLES = {
+    "q_correlated_subquery": """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#2'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+    """,
     "q_scan_project": """
         SELECT l_orderkey, l_linenumber,
                CAST(l_quantity AS DOUBLE) AS qty,

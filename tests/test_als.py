@@ -21,7 +21,7 @@ def test_als_beats_global_mean(spark):
     """The reference's quality gate: held-out RMSE below threshold and
     better than the trivial predictor (BASELINE.md operational gate)."""
     ratings = synth_ratings(spark)
-    preds, rmse, base_rmse = als_pipeline(ratings, max_iter=10)
+    preds, rmse, base_rmse, _ = als_pipeline(ratings, max_iter=10)
     assert preds.count() > 0
     assert rmse < 1.0, f"rmse={rmse}"
     assert rmse < base_rmse, f"rmse={rmse} vs global-mean={base_rmse}"
@@ -43,7 +43,7 @@ def test_reference_pipeline_from_csv(spark, tmp_path):
     )
     path = str(tmp_path / "ratings.csv")
     csv.write.mode("overwrite").option("header", "false").csv(path)
-    preds, rmse, base_rmse = reference_pipeline(spark, path)
+    preds, rmse, base_rmse, _ = reference_pipeline(spark, path)
     assert preds.count() > 0
     assert rmse < base_rmse, f"rmse={rmse} vs global-mean={base_rmse}"
     # dense re-encoding: ids are 0..n-1
@@ -51,9 +51,27 @@ def test_reference_pipeline_from_csv(spark, tmp_path):
     assert mx["mu"] < 150 and mx["mi"] < 80
 
 
+def test_als_recommend_topk_shape(spark):
+    """q_als_recommend: exactly K recs per user, scores non-increasing
+    with rank, item ids drawn from the training item space."""
+    from als_hadoop_spark.operators.als import RECOMMEND_K, q_als_recommend
+
+    rows = q_als_recommend(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append((r["rec_rank"], r["score"], r["item_id"]))
+    for u, rs in per_user.items():
+        rs.sort()
+        assert [rk for rk, _, _ in rs] == list(range(1, RECOMMEND_K + 1)), u
+        scores = [s for _, s, _ in rs]
+        assert scores == sorted(scores, reverse=True), u
+        assert all(i >= 0 for _, _, i in rs)
+
+
 def test_cold_start_rows_dropped(spark):
     """ALS/ALS.java:460-464 semantics: probe rows whose user/item is
     unseen in training are dropped, not NaN-predicted."""
     ratings = synth_ratings(spark, n_users=100, n_items=50, n_ratings=1500)
-    preds, _, _ = als_pipeline(ratings, max_iter=2)
+    preds, _, _, _ = als_pipeline(ratings, max_iter=2)
     assert preds.filter("prediction != prediction").count() == 0  # no NaN

@@ -83,6 +83,43 @@ def test_tfidf_topk_shape(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
+    """The GK sketch's p90 must land within the exact p89..p91 value
+    band per group — the sketch's documented rank-error contract, at
+    far tighter accuracy than the 1/ACC bound requires."""
+    from als_hadoop_spark.operators.relational import q_approx_percentile
+
+    got = {
+        r["o_orderstatus"]: r["p90_approx"]
+        for r in q_approx_percentile(spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders")
+    band = {
+        r["o_orderstatus"]: (r["lo"], r["hi"])
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.89)").alias("lo"),
+            F.expr("percentile(o_totalprice, 0.91)").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(band)
+    for k, v in got.items():
+        lo, hi = band[k]
+        assert lo <= v <= hi, (k, v, lo, hi)
+
+
+def test_correlated_subquery_decorrelates(spark, sf_dir):
+    """Catalyst must rewrite the scalar subquery into an aggregate +
+    join — the physical plan may not contain a per-row subquery node."""
+    from als_hadoop_spark.operators.relational import q_correlated_subquery
+    from als_hadoop_spark.plans import explain_str
+
+    plan = explain_str(q_correlated_subquery(spark, sf_dir))
+    assert "Subquery" not in plan, "subquery survived into the physical plan"
+    assert "HashAggregate" in plan
+
+
 def test_pii_scrub_bytes_and_zero_pattern(spark, sf_dir):
     """The scrubbed-text sha256 equals a Python re-scrub of the same
     doc (the hash really is over the redacted bytes), and the digit-run

@@ -14,6 +14,7 @@ ROWS_ONLY = {
     "q_random_split",           # engine-specific RNG stream
     "q_als_fit_predict",        # factor bits are impl/seed-dependent
     "q_als_rmse",               # depends on the fit above
+    "q_als_recommend",          # factor-derived scores (gated in pytest)
     "q_dedup_minhash",          # banding recall < 1 (gated in pytest)
     "q_dedup_simhash",          # xxhash64 bits are impl-specific
     "q_sim_search_lsh",         # ANN recall < 1 (gated in pytest)
@@ -22,6 +23,7 @@ ROWS_ONLY = {
     "q_multimodal_frames",      # Python stub frame sampler — pinned in pytest
     "q_curation_neardup",       # minhash banding stage (gated in pytest)
     "q_dedup_cluster",          # minhash banding edges (planted-chain pytest)
+    "q_approx_percentile",      # GK sketch — engine-specific (gated in pytest)
 }
 
 
