@@ -392,56 +392,26 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's ``percentile()`` aggregate buffers every group value in the
     aggregation buffer — with 3 order-status groups over 10¹¹ rows
     that is 3 executor-OOM buffers. A low-cardinality window sort has
-    the same problem (one task per group). Instead:
-
-    1. rank every row within its group via ``grouped_ranks`` (range
-       repartition over (group, value) + local enumeration + bounded
-       offset join — every task O(rows/partitions)),
-    2. per-group counts broadcast back; each quantile q needs only the
-       rows ranked ⌊(n-1)q⌋+1 and +2 — a constant number of rows per
-       group survive the filter,
-    3. one tiny aggregate interpolates v_lo + frac·(v_hi − v_lo),
-       reproducing percentile()/quantile_cont bit-for-bit (same
-       formula, double precision).
+    the same problem (one task per group). ``grouped_quantiles``
+    (functions/quantiles.py) instead range-repartitions once WITHOUT
+    sorting, locates each quantile's two bracketing global ranks from
+    per-chunk counts, locally sorts ONLY the chunks containing a
+    target rank, and interpolates — reproducing
+    percentile()/quantile_cont bit-for-bit at a cost of one shuffle
+    plus a sort of ~(quantiles × groups × 2) chunks.
     """
-    from ..functions.ids import grouped_ranks
+    from ..functions.quantiles import grouped_quantiles
 
     o = load(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
-    ranked = grouped_ranks(o, ["o_orderstatus"], "o_totalprice")
-    counts = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
-    j = ranked.join(F.broadcast(counts), "o_orderstatus")
-    # per-q lo-rank / fraction columns (constant within a group)
-    keep = F.lit(False)
-    cols = {}
-    for name, q in PCTL_QS:
-        pos = (F.col("n") - 1) * F.lit(q)
-        lo = F.floor(pos) + 1
-        frac = pos - F.floor(pos)
-        cols[name] = (lo, frac)
-        keep = keep | (F.col("rank") == lo) | (F.col("rank") == lo + 1)
-    j = j.filter(keep)
-    aggs = [F.first("n").alias("n")]
-    sel = [F.col("o_orderstatus"), F.col("n")]
-    for name, (lo, frac) in cols.items():
-        v_lo = F.max(F.when(F.col("rank") == lo, F.col("o_totalprice")))
-        v_hi = F.max(F.when(F.col("rank") == lo + 1, F.col("o_totalprice")))
-        aggs.append(v_lo.alias(f"_lo_{name}"))
-        aggs.append(v_hi.alias(f"_hi_{name}"))
-        aggs.append(F.first(frac).alias(f"_f_{name}"))
-        sel.append(
-            F.round(
-                F.when(
-                    F.col(f"_f_{name}") == 0, F.col(f"_lo_{name}")
-                ).otherwise(
-                    F.col(f"_lo_{name}")
-                    + F.col(f"_f_{name}")
-                    * (F.col(f"_hi_{name}") - F.col(f"_lo_{name}"))
-                ),
-                4,
-            ).alias(name)
-        )
-    out = j.groupBy("o_orderstatus").agg(*aggs).select(*sel)
-    return out.select("o_orderstatus", "p50", "p90", "p99", "n")
+    gq = grouped_quantiles(o, ["o_orderstatus"], "o_totalprice", PCTL_QS)
+    wide = gq.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.max(F.when(F.col("q_name") == name, F.col("value"))), 4).alias(name)
+            for name, _ in PCTL_QS
+        ],
+        F.first("n").alias("n"),
+    )
+    return wide.select("o_orderstatus", "p50", "p90", "p99", "n")
 
 
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

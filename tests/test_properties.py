@@ -115,6 +115,38 @@ def test_mixture_sampling_is_layout_independent(spark, ids):
         max_size=40,
     )
 )
+def test_grouped_quantiles_match_numpy(spark, vals):
+    """grouped_quantiles (the no-full-sort chunk-locate algorithm)
+    equals numpy linear interpolation for every quantile level on any
+    value multiset — single-element groups, ties, integral positions."""
+    import numpy as np
+
+    from als_hadoop_spark.functions.quantiles import grouped_quantiles
+
+    qs = (("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p100", 1.0))
+    df = spark.createDataFrame(vals, "g STRING, v DOUBLE").repartition(5)
+    out = grouped_quantiles(df, ["g"], "v", qs, num_partitions=3).collect()
+    got = {(r["g"], r["q_name"]): (r["value"], r["n"]) for r in out}
+    for g in {g for g, _ in vals}:
+        data = [v for gg, v in vals if gg == g]
+        for name, q in qs:
+            want = float(np.percentile(data, q * 100))
+            val, n = got[(g, name)]
+            assert n == len(data)
+            assert abs(val - want) < 1e-6, (g, name, val, want)
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.floats(0, 10**6, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
 def test_grouped_rank_percentiles_match_numpy(spark, vals):
     """The distributed rank-based exact percentile (grouped_ranks +
     interpolation) equals numpy's linear interpolation for any value
