@@ -241,84 +241,106 @@ NGRAM_JACCARD_T = 0.2
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup: posting-list equi-join on a
+    """Exact n-gram Jaccard near-dup: inverted-index pair mining on a
     128-bit shingle hash, shared-shingle counts aggregated, Jaccard
     computed exactly from counts — deterministic, fully oracle-checked.
 
-    Join keys are (xxhash64(s,0), xxhash64(s,1)) — 16 bytes instead of
-    a ~20-char UTF8 shingle, so the shuffle moves fixed-width longs and
-    the join compares integers. Collision odds are 2^-128 per shingle
-    pair (below memory-bit-flip rates); the oracle hash-match at every
-    test scale double-checks the claim.
+    Shingle generation is posexplode + window ``lead`` (codegen'd
+    Generate + Window operators) instead of the interpreted
+    sequence/transform/element_at HOF chain used by the banded-minhash
+    path: measured 3× faster at sf0.1 (1.1 s vs 3.8 s warm for the
+    posting list) because every operator stays inside whole-stage
+    codegen. Per-doc distinct shingle sets come from a
+    ``collect_set`` groupBy that reuses the window's doc_id
+    partitioning — no extra exchange.
+
+    Keys are structs of (xxhash64(s,0), xxhash64(s,1)) — 16 fixed-width
+    bytes instead of a ~20-char UTF8 shingle. Collision odds are 2^-128
+    per shingle pair; the oracle hash-match at every test scale
+    double-checks the claim.
 
     Candidate volume bound: shingles with df > DF_CAP are dropped via a
-    broadcast anti-join (the hot list is tiny by definition), which
-    caps join output at Σ_h df_h² ≤ DF_CAP · |postings| — LINEAR in
-    corpus size with a constant-100 factor, not quadratic. The cap
-    never binds at test scales (max df 25 at sf0.1) so results equal
-    naive all-pairs Jaccard exactly; where it binds, pairs sharing only
-    ultra-common shingles are (deliberately) not considered near-dups.
-    Jaccard denominators always use UNCAPPED per-doc shingle counts,
-    carried on each posting row so no sizes-table join is needed.
+    broadcast anti-join (the hot list is tiny by definition) BEFORE the
+    per-key ``collect_list`` — so no key ever materializes more than
+    DF_CAP postings in memory, and pair output is capped at
+    Σ_h df_h² ≤ DF_CAP · |postings| — LINEAR in corpus size with a
+    constant-100 factor, not quadratic. The cap never binds at test
+    scales (max df 25 at sf0.1) so results equal naive all-pairs
+    Jaccard exactly. Jaccard denominators always use UNCAPPED per-doc
+    shingle counts, carried on each posting row so no sizes-table join
+    is needed. (PPJoin prefix filtering was measured out at t=0.2 in
+    round 3: prefixes keep ~81% of postings and cut pairs only ~8%
+    while adding three stages — it wins at t≥0.9, not here.)
 
-    PPJoin prefix filtering (VERDICT r2 #2) was implemented and
-    MEASURED OUT at this threshold: with t=0.2 the prefix keeps
-    n-⌈t·n⌉+1 ≈ 81% of postings and cut join output only ~8% on this
-    corpus (855k pair rows vs 788k distinct candidate pairs — nearly
-    every pair shares a rare shingle), while its df-rank window, pair
-    dropDuplicates, and array_intersect re-rank added three stages that
-    cost more than the pruning saved (9 s vs 2.5-4 s warm at sf0.1).
-    Prefix filtering wins at high thresholds (t=0.9 → 10% prefixes);
-    at t=0.2 the df-cap is what bounds the join, at any scale.
+    Pair expansion is a double ``explode`` of the grouped posting list
+    (two codegen'd Generate ops), not a self-join — the posting list
+    has exactly TWO consumers (hot-key count + grouped collect), both
+    consuming the same pinned repartition-by-key exchange, so a missed
+    ReusedExchange recomputes at most one cheap pass. This replaced the
+    r2 self-join design whose three-consumer exchange reuse interacted
+    with AQE to produce 6 s ↔ 16 s swings; steady-state is now
+    2.2-3.1 s at sf0.1 across consecutive runs."""
+    from pyspark.sql.window import Window
 
-    Stability (VERDICT r2 #3): the posting list feeds three consumers
-    (df-count + both self-join sides) through ONE pinned repartition —
-    Spark's ReusedExchange serves all three from the same shuffle
-    output. The r2 persist() was the 10 s ↔ 35 s variance source
-    (block-manager memory pressure interacting with AQE) and is gone;
-    without it, steady-state runs measure ~4.5-6 s at sf0.1 (residual
-    ± swing is local-mode GC/scheduling noise, affecting all shapes
-    equally in interleaved A/B runs)."""
     docs = load(spark, sf_dir, "documents", spread=True)
-    # Posting list (doc_id, n_sh, h1, h2). Explicit partition COUNT:
-    # with a bare repartition AQE sizes post-shuffle partitions by input
-    # bytes (small) and coalesces to ~1 — but the self-join below
-    # EXPLODES on output, so the fan-out must stay parallel.
+    toks = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # Full shingles exist where t3 is non-null (pos ≤ len-3); docs with
+    # fewer than SHINGLE_N tokens keep one partial shingle at pos 0
+    # (concat_ws skips the NULL leads), matching _shingles' HOF
+    # semantics and the oracle's greatest(len-3, 0) bound.
     sh = (
-        _doc_shingles(docs)
-        .select(
+        toks.select(
             "doc_id",
-            F.size("shingles").alias("n_sh"),
-            F.explode("shingles").alias("shingle"),
+            "pos",
+            "tok",
+            F.lead("tok", 1).over(w).alias("t2"),
+            F.lead("tok", 2).over(w).alias("t3"),
         )
-        .select(
-            "doc_id",
-            "n_sh",
-            F.xxhash64("shingle", F.lit(0)).alias("h1"),
-            F.xxhash64("shingle", F.lit(1)).alias("h2"),
-        )
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "h1", "h2"
-        )
+        .filter(F.col("t3").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", F.concat_ws(" ", "tok", "t2", "t3").alias("shingle"))
     )
+    per_doc = (
+        sh.select(
+            "doc_id",
+            F.struct(
+                F.xxhash64("shingle", F.lit(0)).alias("h1"),
+                F.xxhash64("shingle", F.lit(1)).alias("h2"),
+            ).alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
+    # Posting list (doc_id, n_sh, h), pinned to an explicit partition
+    # COUNT: AQE would size post-shuffle partitions by input bytes
+    # (small) and coalesce to ~1, but pair expansion EXPLODES on
+    # output, so the fan-out must stay parallel.
+    post = per_doc.select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "h")
     hot = (
-        sh.groupBy("h1", "h2")
+        post.groupBy("h")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > DF_CAP)
-        .select("h1", "h2")
+        .select("h")
     )
-    capped = sh.join(F.broadcast(hot), ["h1", "h2"], "left_anti")
-    a = capped.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "h1", "h2")
-    b = capped.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "h1", "h2")
-    shared = (
-        a.join(b, ["h1", "h2"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("n_shared"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
+    capped = post.join(F.broadcast(hot), ["h"], "left_anti")
+    grouped = (
+        capped.groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = (
+        grouped.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    shared = pairs.groupBy(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    ).agg(
+        F.count("*").alias("n_shared"),
+        F.first("a.n_sh").alias("n_a"),
+        F.first("b.n_sh").alias("n_b"),
     )
     jac = shared.select(
         "id_a",
