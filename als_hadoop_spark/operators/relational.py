@@ -184,6 +184,34 @@ def q_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join via ``functions.scale.salted_join``.
+    ``events.event_type`` has 5 values over the whole table — the
+    maximally skewed join key: a plain shuffle join on it lands each
+    key's entire row set on ONE reducer, so 5 tasks do all the work no
+    matter how many executors exist. Salting rewrites the key to
+    (key, hash(row) % 16), spreading every hot key across 16 reducers;
+    the small side is replicated 16× (cheap — it is per-key aggregates).
+    Result set is IDENTICAL to the unsalted join, so this carries a
+    full oracle: events joined to per-type averages, keeping rows above
+    their type mean. Use when the skew is too coarse for AQE's
+    size-based split (e.g. compute-heavy rows) or the small side is too
+    big to broadcast."""
+    from als_hadoop_spark.functions.scale import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("avg_v"))
+    joined = salted_join(ev, dim, on="event_type", n_salts=16)
+    return (
+        joined.filter(F.col("value") > F.col("avg_v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.sum("value"), 2).alias("sum_above"),
+        )
+    )
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-B gap: semi/anti join (EXISTS / NOT EXISTS). The reference's
     only filter is its join-miss drop (ALS-Hadoop/ALS/ALS.java:460-464)
@@ -560,6 +588,7 @@ QUERIES = {
     "q_rollup_cube": q_rollup_cube,
     "q_broadcast_join": q_broadcast_join,
     "q_shuffle_join": q_shuffle_join,
+    "q_salted_join": q_salted_join,
     "q_semi_anti_join": q_semi_anti_join,
     "q_range_join": q_range_join,
     "q_window_rank": q_window_rank,
@@ -657,6 +686,18 @@ ORACLES = {
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
+    """,
+    "q_salted_join": """
+        WITH dim AS (
+            SELECT event_type, AVG(value) AS avg_v
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n_above,
+               ROUND(SUM(e.value), 2) AS sum_above
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        WHERE e.value > d.avg_v
+        GROUP BY e.event_type
     """,
     "q_semi_anti_join": """
         SELECT c_custkey, c_name, 'with_orders' AS grp

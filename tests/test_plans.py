@@ -131,3 +131,14 @@ def test_q5_volume_plan_shape(spark, sf_dir):
     assert_no_quadratic_join(df)
     n = count_shuffles(df)
     assert n <= 3, f"q5 plans {n} shuffles"
+
+
+def test_salted_join_key_carries_salt(spark, sf_dir):
+    """The skew-mitigation query must actually join on (key, _salt) —
+    if a refactor drops the salt from the join condition the query
+    still returns correct rows (it degenerates to the plain join), so
+    only the plan can prove the skew split is live."""
+    df = relational.q_salted_join(spark, sf_dir)
+    plan = explain_str(df)
+    assert "_salt" in plan, "salt column missing from physical plan"
+    assert_no_quadratic_join(df)
