@@ -42,18 +42,30 @@ def load(
         # SparkSession, e.g. the driver's vanilla one.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # Floor division via (ts - pmod(ts, 1000)) div 1000: `div`
-        # alone truncates toward zero, which differs from floor for
-        # PRE-epoch (negative) nanos — this form matches DuckDB's
-        # ns→µs floor on the whole timestamp range, not just the
-        # post-epoch data the fixtures happen to contain.
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Floor division via (ts - pmod(ts, 1000)) div 1000: `div`
+            # alone truncates toward zero, which differs from floor for
+            # PRE-epoch (negative) nanos — this form matches DuckDB's
+            # ns→µs floor on the whole timestamp range, not just the
+            # post-epoch data the fixtures happen to contain.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+            )
+        elif ts_type == "timestamp_ntz":
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives
+            # as TIMESTAMP_NTZ, which instant-based functions
+            # (unix_micros, window, watermarks) reject. Pin the naive
+            # wall time to UTC — explicitly, NOT via a bare
+            # cast('timestamp') which would re-interpret the value in
+            # the session timezone and make results cluster-dependent.
+            # Matches DuckDB, whose TIMESTAMP comparisons treat the
+            # same naive value as-is.
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     if spread:
         # The driver's testdata files hold a SINGLE parquet row group,
         # so a scan stage runs as one task no matter the split config —
