@@ -17,6 +17,7 @@ from . import (
     analytics,
     dedup,
     multimodal,
+    ngrams,
     relational,
     similarity,
     text,
@@ -31,6 +32,7 @@ _MODULES = (
     dedup,
     similarity,
     text,
+    ngrams,
     multimodal,
     timeseries,
     udfs,
