@@ -60,6 +60,24 @@ def test_scale_paths_have_no_quadratic_join(spark, sf_dir, build):
     assert_no_quadratic_join(build(spark, sf_dir))
 
 
+def test_contamination_broadcasts_probe_grams(spark, sf_dir):
+    """The contamination audit must stream the corpus side through a
+    broadcast hash join on the probe's 8-gram hashes (the probe set is
+    benchmark-sized by definition) — never shuffle corpus n-grams to
+    meet the probe, and never degrade to a nested loop."""
+    from als_hadoop_spark.operators import ngrams
+
+    df = ngrams.q_contamination(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_quadratic_join(df)
+
+
+def test_ngram_lm_topk_is_heap(spark, sf_dir):
+    from als_hadoop_spark.operators import ngrams
+
+    assert_take_ordered(ngrams.q_ngram_lm(spark, sf_dir))
+
+
 def test_banded_candidates_have_no_quadratic_join(spark, sf_dir):
     from als_hadoop_spark.sources import load
 
