@@ -192,10 +192,115 @@ def doc_repetition(docs: DataFrame) -> DataFrame:
     )
 
 
+#: PMI: drop bigrams rarer than this (standard noise floor — PMI is
+#: unstable at tiny counts)
+PMI_MIN_COUNT = 5
+#: top-k bigrams reported by q_pmi_bigrams
+PMI_TOP_K = 20
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution (nats)
+    plus the entropy normalized by ln(distinct tokens) — a standard
+    lexical-diversity / quality signal (low entropy ≈ repetitive or
+    template text; the information-theoretic sibling of
+    q_doc_repetition's count-based flags).
+
+    Scale shape: one (doc_id, token) hash aggregate with map-side
+    partials, one (doc_id) re-aggregate — both keyed on maximal-
+    cardinality doc_id, no windows, no broadcast, embarrassingly
+    parallel at any corpus size. Uses the algebraic form
+    H = ln(n) − (Σ c·ln c)/n (expanding −Σ (c/n)·ln(c/n)), so the
+    per-doc total never needs a separate pass or window."""
+    return token_entropy(load(spark, sf_dir, "documents", spread=True))
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Core of q_token_entropy over any (doc_id, lang, text) frame."""
+    cnt = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    entropy = F.log(n) - F.sum(F.col("c") * F.log("c")) / n
+    return (
+        cnt.groupBy("doc_id", "lang")
+        .agg(
+            n.alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.round(entropy, 6).alias("entropy"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_distinct",
+            "entropy",
+            F.when(
+                F.col("n_distinct") > 1,
+                F.round(F.col("entropy") / F.log(F.col("n_distinct")), 6),
+            ).alias("norm_entropy"),
+        )
+    )
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level pointwise mutual information of adjacent token
+    pairs: pmi(a,b) = ln( (c_ab / N_bg) / ((c_a/N_uni)·(c_b/N_uni)) ),
+    bigrams with count < 5 dropped (PMI is noise at tiny counts),
+    top-20 by PMI with deterministic (pmi, a, b) ordering — the
+    collocation-mining primitive behind phrase detection and
+    tokenizer-merge audits (word2vec-era public methodology).
+
+    Scale shape: unigram and bigram counts are word-count aggregates
+    (map-side partials, shuffles bounded by vocabulary, not corpus);
+    the two count joins key on single tokens — vocabulary-sized build
+    sides that Catalyst broadcasts below threshold and AQE handles
+    above; totals arrive via broadcast one-row cross joins; top-20 is
+    TakeOrderedAndProject. Everything integer-count based + one ln →
+    bit-deterministic across engines."""
+    return pmi_bigrams(load(spark, sf_dir, "documents", spread=True))
+
+
+def pmi_bigrams(docs: DataFrame) -> DataFrame:
+    """Core of q_pmi_bigrams over any (doc_id, text) frame."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = toks.select(
+        F.col("tok").alias("tok_a"), F.lead("tok", 1).over(w).alias("tok_b")
+    ).filter(F.col("tok_b").isNotNull())
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    n_uni = toks.agg(F.count("*").alias("n_uni"))
+    bg = pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_pair"))
+    n_bg = pairs.agg(F.count("*").alias("n_bg"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") / F.col("n_bg"))
+            / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+        ),
+        6,
+    )
+    return (
+        bg.filter(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("tok").alias("tok_a"), F.col("c_tok").alias("c_a")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("c_tok").alias("c_b")), "tok_b")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bg))
+        .select("tok_a", "tok_b", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(PMI_TOP_K)
+    )
+
+
 QUERIES = {
     "q_ngram_lm": q_ngram_lm,
     "q_contamination": q_contamination,
     "q_doc_repetition": q_doc_repetition,
+    "q_token_entropy": q_token_entropy,
+    "q_pmi_bigrams": q_pmi_bigrams,
 }
 
 #: shared DuckDB n-gram generator (full n-token windows only) — DuckDB
@@ -284,4 +389,59 @@ ORACLES = {
                 OR distinct_ratio < {REP_DISTINCT_T}) AS flagged
         FROM per_doc p JOIN ratios r ON p.doc_id = r.doc_id
     """,
+    # entropy mirrors the engine's algebraic form ln(n) − Σ c·ln(c)/n
+    # term for term so both engines round the same double.
+    "q_token_entropy": """
+        WITH cnt AS (
+            SELECT doc_id, lang, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY doc_id, lang, tok
+        ),
+        per AS (
+            SELECT doc_id, lang,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_distinct,
+                   ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+            FROM cnt GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, n_tokens, n_distinct, entropy,
+               CASE WHEN n_distinct > 1
+                    THEN ROUND(entropy / LN(n_distinct), 6) END AS norm_entropy
+        FROM per
+    """,
 }
+
+# Assigned outside the literal: the struct syntax {'a': …} would need
+# escaping inside the dict's f-string.
+ORACLES["q_pmi_bigrams"] = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+        SELECT p['a'] AS tok_a, p['b'] AS tok_b FROM (
+            SELECT unnest(list_transform(
+                range(0, greatest(len(t) - 1, 0)),
+                i -> {{'a': t[i + 1], 'b': t[i + 2]}}
+            )) AS p FROM toks)
+    ),
+    uni AS (
+        SELECT tok, COUNT(*) AS c_tok
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    n_uni AS (SELECT COUNT(*) AS n_uni
+              FROM (SELECT unnest(t) AS tok FROM toks)),
+    bg AS (
+        SELECT tok_a, tok_b, COUNT(*) AS n_pair FROM pairs
+        GROUP BY tok_a, tok_b HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ),
+    n_bg AS (SELECT COUNT(*) AS n_bg FROM pairs)
+    SELECT tok_a, tok_b, n_pair,
+           ROUND(LN((n_pair / CAST(n_bg AS DOUBLE))
+                    / ((ua.c_tok / CAST(n_uni AS DOUBLE))
+                       * (ub.c_tok / CAST(n_uni AS DOUBLE)))), 6) AS pmi
+    FROM bg
+    JOIN uni ua ON ua.tok = bg.tok_a
+    JOIN uni ub ON ub.tok = bg.tok_b
+    CROSS JOIN n_uni CROSS JOIN n_bg
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT {PMI_TOP_K}
+"""

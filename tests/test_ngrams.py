@@ -72,3 +72,41 @@ def test_ngram_lm_topk_shape(spark, sf_dir):
     # (exact values are pinned by the DuckDB oracle, not re-derived
     # here — the 6-decimal rounding makes 1/rel_freq lossy)
     assert all(0 < r["rel_freq"] <= 1 for r in rows)
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c d"), (2, "en", "x x x")],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    import math
+
+    by_id = {r["doc_id"]: r for r in ngrams.token_entropy(docs).collect()}
+    # uniform over 4 distinct tokens → H = ln 4, normalized exactly 1
+    assert abs(by_id[1]["entropy"] - math.log(4)) < 1e-6
+    assert abs(by_id[1]["norm_entropy"] - 1.0) < 1e-6
+    # single distinct token → zero entropy, normalization undefined
+    assert by_id[2]["entropy"] == 0.0
+    assert by_id[2]["norm_entropy"] is None
+
+
+def test_pmi_planted_collocation(spark):
+    # "zz qq" always adjacent and both tokens appear ONLY in that pair
+    # → the strongest collocation in the corpus; filler tokens vary.
+    rows = [
+        (i, "zz qq " + " ".join(f"w{j % 7}" for j in range(i, i + 10)))
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = ngrams.pmi_bigrams(docs).collect()
+    assert got, "no bigram cleared the min-count floor"
+    top = got[0]
+    assert (top["tok_a"], top["tok_b"]) == ("zz", "qq")
+    assert top["n_pair"] == 6
+    # PMI of a pair whose members never appear apart is ln(N_uni²/(c²·N_bg))
+    import math
+
+    n_uni = sum(len(r[1].split()) for r in rows)
+    n_bg = n_uni - len(rows)
+    expect = math.log((6 / n_bg) / ((6 / n_uni) * (6 / n_uni)))
+    assert abs(top["pmi"] - expect) < 1e-5
