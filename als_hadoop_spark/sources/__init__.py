@@ -20,10 +20,12 @@ from .tables import (
     load_all,
     read_json,
     read_jsonl,
+    read_orc,
     read_ratings_csv,
     read_table,
     register_views,
     write_jsonl,
+    write_orc,
     write_table,
 )
 
@@ -33,9 +35,11 @@ __all__ = [
     "load_all",
     "read_json",
     "read_jsonl",
+    "read_orc",
     "read_ratings_csv",
     "read_table",
     "register_views",
     "write_jsonl",
+    "write_orc",
     "write_table",
 ]

@@ -172,3 +172,25 @@ def read_jsonl(spark: SparkSession, path: str, schema: str | None = None) -> Dat
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — Spark's second native columnar format (zlib by
+    default), for interop with Hive/Trino warehouses that standardize
+    on ORC. Same pruning/pushdown story as parquet: partition
+    directories + min/max stripe statistics."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (vectorized reader; filter pushdown + column pruning
+    apply exactly as for parquet)."""
+    return spark.read.orc(path)

@@ -55,3 +55,18 @@ def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
     import glob
 
     assert glob.glob(f"{out}/lang=*/*.gz"), "expected gzip jsonl part files"
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    from als_hadoop_spark.sources import load, read_orc, write_orc
+
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    # partition column survives (moved to directory level and back)
+    assert set(back.columns) == set(docs.columns)
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b
