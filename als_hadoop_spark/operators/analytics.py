@@ -174,14 +174,143 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: how many heavy keys the skew profiler reports
+SKEW_TOP_K = 10
+
+#: minimum document length (chars) for the constraint audit
+MIN_DOC_CHARS = 100
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler over orders.o_custkey — the diagnostic
+    you run BEFORE a 100 TB fact join to decide between plain shuffle,
+    AQE skew-split, and salting (functions.scale.salted_join). Reports
+    the top-10 heaviest keys with their row share and multiple-of-
+    average-load; `skew_vs_avg` ≫ 1 on the top key is the signal that
+    one reducer would drown.
+
+    Shape: one per-key count aggregate (map-side partials), totals via
+    a broadcast one-row cross join, top-10 as TakeOrderedAndProject —
+    profiling a 100 TB key distribution costs one vocabulary-bounded
+    shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    cnt = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    tot = cnt.agg(
+        F.sum("cnt").alias("n_rows"), F.count("*").alias("n_keys")
+    )
+    return (
+        cnt.join(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            F.round(
+                F.col("cnt") / (F.col("n_rows") / F.col("n_keys")), 4
+            ).alias("skew_vs_avg"),
+            "n_keys",
+        )
+        .orderBy(F.col("cnt").desc(), "o_custkey")
+        .limit(SKEW_TOP_K)
+    )
+
+
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (the dbt-test / Deequ-style gate a
+    pipeline runs before publishing a snapshot): referential integrity
+    of both fact→dim edges, primary-key uniqueness, a value-range rule,
+    and a document minimum-length rule — one (check_name, n_violations)
+    row each. The fixtures pass the relational checks (pinning the
+    clean path) and fail the length rule for real (pinning the
+    violation path).
+
+    Shape at scale: each FK check is an anti-join against a dimension
+    (broadcast when small, shuffle otherwise — Catalyst's call); the
+    PK and range checks are single aggregates with map-side partials.
+    The final union is 5 one-row frames — negligible."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"), F.count("*").alias("n_violations")
+        )
+
+    orders_fk = orders.join(
+        cust.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    li_fk = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    pk_dups = (
+        cust.groupBy("c_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    value_range = ev.filter((F.col("value") < 0) | F.col("value").isNull())
+    short_docs = docs.filter(F.col("n_chars") < MIN_DOC_CHARS)
+
+    return (
+        check("orders_custkey_fk", orders_fk)
+        .unionByName(check("lineitem_orderkey_fk", li_fk))
+        .unionByName(check("customer_pk_unique", pk_dups))
+        .unionByName(check("events_value_nonnegative", value_range))
+        .unionByName(check("documents_min_length", short_docs))
+    )
+
+
 QUERIES = {
     "q_order_revenue_topn": q_order_revenue_topn,
     "q_nation_volume": q_nation_volume,
     "q_histogram": q_histogram,
     "q_outliers": q_outliers,
+    "q_skew_profile": q_skew_profile,
+    "q_constraint_audit": q_constraint_audit,
 }
 
 ORACLES = {
+    "q_skew_profile": f"""
+        WITH cnt AS (
+            SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+        ),
+        tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_keys FROM cnt
+        )
+        SELECT o_custkey, cnt,
+               ROUND(cnt / CAST(n_rows AS DOUBLE), 6) AS share,
+               ROUND(cnt / (n_rows / CAST(n_keys AS DOUBLE)), 4)
+                   AS skew_vs_avg,
+               n_keys
+        FROM cnt CROSS JOIN tot
+        ORDER BY cnt DESC, o_custkey
+        LIMIT {SKEW_TOP_K}
+    """,
+    "q_constraint_audit": f"""
+        SELECT 'orders_custkey_fk' AS check_name, COUNT(*) AS n_violations
+        FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk', COUNT(*)
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'customer_pk_unique', COUNT(*) FROM
+            (SELECT c_custkey FROM customer
+             GROUP BY c_custkey HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'events_value_nonnegative', COUNT(*)
+        FROM events WHERE value < 0 OR value IS NULL
+        UNION ALL
+        SELECT 'documents_min_length', COUNT(*)
+        FROM documents WHERE n_chars < {MIN_DOC_CHARS}
+    """,
     "q_histogram": """
         SELECT bucket,
                CAST(bucket * 25.0 AS DOUBLE) AS bucket_lo,

@@ -134,3 +134,37 @@ def test_pii_scrub_bytes_and_zero_pattern(spark, sf_dir):
         want = hashlib.sha256(scrubbed.encode()).hexdigest()
         assert out[doc_id]["scrubbed_hash"] == want
         assert out[doc_id]["n_lexicon_hits"] == sum(t in SCRUB_LEXICON for t in toks)
+
+
+def test_skew_profile_shares_and_order(spark, sf_dir):
+    from als_hadoop_spark.operators import analytics
+
+    rows = analytics.q_skew_profile(spark, sf_dir).collect()
+    assert len(rows) == analytics.SKEW_TOP_K
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    # share and skew_vs_avg are consistent transformations of cnt
+    assert all(0 < r["share"] < 1 for r in rows)
+    assert all(r["skew_vs_avg"] >= 1.0 for r in rows)  # top keys ≥ avg
+
+
+def test_constraint_audit_clean_and_violation_paths(spark, sf_dir):
+    from als_hadoop_spark.operators import analytics
+    from als_hadoop_spark.sources import load
+
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in analytics.q_constraint_audit(spark, sf_dir).collect()
+    }
+    # relational integrity of the fixtures is clean — pins the 0 path
+    assert got["orders_custkey_fk"] == 0
+    assert got["lineitem_orderkey_fk"] == 0
+    assert got["customer_pk_unique"] == 0
+    assert got["events_value_nonnegative"] == 0
+    # the length rule genuinely fires — pins the violation path
+    expect = (
+        load(spark, sf_dir, "documents")
+        .filter(f"n_chars < {analytics.MIN_DOC_CHARS}")
+        .count()
+    )
+    assert got["documents_min_length"] == expect > 0
