@@ -49,21 +49,45 @@ def main(names: list[str]) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     selected = [n for n in (names or list(qs)) if n in oracles]
+
+    # Steady-state timing on BOTH engines with bench.py's convergence
+    # rule: re-run (4 max) until the two best times agree within 25%
+    # or the best is already sub-second, report the min. Spark's first
+    # runs of a multi-stage plan pay whole-stage-codegen compile plus
+    # C2 JIT of the generated classes (measured on q_dedup_ngram at
+    # sf0.1: 9.1/12.2/7.6/3.4/2.7 s over five runs) — one-time costs a
+    # long-lived cluster pays per plan shape, not per execution, so a
+    # fixed second-run report lands mid-JIT and overstates 3-4×.
+    MAX_RUNS, REL_TOL = 4, 0.25
+
+    def converged(runs: list[float]) -> bool:
+        best, second = sorted(runs)[:2]
+        return best < 1.0 or (second - best) / best <= REL_TOL
+
+    def steady(run_once) -> float:
+        runs = [run_once()]
+        while len(runs) < MAX_RUNS:
+            runs.append(run_once())
+            if converged(runs):
+                break
+        return min(runs)
+
     rows = []
     for name in selected:
-        # Warm (second-run) timing on BOTH engines, mirroring bench.py:
-        # run 1 pays Spark's per-plan codegen compile / DuckDB's buffer
-        # warm-up; run 2 is steady state.
-        t_spark = t_duck = float("inf")
-        for _ in range(2):
+
+        def spark_once(name=name):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            t_spark = time.perf_counter() - t0
+            dt = time.perf_counter() - t0
             spark.catalog.clearCache()
-        for _ in range(2):
+            return dt
+
+        def duck_once(name=name):
             t0 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
-            t_duck = time.perf_counter() - t0
+            return time.perf_counter() - t0
+
+        t_spark, t_duck = steady(spark_once), steady(duck_once)
         rows.append((name, t_spark, t_duck, t_spark / max(t_duck, 1e-9)))
 
     rows.sort(key=lambda r: -r[3])
