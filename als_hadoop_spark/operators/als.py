@@ -258,9 +258,56 @@ def q_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: probe items for the related-items query / neighbors returned each
+ITEM_SIM_PROBES = 10
+ITEM_SIM_K = 5
+
+
+def q_als_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item similarity from the fitted factor matrix — the
+    "related items" product query (the content-free collaborative
+    sibling of q_sim_search): items whose latent factors point the
+    same way are liked by the same users. Cosine over
+    ``model.itemFactors`` for a bounded probe set, top-5 neighbors
+    each.
+
+    Scale shape: identical to q_sim_search — the probe factors
+    broadcast (bounded by definition), the item-factor corpus streams
+    through one partition-parallel scoring pass, per-probe top-k via a
+    ranking window on the probe key. Factor values are seed/impl-
+    dependent → rows-only; pytest gates rank shape + score
+    monotonicity."""
+    from ..functions.vectors import cosine_sim
+
+    _, _, _, model = _shared_pipeline(spark)
+    feats = model.itemFactors
+    probes = feats.filter(F.col("id") < ITEM_SIM_PROBES).select(
+        F.col("id").alias("probe_item"), F.col("features").alias("pv")
+    )
+    corpus = feats.select(F.col("id").alias("item_id"), F.col("features").alias("iv"))
+    scored = corpus.join(
+        F.broadcast(probes), F.col("item_id") != F.col("probe_item")
+    ).select(
+        "probe_item",
+        "item_id",
+        F.round(cosine_sim("pv", "iv"), 6).alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_item").orderBy(
+        F.col("cosine").desc(), F.col("item_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= ITEM_SIM_K)
+        .select("probe_item", "item_id", "cosine", "sim_rank")
+    )
+
+
 QUERIES = {
     "q_als_fit_predict": q_als_fit_predict,
     "q_als_rmse": q_als_rmse,
     "q_als_recommend": q_als_recommend,
+    "q_als_item_sim": q_als_item_sim,
 }
 ORACLES: dict[str, str] = {}

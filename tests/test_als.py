@@ -75,3 +75,22 @@ def test_cold_start_rows_dropped(spark):
     ratings = synth_ratings(spark, n_users=100, n_items=50, n_ratings=1500)
     preds, _, _, _ = als_pipeline(ratings, max_iter=2)
     assert preds.filter("prediction != prediction").count() == 0  # no NaN
+
+
+def test_als_item_sim_shape_and_monotonicity(spark, sf_dir):
+    from als_hadoop_spark.operators import als
+
+    rows = als.q_als_item_sim(spark, sf_dir).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_item"], []).append(r)
+    assert len(by_probe) == als.ITEM_SIM_PROBES
+    for probe, neigh in by_probe.items():
+        neigh.sort(key=lambda r: r["sim_rank"])
+        assert [r["sim_rank"] for r in neigh] == list(
+            range(1, als.ITEM_SIM_K + 1)
+        )
+        cosines = [r["cosine"] for r in neigh]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0 <= c <= 1.0 for c in cosines)
+        assert all(r["item_id"] != probe for r in neigh)
