@@ -299,3 +299,49 @@ def test_streaming_neardup_flags_cross_batch_pair(spark, tmp_path):
     # the unrelated doc matches nothing
     assert not any(12 in pair for pair in got), got
     assert len(got) == 2, got
+
+
+def test_checkpoint_recovery_restores_offsets_and_dedup_state(spark, tmp_path):
+    """Kill-and-restart exactly-once: a query stopped after batch 0 and
+    restarted from its checkpoint must (a) not re-emit batch 0's rows
+    (offset recovery) and (b) still drop a batch-1 duplicate of a
+    batch-0 payload (dropDuplicatesWithinWatermark STATE recovery) —
+    the two properties that make a 100 TB ingest restartable."""
+    import datetime as dt
+    import time
+
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, props STRING"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, sec, uid, props):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, props)
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    b0 = spark.createDataFrame([ev(1, 0, 1, "p1"), ev(2, 1, 2, "p2")], schema)
+    b1 = spark.createDataFrame(
+        [ev(3, 2, 1, "p1"),   # duplicate payload of event 1 → must drop
+         ev(4, 3, 3, "p3")],  # genuinely new
+        schema,
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(b0.schema).parquet(f"{src}/b*")
+        q = (
+            streaming.dedup_events(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    run_once()
+    time.sleep(1.1)  # distinct mtimes => b1 seen as a new file
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+    run_once()  # fresh query object, SAME checkpoint
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 4], got
