@@ -265,6 +265,109 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ordered funnel steps over events.event_type
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+#: trailing window length for per-user feature aggregation
+TRAIL_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    counts for step N only with an event of that type STRICTLY AFTER
+    their step-N−1 time — the product-analytics primitive behind every
+    conversion dashboard.
+
+    Scale shape: each step is one filtered min-aggregate keyed on
+    user_id (maximal cardinality, map-side partials) joined to the
+    previous step's times — no per-user event-sequence sort, no
+    window; three user-keyed joins that AQE can plan as broadcasts
+    when a step's survivor set collapses. Output is 3 rows."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    step1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    step2 = (
+        ev.join(step1, "user_id")
+        .filter((F.col("event_type") == FUNNEL_STEPS[1]) & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    step3 = (
+        ev.join(step2, "user_id")
+        .filter((F.col("event_type") == FUNNEL_STEPS[2]) & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def count_step(i: int, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(f"{i}_{FUNNEL_STEPS[i - 1]}").alias("funnel_step"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        count_step(1, step1)
+        .unionByName(count_step(2, step2))
+        .unionByName(count_step(3, step3))
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day, then
+    distinct active users per (cohort_day, days_since_cohort) — the
+    standard retention triangle.
+
+    Scale shape: first-seen is one user-keyed min-aggregate; the
+    activity join keys on user_id; the final matrix aggregate has
+    (#days)² bounded keys. Nothing sorts, nothing windows."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            "user_id",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("days_since"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "days_since")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour feature aggregation (sum + count of
+    the user's events in the preceding hour, current row inclusive) —
+    the time-RANGE window frame (vs q_window_running's ROWS frame),
+    i.e. the feature-engineering shape behind rate limits, velocity
+    features, and rolling engagement scores.
+
+    Scale shape: one window partitioned by user_id (maximal-
+    cardinality key — each partition is one user's events, safe at any
+    scale) ordered by event time with a RANGE frame in exact integer
+    microseconds; one exchange total."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-TRAIL_WINDOW_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.sum("value").over(w), 2).alias("trail_sum"),
+        F.count("*").over(w).alias("trail_cnt"),
+    )
+
+
 QUERIES = {
     "q_order_revenue_topn": q_order_revenue_topn,
     "q_nation_volume": q_nation_volume,
@@ -272,9 +375,58 @@ QUERIES = {
     "q_outliers": q_outliers,
     "q_skew_profile": q_skew_profile,
     "q_constraint_audit": q_constraint_audit,
+    "q_event_funnel": q_event_funnel,
+    "q_cohort_retention": q_cohort_retention,
+    "q_trailing_window": q_trailing_window,
 }
 
 ORACLES = {
+    "q_event_funnel": f"""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT '1_{FUNNEL_STEPS[0]}' AS funnel_step, COUNT(*) AS n_users FROM s1
+        UNION ALL
+        SELECT '2_{FUNNEL_STEPS[1]}', COUNT(*) FROM s2
+        UNION ALL
+        SELECT '3_{FUNNEL_STEPS[2]}', COUNT(*) FROM s3
+    """,
+    "q_cohort_retention": """
+        WITH first_seen AS (
+            SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT cohort_day, e.user_id,
+                   datediff('day', cohort_day, CAST(e.ts AS DATE))
+                       AS days_since
+            FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        )
+        SELECT cohort_day, days_since, COUNT(*) AS n_users
+        FROM activity GROUP BY cohort_day, days_since
+    """,
+    "q_trailing_window": """
+        SELECT event_id, user_id, ts, value,
+               ROUND(SUM(value) OVER w, 2) AS trail_sum,
+               COUNT(*) OVER w AS trail_cnt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '1 hour' PRECEDING
+                           AND CURRENT ROW)
+    """,
     "q_skew_profile": f"""
         WITH cnt AS (
             SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey

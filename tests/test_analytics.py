@@ -168,3 +168,51 @@ def test_constraint_audit_clean_and_violation_paths(spark, sf_dir):
         .count()
     )
     assert got["documents_min_length"] == expect > 0
+
+
+def test_event_funnel_is_monotone(spark, sf_dir):
+    from als_hadoop_spark.operators import analytics
+
+    got = {
+        r["funnel_step"]: r["n_users"]
+        for r in analytics.q_event_funnel(spark, sf_dir).collect()
+    }
+    s1, s2, s3 = (got[f"{i}_{t}"] for i, t in enumerate(analytics.FUNNEL_STEPS, 1))
+    assert s1 >= s2 >= s3 > 0  # each step only loses users; data converts
+
+
+def test_cohort_day0_equals_cohort_size(spark, sf_dir):
+    from als_hadoop_spark.operators import analytics
+    from als_hadoop_spark.sources import load
+
+    rows = analytics.q_cohort_retention(spark, sf_dir).collect()
+    day0 = {r["cohort_day"]: r["n_users"] for r in rows if r["days_since"] == 0}
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    sizes = {
+        r["cohort_day"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.to_date(F.min("ts")).alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # every user is active on their own first day → day-0 row equals
+    # the cohort's size exactly
+    assert day0 == sizes
+    assert all(r["days_since"] >= 0 for r in rows)
+
+
+def test_trailing_window_bounds(spark, sf_dir):
+    from als_hadoop_spark.operators import analytics
+
+    rows = analytics.q_trailing_window(spark, sf_dir).collect()
+    assert all(r["trail_cnt"] >= 1 for r in rows)
+    # values are positive → the trailing sum dominates the own value,
+    # and a singleton window equals it exactly
+    assert all(r["trail_sum"] >= round(r["value"], 2) - 0.01 for r in rows)
+    singles = [r for r in rows if r["trail_cnt"] == 1]
+    assert singles and all(
+        abs(r["trail_sum"] - r["value"]) < 0.01 for r in singles
+    )
