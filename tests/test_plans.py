@@ -78,6 +78,26 @@ def test_ngram_lm_topk_is_heap(spark, sf_dir):
     assert_take_ordered(ngrams.q_ngram_lm(spark, sf_dir))
 
 
+def test_trailing_window_single_exchange(spark, sf_dir):
+    """The RANGE-frame feature window partitions by user_id — exactly
+    one shuffle, and never a quadratic self-join formulation."""
+    from als_hadoop_spark.operators import analytics
+
+    df = analytics.q_trailing_window(spark, sf_dir)
+    assert count_shuffles(df) <= 1, "trailing window must be one exchange"
+    assert_no_quadratic_join(df)
+
+
+def test_event_funnel_no_window_no_quadratic(spark, sf_dir):
+    """The funnel is min-aggregates + user-keyed joins: no per-user
+    sequence sort (Window) and no quadratic join may appear."""
+    from als_hadoop_spark.operators import analytics
+
+    plan = explain_str(analytics.q_event_funnel(spark, sf_dir))
+    assert "Window" not in plan, "funnel must not sort per-user sequences"
+    assert_no_quadratic_join(analytics.q_event_funnel(spark, sf_dir))
+
+
 def test_banded_candidates_have_no_quadratic_join(spark, sf_dir):
     from als_hadoop_spark.sources import load
 
