@@ -368,6 +368,38 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend of events.value over time via the
+    BUILT-IN regr_slope/regr_intercept aggregates — drift detection
+    per event_type (is the metric trending?). Time is normalized to
+    hours since each group's first event, so the intercept is the
+    fitted value at group start and the regression stays
+    well-conditioned at any time range.
+
+    Scale shape: one bounded-key min-aggregate for the group origin
+    (broadcast back), then ONE bounded-key regression aggregate —
+    regr_* are mergeable (sum/count/cov partials), so this is
+    map-side-combined like any sum. The applyInPandas twin
+    (udfs.q_udf_groupfit) computes the same fit in Python — this
+    built-in form is the 100 TB path; the UDF form is the extension
+    contract for estimators with no closed form."""
+    ev = load(spark, sf_dir, "events")
+    t0 = ev.groupBy("event_type").agg(
+        F.min(F.unix_micros("ts")).alias("_t0")
+    )
+    th = (F.unix_micros("ts") - F.col("_t0")) / F.lit(3_600_000_000.0)
+    return (
+        ev.join(F.broadcast(t0), "event_type")
+        .select("event_type", th.alias("th"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("value", "th"), 4).alias("slope_per_hour"),
+            F.round(F.regr_intercept("value", "th"), 4).alias("intercept"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 QUERIES = {
     "q_order_revenue_topn": q_order_revenue_topn,
     "q_nation_volume": q_nation_volume,
@@ -378,6 +410,7 @@ QUERIES = {
     "q_event_funnel": q_event_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_trailing_window": q_trailing_window,
+    "q_regression": q_regression,
 }
 
 ORACLES = {
@@ -426,6 +459,20 @@ ORACLES = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL '1 hour' PRECEDING
                            AND CURRENT ROW)
+    """,
+    "q_regression": """
+        WITH t AS (
+            SELECT event_type, value,
+                   (epoch_us(ts)
+                    - MIN(epoch_us(ts)) OVER (PARTITION BY event_type))
+                   / 3600000000.0 AS th
+            FROM events
+        )
+        SELECT event_type,
+               ROUND(regr_slope(value, th), 4) AS slope_per_hour,
+               ROUND(regr_intercept(value, th), 4) AS intercept,
+               COUNT(*) AS n_events
+        FROM t GROUP BY event_type
     """,
     "q_skew_profile": f"""
         WITH cnt AS (

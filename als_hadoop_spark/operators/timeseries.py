@@ -161,10 +161,44 @@ def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history derivation from
+    a changelog: collapse each user's event stream into state
+    intervals — one row per event_type CHANGE with
+    [valid_from, valid_to) bounds and an is_current flag. The
+    companion of q_latest_by_key (SCD1 "current state"): this keeps
+    the full history a warehouse dimension needs for as-of queries.
+
+    Shape: both windows (lag to detect changes, lead to close
+    intervals) partition by user_id and order by (ts, event_id) — the
+    SAME partitioning, so Spark plans ONE exchange and reuses the sort.
+    user_id is maximal-cardinality → partitions stay balanced at any
+    event count. (ts, event_id) is a total order (event_id unique), so
+    the result is deterministic."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("_prev", F.lag("event_type").over(w)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type"))
+    )
+    valid_to = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_time_rollup": q_time_rollup,
     "q_latest_by_key": q_latest_by_key,
+    "q_scd2_history": q_scd2_history,
 }
 
 ORACLES = {
@@ -206,5 +240,22 @@ ORACLES = {
             SELECT 'day', date_trunc('day', ts), value FROM events
         )
         GROUP BY grain, bucket
+    """,
+    "q_scd2_history": """
+        WITH ordered AS (
+            SELECT user_id, ts, event_id, event_type,
+                   LAG(event_type) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, ts, event_id, event_type FROM ordered
+            WHERE prev IS NULL OR prev != event_type
+        )
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER w2 AS valid_to,
+               (LEAD(ts) OVER w2 IS NULL) AS is_current
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 }

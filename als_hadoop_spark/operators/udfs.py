@@ -115,12 +115,72 @@ def q_udf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udf_groupfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-event_type least-squares
+    trend fit with numpy — the whole-group custom-estimator extension
+    contract (each group arrives as ONE pandas frame; fit anything).
+    Same normalization and rounding as the built-in
+    analytics.q_regression, so this Python path is fully
+    oracle-checked too.
+
+    Scale caveat (documented, deliberate): grouped-map materializes an
+    entire group in one worker's memory — correct here because
+    event_type has bounded cardinality AND the fit needs the whole
+    group only for estimators WITHOUT mergeable partials; when a
+    closed form exists (this one: regr_slope), the built-in aggregate
+    in q_regression is the 100 TB path. The closure is self-contained
+    (numpy imported inside) — executors never need this package."""
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        th = (pdf["t_us"] - pdf["t_us"].min()) / 3.6e9
+        slope, intercept = np.polyfit(th.to_numpy(), pdf["value"].to_numpy(), 1)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "slope_per_hour": [round(float(slope), 4)],
+                "intercept": [round(float(intercept), 4)],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.unix_micros("ts").alias("t_us"), "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            fit,
+            "event_type string, slope_per_hour double, "
+            "intercept double, n_events long",
+        )
+    )
+
+
 QUERIES = {
     "q_udf_quantize": q_udf_quantize,
     "q_udf_chunk": q_udf_chunk,
+    "q_udf_groupfit": q_udf_groupfit,
 }
 
 ORACLES = {
+    # identical SQL to analytics.q_regression's oracle — the UDF path
+    # must reproduce the closed-form fit bit-for-bit at 4 decimals.
+    "q_udf_groupfit": """
+        WITH t AS (
+            SELECT event_type, value,
+                   (epoch_us(ts)
+                    - MIN(epoch_us(ts)) OVER (PARTITION BY event_type))
+                   / 3600000000.0 AS th
+            FROM events
+        )
+        SELECT event_type,
+               ROUND(regr_slope(value, th), 4) AS slope_per_hour,
+               ROUND(regr_intercept(value, th), 4) AS intercept,
+               COUNT(*) AS n_events
+        FROM t GROUP BY event_type
+    """,
     "q_udf_quantize": """
         SELECT label,
                CAST(SUM(l1) AS BIGINT) AS total_l1,

@@ -216,3 +216,45 @@ def test_trailing_window_bounds(spark, sf_dir):
     assert singles and all(
         abs(r["trail_sum"] - r["value"]) < 0.01 for r in singles
     )
+
+
+def test_regression_builtin_equals_udf_twin(spark, sf_dir):
+    """The applyInPandas numpy fit and the built-in regr_slope path
+    must agree exactly at the rounded precision — the UDF surface gets
+    the same answer as the closed form."""
+    from als_hadoop_spark.operators import analytics, udfs
+
+    a = {
+        r["event_type"]: (r["slope_per_hour"], r["intercept"], r["n_events"])
+        for r in analytics.q_regression(spark, sf_dir).collect()
+    }
+    b = {
+        r["event_type"]: (r["slope_per_hour"], r["intercept"], r["n_events"])
+        for r in udfs.q_udf_groupfit(spark, sf_dir).collect()
+    }
+    assert a == b
+
+
+def test_scd2_intervals_contiguous_and_current(spark, sf_dir):
+    """SCD2 invariants: per user the intervals chain exactly
+    (valid_to == next valid_from), exactly one open interval, no
+    self-transition rows, and the open interval's state equals
+    q_latest_by_key's current state."""
+    from als_hadoop_spark.operators import timeseries
+
+    rows = timeseries.q_scd2_history(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    latest = {
+        r["user_id"]: r["event_type"]
+        for r in timeseries.q_latest_by_key(spark, sf_dir).collect()
+    }
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in ivs if r["is_current"]]
+        assert len(opens) == 1 and opens[-1] is ivs[-1]
+        assert ivs[-1]["state"] == latest[uid]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["state"] != b["state"]  # rows only on change

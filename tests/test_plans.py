@@ -98,6 +98,15 @@ def test_event_funnel_no_window_no_quadratic(spark, sf_dir):
     assert_no_quadratic_join(analytics.q_event_funnel(spark, sf_dir))
 
 
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both SCD2 windows share the user_id partitioning — the plan
+    must carry exactly one exchange (lag + lead reuse one sort)."""
+    from als_hadoop_spark.operators import timeseries
+
+    n = count_shuffles(timeseries.q_scd2_history(spark, sf_dir))
+    assert n <= 1, f"scd2 plans {n} shuffles"
+
+
 def test_banded_candidates_have_no_quadratic_join(spark, sf_dir):
     from als_hadoop_spark.sources import load
 
