@@ -574,11 +574,62 @@ def q_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return err.agg(F.round(F.sqrt(F.avg(F.pow("err", F.lit(2)))), 4).alias("rmse"))
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist,
+    ntile(4) of each event's value within its user's history
+    (completes the window family: ranking = q_window_rank, analytic
+    frames = q_window_running / q_trailing_window).
+
+    Partition key is user_id (maximal cardinality — each sort is one
+    user's events, balanced at any scale). The ORDER BY carries
+    event_id as a tiebreak so ntile's positional assignment is a total
+    order — without it, equal values make ntile engine-dependent."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic semantics pinned end to end: a NULLable
+    group key (error events → NULL), null-skipping aggregates
+    (count(col) vs count(*), avg over a column nulled below a
+    threshold), and coalesce defaulting — the NULL behaviors every
+    engine must agree on exactly (and the classic porting bug source).
+    All derivation is per-row CASE logic fused into the scan; one
+    bounded-key aggregate."""
+    ev = load(spark, sf_dir, "events")
+    grp = F.when(F.col("event_type") != "error", F.col("event_type"))
+    nval = F.when(F.col("value") >= 50.0, F.col("value"))
+    return (
+        ev.select(grp.alias("grp"), nval.alias("nval"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("nval").alias("n_nonnull"),
+            F.round(F.avg("nval"), 4).alias("avg_nonnull"),
+            F.round(F.sum(F.coalesce("nval", F.lit(0.0))), 2).alias(
+                "sum_defaulted"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "q_window_distribution": q_window_distribution,
+    "q_null_semantics": q_null_semantics,
     "q_scan_project": q_scan_project,
     "q_filter": q_filter,
     "q_groupby_sum": q_groupby_sum,
@@ -610,6 +661,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_window_distribution": """
+        SELECT event_id, user_id, value,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume,
+               ntile(4) OVER w AS quartile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    "q_null_semantics": """
+        SELECT grp,
+               COUNT(*) AS n_rows,
+               COUNT(nval) AS n_nonnull,
+               ROUND(AVG(nval), 4) AS avg_nonnull,
+               ROUND(SUM(COALESCE(nval, 0.0)), 2) AS sum_defaulted
+        FROM (
+            SELECT CASE WHEN event_type != 'error' THEN event_type END AS grp,
+                   CASE WHEN value >= 50.0 THEN value END AS nval
+            FROM events
+        )
+        GROUP BY grp
+    """,
     "q_correlated_subquery": """
         SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
         FROM lineitem JOIN part ON p_partkey = l_partkey

@@ -109,3 +109,23 @@ def test_topk_is_sorted_desc(spark, sf_dir):
     prices = [r["l_extendedprice"] for r in rows]
     assert prices == sorted(prices, reverse=True)
     assert len(rows) == 10
+
+
+def test_null_semantics_null_group_present(spark, sf_dir):
+    from als_hadoop_spark.operators import relational
+
+    rows = {r["grp"]: r for r in relational.q_null_semantics(spark, sf_dir).collect()}
+    assert None in rows  # error events grouped under the NULL key
+    r = rows[None]
+    assert r["n_nonnull"] <= r["n_rows"]
+    # avg skips nulls, so it can only see values >= the null threshold
+    assert r["avg_nonnull"] >= 50.0
+
+
+def test_window_distribution_bounds(spark, sf_dir):
+    from als_hadoop_spark.operators import relational
+
+    rows = relational.q_window_distribution(spark, sf_dir).collect()
+    assert all(0.0 <= r["pct_rank"] <= 1.0 for r in rows)
+    assert all(0.0 < r["cume"] <= 1.0 for r in rows)
+    assert all(1 <= r["quartile"] <= 4 for r in rows)
