@@ -20,6 +20,7 @@ from . import (
     ngrams,
     relational,
     similarity,
+    sketches,
     text,
     timeseries,
     udfs,
@@ -31,6 +32,7 @@ _MODULES = (
     als,
     dedup,
     similarity,
+    sketches,
     text,
     ngrams,
     multimodal,

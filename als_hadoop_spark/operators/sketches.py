@@ -1,0 +1,126 @@
+"""Mergeable DataSketches aggregates — the pre-aggregation pattern that
+makes 100 TB rollups cheap.
+
+The reference's only cardinality machinery is single-process in-memory
+sets (ALS-Hadoop/mapid.py:14-15) and its only "metric store" is a
+scalar rmse.txt (ALS-Hadoop/ALS/ALS.java:411-419). At 100 TB neither
+exact distinct counts nor exact quantiles can be maintained
+incrementally: a new day of data forces a full re-scan, because neither
+`countDistinct` partials nor sorted quantile state can be combined
+across precomputed groups.
+
+Sketches fix the algebra. An HLL or KLL sketch is a small fixed-size
+summary with an associative, commutative merge, so the 100 TB shape is:
+
+    per-partition/day sketch  →  store the BINARY sketch  →
+    merge-on-read for any coarser rollup (week, month, all-time)
+
+— one scan of the raw data ever, then every rollup is a merge of
+kilobyte blobs. Spark 4 ships Apache DataSketches natively
+(`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`,
+`kll_sketch_agg_double` / `kll_sketch_merge_double` /
+`kll_sketch_get_quantile_double`), all JVM-side and map-side-combined,
+so the whole pattern is built-in aggregates — no UDAF, no Python.
+
+Both queries here materialize the fine-grained sketch level and then
+merge it up IN ONE PLAN, proving the merge algebra the pattern relies
+on; `tests/test_sketches.py` pins the invariant exactly (union of
+daily sketches == sketch of the union — HLL registers are a
+register-wise max, so the equality is bit-exact, not approximate) and
+gates estimate error against the exact aggregates.
+
+No oracles: sketch estimates are implementation-defined (DuckDB's HLL
+differs from DataSketches), so both queries are rows-only by design
+(SURVEY.md §7.3), with the pytest gates above standing in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+#: KLL quantile levels probed by q_kll_quantiles (matches q_percentiles'
+#: p50/p90/p99 so the pytest gate can compare like-for-like).
+KLL_LEVELS = (0.5, 0.9, 0.99)
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via merged per-day HLL sketches.
+
+    Stage 1 builds one HLL sketch per (event_type, day) — the
+    granularity a production pipeline would PERSIST (a few KB per
+    group-day instead of the raw user ids). Stage 2 answers the
+    coarser question (distinct users per event_type over all time) by
+    merging the daily sketches with `hll_union_agg`, never re-touching
+    the fact rows. Both stages are ordinary hash aggregates with
+    map-side partials; sketch size is fixed (lgConfigK=12 default,
+    4 KB) regardless of cardinality, so the shuffle volume is
+    O(groups), not O(distinct ids)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type value quantiles via merged per-day KLL sketches.
+
+    Same two-level shape as q_hll_rollup but for order statistics: KLL
+    sketches (Karnin-Lang-Liberty, FOCS 2016) are mergeable quantile
+    summaries with a priori rank-error guarantees (~1.65% at the
+    default k=200), which GK `percentile_approx` summaries are not —
+    Spark's GK merge degrades unboundedly under repeated merging,
+    DataSketches KLL does not, making KLL the right persisted-summary
+    choice. Emits p50/p90/p99 per event_type from the MERGED daily
+    sketches plus the exact row count (deterministic companion
+    column)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    # Spark exposes KLL merge as a BINARY scalar (kll_sketch_merge_double),
+    # not an aggregate — so fold the per-group sketch list with the
+    # `aggregate` higher-order function, seeded by the first sketch. The
+    # collect_list is bounded by days-per-group (the rollup grain), not by
+    # data volume, so the row stays small at any corpus size.
+    merged = daily.groupBy("event_type").agg(
+        F.collect_list("sk").alias("sks"),
+        F.sum("n").alias("n_rows"),
+    )
+    folded = F.aggregate(
+        F.slice("sks", 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+        F.element_at("sks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    ).alias("sk")
+    merged = merged.select("event_type", folded, "n_rows")
+    qcols = [
+        F.round(
+            F.kll_sketch_get_quantile_double("sk", F.lit(q)), 6
+        ).alias(f"p{int(q * 100)}")
+        for q in KLL_LEVELS
+    ]
+    return merged.select("event_type", *qcols, "n_rows").orderBy("event_type")
+
+
+QUERIES = {
+    "q_hll_rollup": q_hll_rollup,
+    "q_kll_quantiles": q_kll_quantiles,
+}
+
+#: rows-only by design: sketch estimates are engine-specific (DuckDB's
+#: HLL/quantile implementations differ); accuracy + merge-identity are
+#: pytest-gated in tests/test_sketches.py instead.
+ORACLES: dict[str, str] = {}

@@ -25,6 +25,8 @@ ROWS_ONLY = {
     "q_curation_neardup",       # minhash banding stage (gated in pytest)
     "q_dedup_cluster",          # minhash banding edges (planted-chain pytest)
     "q_approx_percentile",      # GK sketch — engine-specific (gated in pytest)
+    "q_hll_rollup",             # DataSketches HLL — engine-specific (gated in pytest)
+    "q_kll_quantiles",          # DataSketches KLL — engine-specific (gated in pytest)
 }
 
 

@@ -1,0 +1,113 @@
+"""Gates for the mergeable-sketch operators (operators/sketches.py).
+
+Sketches are rows-only in the driver contract (estimates are
+implementation-defined), so these tests carry the correctness burden:
+the merge identity the 100 TB pre-aggregation pattern relies on, and
+accuracy bounds against the exact aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from als_hadoop_spark.operators import sketches
+from als_hadoop_spark.sources.tables import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_merge_identity(spark):
+    """union(daily sketches) must equal sketch(all rows) BIT-EXACTLY in
+    estimate: HLL union is a register-wise max, so merging per-day
+    sketches loses nothing vs sketching the union — the property that
+    makes persisted daily sketches a lossless substitute for raw ids
+    at any coarser rollup."""
+    ev = load(spark, SF_DIR, "events")
+    daily_then_merge = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    )
+    a = {r["event_type"]: r["est"] for r in daily_then_merge.collect()}
+    b = {r["event_type"]: r["est"] for r in direct.collect()}
+    assert a == b
+
+
+def test_hll_rollup_error_vs_exact(spark):
+    """HLL estimate within 5% of the exact distinct count per group
+    (default lgConfigK=12 → ~1.6% standard error; 5% is ~3σ)."""
+    out = {
+        r["event_type"]: r["approx_users"]
+        for r in sketches.q_hll_rollup(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for k, est in out.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_kll_quantile_rank_error(spark):
+    """Each KLL quantile estimate must be an actual data value whose
+    TRUE rank is within 5% of the target rank (KLL's guarantee is on
+    rank error, not value error — value-space assertions would be
+    meaningless for skewed distributions)."""
+    rows = sketches.q_kll_quantiles(spark, SF_DIR).collect()
+    ev = load(spark, SF_DIR, "events")
+    for r in rows:
+        et = r["event_type"]
+        vals = sorted(
+            x["value"]
+            for x in ev.filter(F.col("event_type") == et).select("value").collect()
+        )
+        n = len(vals)
+        assert n == r["n_rows"]
+        for q in sketches.KLL_LEVELS:
+            est = r[f"p{int(q * 100)}"]
+            # rank of the estimate in the sorted data (bisect by hand —
+            # values are floats rounded to 6dp in the query)
+            lo = sum(1 for v in vals if v < est - 5e-7)
+            hi = sum(1 for v in vals if v <= est + 5e-7)
+            target = q * n
+            assert lo - 0.05 * n <= target <= hi + 0.05 * n, (et, q, est)
+
+
+def test_kll_merge_matches_direct_sketch_ranks(spark):
+    """Merged-daily KLL quantiles stay within a rank-error band of the
+    directly-sketched (single-level) quantiles — repeated merging must
+    not degrade the summary (the property GK summaries lack). Compared
+    in RANK space: tail quantiles of skewed data are value-sparse, so a
+    value-space bound would be meaningless."""
+    ev = load(spark, SF_DIR, "events")
+    direct = ev.groupBy("event_type").agg(
+        *[
+            F.kll_sketch_get_quantile_double(
+                F.kll_sketch_agg_double("value"), F.lit(q)
+            ).alias(f"p{int(q * 100)}")
+            for q in sketches.KLL_LEVELS
+        ]
+    )
+    merged = sketches.q_kll_quantiles(spark, SF_DIR)
+    d = {r["event_type"]: r for r in direct.collect()}
+    m = {r["event_type"]: r for r in merged.collect()}
+    for et in d:
+        vals = sorted(
+            x["value"]
+            for x in ev.filter(F.col("event_type") == et).select("value").collect()
+        )
+        n = len(vals)
+        for q in sketches.KLL_LEVELS:
+            col = f"p{int(q * 100)}"
+            rank_direct = sum(1 for v in vals if v <= d[et][col] + 5e-7)
+            rank_merged = sum(1 for v in vals if v <= m[et][col] + 5e-7)
+            # each estimate carries ~1.65% rank error; allow the sum
+            assert abs(rank_direct - rank_merged) <= 0.05 * n + 1, (et, col)
