@@ -98,28 +98,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
-        def decode_payload(fmt: str, payload: bytes) -> tuple[int, float, int]:
-            """STUB decoder — deterministic byte-level features instead
-            of a real media decode (no PIL/librosa/ffmpeg in this
-            container). A real deployment replaces this body with e.g.
-            ``PIL.Image.open(io.BytesIO(payload))``; the mapInPandas
-            plan, Arrow batch shape, and output schema stay identical."""
-            n = len(payload)
-            mean = float(sum(payload)) / n if n else 0.0
-            checksum = sum(payload) % 65_521  # Adler-style mod
-            return n, round(mean, 4), checksum
-
+        # STUB decoder — deterministic byte-level features instead of a
+        # real media decode (no PIL/librosa/ffmpeg in this container).
+        # A real deployment replaces the vectorized block below with a
+        # per-payload ``PIL.Image.open(io.BytesIO(payload))``; the
+        # mapInPandas plan, Arrow batch shape, and output schema stay
+        # identical. The stub itself is ONE numpy pass per batch:
+        # payloads are concatenated flat and per-row byte sums come from
+        # add.reduceat over the row offsets — no per-row Python loop.
         for pdf in batches:
-            feats = [decode_payload(f, b) for f, b in zip(pdf["fmt"], pdf["content"])]
+            payloads = pdf["content"].tolist()
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=len(payloads))
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            sums = np.zeros(len(payloads), dtype=np.int64)
+            nonempty = lens > 0
+            if flat.size:
+                offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                # reduceat misbehaves on zero-length segments (returns
+                # flat[offset]); compute on non-empty rows only.
+                seg_sums = np.add.reduceat(flat.astype(np.int64), offsets[nonempty])
+                sums[nonempty] = seg_sums
+            means = np.where(nonempty, np.round(sums / np.maximum(lens, 1), 4), 0.0)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "fmt": pdf["fmt"],
-                    "n_bytes": [f[0] for f in feats],
-                    "mean_byte": [f[1] for f in feats],
-                    "checksum": [f[2] for f in feats],
+                    "n_bytes": lens.astype(np.int32),
+                    "mean_byte": means,
+                    "checksum": (sums % 65_521).astype(np.int32),  # Adler-style mod
                 }
             )
 
@@ -157,23 +166,25 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame_size, every, cap = FRAME_SIZE, FRAME_EVERY, FRAME_MAX
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out = {"doc_id": [], "fmt": [], "frame_idx": [], "n_bytes": [], "checksum": [], "resized_checksum": []}
             for doc_id, fmt, payload in zip(pdf["doc_id"], pdf["fmt"], pdf["content"]):
-                n_frames = (len(payload) + frame_size - 1) // frame_size
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = (arr.size + frame_size - 1) // frame_size
                 for k, idx in enumerate(range(0, n_frames, every)):
                     if k >= cap:
                         break
-                    frame = payload[idx * frame_size : (idx + 1) * frame_size]  # STUB: real decoder extracts pixels here
+                    frame = arr[idx * frame_size : (idx + 1) * frame_size]  # STUB: real decoder extracts pixels here
                     resized = frame[::2]  # STUB: real resize downsamples pixels here
                     out["doc_id"].append(doc_id)
                     out["fmt"].append(fmt)
                     out["frame_idx"].append(idx)
-                    out["n_bytes"].append(len(frame))
-                    out["checksum"].append(sum(frame) % 65_521)
-                    out["resized_checksum"].append(sum(resized) % 65_521)
+                    out["n_bytes"].append(frame.size)
+                    out["checksum"].append(int(frame.sum(dtype=np.int64)) % 65_521)
+                    out["resized_checksum"].append(int(resized.sum(dtype=np.int64)) % 65_521)
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(
