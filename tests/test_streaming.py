@@ -345,3 +345,72 @@ def test_checkpoint_recovery_restores_offsets_and_dedup_state(spark, tmp_path):
 
     got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     assert got == [1, 2, 4], got
+
+
+def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
+    """Incremental sketch-rollup ingest: merge-on-read over per-batch
+    HLL deltas must equal a direct batch sketch of ALL rows BIT-EXACTLY
+    (HLL union is a register-wise max — no approximation is added by
+    splitting into micro-batches), and compaction must be invisible to
+    readers."""
+    import shutil
+    import time
+
+    from als_hadoop_spark.streaming import sketch_rollup
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src = str(tmp_path / "ev_src")
+    store = str(tmp_path / "hll_store")
+    for i in range(3):
+        chunk = ev.filter(F.pmod("event_id", F.lit(3)) == i).drop("event_id")
+        chunk.coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, event_type STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        sketch_rollup.hll_rollup_ingest(stream, store)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    direct = {
+        r["event_type"]: (r["est"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    streamed = {
+        r["event_type"]: (r["approx_users"], r["n_rows"])
+        for r in sketch_rollup.read_rollup(spark, store).collect()
+    }
+    assert streamed == direct  # bit-exact estimates AND exact row counts
+
+    # finer grain from the same store: one row per stored (type, day)
+    by_day = sketch_rollup.read_rollup(spark, store, grain=["event_type", "day"])
+    n_groups = ev.select("event_type", F.to_date("ts").alias("day")).distinct().count()
+    assert by_day.count() == n_groups
+
+    # compaction folds deltas without changing any reader-visible result
+    sketch_rollup.compact(spark, store)
+    import os
+
+    assert os.listdir(store) == ["batch=compacted"]
+    after = {
+        r["event_type"]: (r["approx_users"], r["n_rows"])
+        for r in sketch_rollup.read_rollup(spark, store).collect()
+    }
+    assert after == direct
