@@ -194,3 +194,32 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (vectorized reader; filter pushdown + column pruning
     apply exactly as for parquet)."""
     return spark.read.orc(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str],
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Layout-optimizing sink: partition directories for coarse
+    file-level pruning PLUS range-clustered, sorted files so parquet
+    row-group min/max statistics prune within each partition — the
+    ZORDER/cluster-by story for a 100 TB table without a table format.
+
+    ``repartitionByRange`` over (partition cols, cluster cols) gives
+    each task a contiguous key range (one range-shuffle, sampled
+    bounds), and ``sortWithinPartitions`` orders rows inside each file,
+    so every written file covers a NARROW, largely disjoint interval of
+    the cluster columns. A reader filtering on a cluster column then
+    skips whole files/row groups by footer stats alone — the same scan
+    does no extra work at write time beyond the one range exchange.
+    ``n_buckets`` bounds files per partition directory (small-file
+    control: compaction is the same call over the read-back table)."""
+    out = (
+        df.repartitionByRange(n_buckets, *partition_by, *cluster_by)
+        .sortWithinPartitions(*partition_by, *cluster_by)
+    )
+    out.write.mode(mode).partitionBy(*partition_by).parquet(path)

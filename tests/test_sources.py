@@ -70,3 +70,62 @@ def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
     a = {r["doc_id"]: r["text"] for r in docs.collect()}
     b = {r["doc_id"]: r["text"] for r in back.collect()}
     assert a == b
+
+
+def test_write_clustered_layout_prunes(spark, tmp_path):
+    """write_clustered must produce (a) partition directories that the
+    reader prunes via PartitionFilters, and (b) files whose cluster-
+    column footer ranges are narrow and essentially disjoint within a
+    partition — the property that lets parquet min/max stats skip row
+    groups for selective filters."""
+    import pyarrow.parquet as pq
+
+    from als_hadoop_spark.sources import tables
+
+    ev = tables.load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "clustered")
+    tables.write_clustered(
+        ev, path, partition_by=["event_type"], cluster_by=["user_id"], n_buckets=6
+    )
+
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].split("]")[0]
+    # partition pruning is real: the executed scan reads ONLY the click
+    # directory's files (inputFiles() reflects the unpruned relation, so
+    # use the scan node's runtime numFiles metric)
+    pruned.collect()
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    import glob
+
+    n_click_files = len(glob.glob(f"{path}/event_type=click/*.parquet"))
+    assert scan.metrics().apply("numFiles").value() == n_click_files
+    assert n_click_files < len(back.inputFiles())
+
+    # footer stats: within one partition dir, per-file user_id ranges
+    # must not all span the full domain — intervals may touch at the
+    # range-shuffle boundaries but total overlap must be tiny
+    files = sorted(glob.glob(f"{path}/event_type=click/*.parquet"))
+    assert len(files) > 1, "need multiple files to demonstrate clustering"
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["user_id"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    domain = max(mx for _, mx in spans) - min(mn for mn, _ in spans)
+    overlap = sum(
+        max(0, spans[i][1] - spans[i + 1][0]) for i in range(len(spans) - 1)
+    )
+    assert overlap <= 0.05 * domain, (spans, overlap, domain)
+
+    # round trip is lossless
+    assert back.count() == ev.count()
