@@ -318,6 +318,30 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union.unionAll(inter).unionAll(diff)
 
 
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-B gap: ordered string aggregation (LISTAGG ... WITHIN GROUP,
+    SQL:2016) — per region, the member nations as one ordered
+    comma-joined string. Spark 4 ships `listagg` natively; the WITHIN
+    GROUP order makes the result deterministic, which a bare
+    collect_list is not. Scale note: string aggregation is only sane on
+    BOUNDED groups (here ≤ 25 nations/region) — the aggregate buffer
+    holds the whole group string; unbounded keys belong in q_token_topk
+    style count-aggregates instead. Dimension join is broadcast."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return (
+        joined.groupBy("r_name")
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # scalar / array / map / json functions
 # ---------------------------------------------------------------------------
@@ -646,6 +670,7 @@ QUERIES = {
     "q_window_running": q_window_running,
     "q_topk": q_topk,
     "q_set_ops": q_set_ops,
+    "q_listagg": q_listagg,
     "q_scalar_funcs": q_scalar_funcs,
     "q_array_map_json": q_array_map_json,
     "q_array_funcs": q_array_funcs,
@@ -821,6 +846,14 @@ ORACLES = {
         UNION ALL
         SELECT 'except' AS op, k FROM (
             SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+    """,
+    "q_listagg": """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
     """,
     "q_scalar_funcs": """
         SELECT o_orderkey,

@@ -200,11 +200,49 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (date spine): hourly event counts per
+    event_type with MISSING HOURS materialized as zero rows across each
+    type's [first, last] hour span — the densification step every
+    downstream window/forecast model needs (a trailing average over a
+    sparse series silently skips empty buckets).
+
+    Shape: aggregate first (facts → bounded (type, hour) grid), THEN
+    span/spine/join only on the aggregated grid: per-type spans are a
+    tiny aggregate, `sequence()` expands each span JVM-side (≤ one row
+    per grid cell, never per fact row), and the left join runs on
+    grid-sized inputs. At 100 TB the heavy input touches exactly one
+    hash aggregate; everything after is O(types × hours)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    return spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_time_rollup": q_time_rollup,
     "q_latest_by_key": q_latest_by_key,
     "q_scd2_history": q_scd2_history,
+    "q_gap_fill": q_gap_fill,
 }
 
 ORACLES = {
@@ -246,6 +284,25 @@ ORACLES = {
             SELECT 'day', date_trunc('day', ts), value FROM events
         )
         GROUP BY grain, bucket
+    """,
+    "q_gap_fill": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        ), spans AS (
+            SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM hourly GROUP BY 1
+        ), spine AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM spans
+        )
+        SELECT s.event_type, s.hour,
+               COALESCE(h.n_events, 0) AS n_events,
+               COALESCE(h.sum_value, 0.0) AS sum_value
+        FROM spine s LEFT JOIN hourly h USING (event_type, hour)
     """,
     "q_scd2_history": """
         WITH ordered AS (

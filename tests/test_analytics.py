@@ -258,3 +258,42 @@ def test_scd2_intervals_contiguous_and_current(spark, sf_dir):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["state"] != b["state"]  # rows only on change
+
+
+def test_gap_fill_spine_is_contiguous_and_zero_filled(spark, sf_dir):
+    """Per event_type: hours form a contiguous hourly spine from first
+    to last, originally-missing hours carry exactly (0, 0.0), and
+    aggregates on present hours match a direct groupBy."""
+    from als_hadoop_spark.operators.timeseries import q_gap_fill
+
+    out = q_gap_fill(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    ev = load(spark, sf_dir, "events")
+    direct = {
+        (r["event_type"], r["hour"]): (r["n"], r["s"])
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert by_type, "no output"
+    for et, rows in by_type.items():
+        rows.sort(key=lambda r: r["hour"])
+        hours = [r["hour"] for r in rows]
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600, (et, a, b)
+        for r in rows:
+            key = (et, r["hour"])
+            if key in direct:
+                assert (r["n_events"], r["sum_value"]) == direct[key], key
+            else:
+                assert (r["n_events"], r["sum_value"]) == (0, 0.0), key
+        # the fixture's event stream is sparse enough to have real gaps
+    assert any(
+        (r["event_type"], r["hour"]) not in direct
+        for rows in by_type.values()
+        for r in rows
+    ), "fixture produced no gaps — test is vacuous"
