@@ -417,8 +417,57 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sequence-packing config: training-example token budget + packer shards
+PACK_CAP = 2048
+PACK_SHARDS = 16
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM pipeline: sequence packing — the stage that concatenates
+    documents into fixed-token-budget training examples (bins of
+    PACK_CAP tokens) so batch padding waste is bounded. Semantics:
+    stream-concat packing per shard — docs in doc_id order, each doc
+    assigned to the bin its LAST token lands in; deterministic, so
+    fully oracle-checkable (same window arithmetic in SQL).
+
+    Scale shape: ONE window partitioned by shard (pmod of doc_id), not
+    an unpartitioned global cumsum — packing is embarrassingly parallel
+    across shards by design (real packers run per-worker anyway), and
+    PACK_SHARDS scales with the cluster; per-shard order is a local
+    sort. Docs longer than PACK_CAP pass through arithmetic intact
+    (fill_ratio > 1 flags them); chunk them first with q_udf_chunk."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.pmod("doc_id", F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / PACK_CAP).alias("bin_id"),
+    )
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.round(F.sum("n_tokens") / F.lit(float(PACK_CAP)), 4).alias("fill_ratio"),
+        )
+        .orderBy("shard", "bin_id")
+    )
+
+
 QUERIES = {
     "q_text_stats": q_text_stats,
+    "q_sequence_pack": q_sequence_pack,
     "q_curation": q_curation,
     "q_curation_neardup": q_curation_neardup,
     "q_sample_mixture": q_sample_mixture,
@@ -431,6 +480,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sequence_pack": """
+        WITH toks AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(doc_id % 16 AS INT) AS shard
+            FROM documents
+        ), packed AS (
+            SELECT shard, n_tokens,
+                   CAST(FLOOR((SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id) - 1) / 2048.0
+                   ) AS BIGINT) AS bin_id
+            FROM toks
+        )
+        SELECT shard, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+               ROUND(SUM(n_tokens) / 2048.0, 4) AS fill_ratio
+        FROM packed
+        GROUP BY shard, bin_id
+        ORDER BY shard, bin_id
+    """,
     "q_tfidf": """
         WITH tf AS (
             SELECT doc_id, term, COUNT(*) AS tf
