@@ -237,12 +237,62 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: each event projects a fixed activity interval of this many minutes
+MERGE_SPAN_MIN = 5
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (islands-and-gaps): project each event to a
+    [ts, ts+5min) activity interval and merge overlapping/touching
+    intervals per user into maximal islands — the ad-exposure /
+    activity-span dedup primitive (distinct from session_window, which
+    gaps on inter-event deltas rather than interval overlap).
+
+    Shape: the standard running-max-end formulation — an island starts
+    where start > max(end) over all PRECEDING intervals; island id is
+    the running sum of starts. Both windows share ONE partitioning
+    (user_id) and ordering, so Spark plans a single exchange + sort;
+    user_id is maximal-cardinality, so partitions stay balanced.
+    Deterministic under ties: tied rows are identical (same user, ts),
+    so any tie order yields the same running max and flags."""
+    from pyspark.sql import Window
+
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        F.expr(f"ts + INTERVAL {MERGE_SPAN_MIN} MINUTES").alias("end"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max("end").over(w_prev)
+    is_new = F.when(
+        prev_end.isNull() | (F.col("start") > prev_end), 1
+    ).otherwise(0)
+    flagged = iv.select(
+        "user_id", "start", "end", F.sum(is_new).over(w_run).alias("island_id")
+    )
+    return flagged.groupBy("user_id", "island_id").agg(
+        F.min("start").alias("island_start"),
+        F.max("end").alias("island_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_time_rollup": q_time_rollup,
     "q_latest_by_key": q_latest_by_key,
     "q_scd2_history": q_scd2_history,
     "q_gap_fill": q_gap_fill,
+    "q_interval_merge": q_interval_merge,
 }
 
 ORACLES = {
@@ -284,6 +334,36 @@ ORACLES = {
             SELECT 'day', date_trunc('day', ts), value FROM events
         )
         GROUP BY grain, bucket
+    """,
+    "q_interval_merge": """
+        WITH iv AS (
+            SELECT user_id, ts AS "start",
+                   ts + INTERVAL 5 MINUTE AS "end"
+            FROM events
+        ), m AS (
+            SELECT user_id, "start", "end",
+                   MAX("end") OVER (
+                       PARTITION BY user_id ORDER BY "start", "end"
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_end
+            FROM iv
+        ), fl AS (
+            SELECT user_id, "start", "end",
+                   CASE WHEN prev_end IS NULL OR "start" > prev_end
+                        THEN 1 ELSE 0 END AS is_new
+            FROM m
+        ), isl AS (
+            SELECT user_id, "start", "end",
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY "start", "end"
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS island_id
+            FROM fl
+        )
+        SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+               MIN("start") AS island_start, MAX("end") AS island_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM isl GROUP BY user_id, island_id
     """,
     "q_gap_fill": """
         WITH hourly AS (

@@ -297,3 +297,32 @@ def test_gap_fill_spine_is_contiguous_and_zero_filled(spark, sf_dir):
         for rows in by_type.values()
         for r in rows
     ), "fixture produced no gaps — test is vacuous"
+
+
+def test_interval_merge_islands_disjoint_one_exchange(spark, sf_dir):
+    """Merged islands per user must be pairwise disjoint with a real
+    gap between consecutive ones (else they would have merged), each
+    island at least one span long — and the whole query plans exactly
+    ONE exchange (both windows and the final aggregate reuse the
+    user_id partitioning)."""
+    from als_hadoop_spark.operators.timeseries import q_interval_merge
+
+    df = q_interval_merge(spark, sf_dir)
+    assert count_shuffles(df) == 1, explain_str(df)
+
+    by_user: dict = {}
+    for r in df.collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    span = 300.0  # MERGE_SPAN_MIN
+    saw_multi = False
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["island_start"])
+        for r in rows:
+            assert (
+                r["island_end"] - r["island_start"]
+            ).total_seconds() >= span, (uid, r)
+        for a, b in zip(rows, rows[1:]):
+            saw_multi = True
+            assert b["island_start"] > a["island_end"], (uid, a, b)
+    assert saw_multi, "every user had one island — gap test is vacuous"
