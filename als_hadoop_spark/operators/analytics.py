@@ -400,8 +400,45 @@ def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: columns profiled by q_column_profile (name → value expression cast
+#: to string for the uniform unpivoted output)
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiler (the Deequ/dbt-docs "profile" shape):
+    per column — null count, approx-free distinct count, min and max
+    (stringified for a uniform schema) — computed in ONE pass.
+
+    Shape at scale: a single hash aggregate evaluates every metric for
+    every column simultaneously (count_distinct expands to one Expand +
+    partial-distinct aggregate per column, still map-side combined);
+    the unpivot (`stack`) runs on the ONE aggregated row. Compare the
+    naive profiler that scans the table once per column — 4× the IO
+    here, 100× on a wide table."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_expr}) AS "
+        "(column, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
 QUERIES = {
     "q_order_revenue_topn": q_order_revenue_topn,
+    "q_column_profile": q_column_profile,
     "q_nation_volume": q_nation_volume,
     "q_histogram": q_histogram,
     "q_outliers": q_outliers,
@@ -414,6 +451,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_column_profile": """
+        SELECT 'l_quantity' AS "column",
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+               CAST(MIN(l_quantity) AS VARCHAR) AS min_val,
+               CAST(MAX(l_quantity) AS VARCHAR) AS max_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice',
+               CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+               CAST(MIN(l_extendedprice) AS VARCHAR),
+               CAST(MAX(l_extendedprice) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag',
+               CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+               CAST(MIN(l_returnflag) AS VARCHAR),
+               CAST(MAX(l_returnflag) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_shipdate',
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+               CAST(MIN(l_shipdate) AS VARCHAR),
+               CAST(MAX(l_shipdate) AS VARCHAR)
+        FROM lineitem
+    """,
     "q_event_funnel": f"""
         WITH s1 AS (
             SELECT user_id, MIN(ts) AS t1 FROM events
