@@ -415,8 +415,12 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-distinct aggregate per column, still map-side combined);
     the unpivot (`stack`) runs on the ONE aggregated row. Compare the
     naive profiler that scans the table once per column — 4× the IO
-    here, 100× on a wide table."""
-    li = load(spark, sf_dir, "lineitem")
+    here, 100× on a wide table. spread=True: the multi-distinct Expand
+    multiplies rows ×|columns| BEFORE the partial aggregate, and the
+    fixture's single-row-group file would run that on one task (5.5 s →
+    1.8 s at sf0.1); production multi-row-group files parallelize at
+    the scan."""
+    li = load(spark, sf_dir, "lineitem", spread=True)
     aggs = []
     for c in PROFILE_COLS:
         aggs += [
