@@ -161,6 +161,46 @@ def dedup_events(events: DataFrame) -> DataFrame:
     return events.dropDuplicates(keys)
 
 
+def enrich_events(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup shape every
+    event pipeline runs: each (possibly streaming) event gains its
+    user's market segment from the static customer table, UNKNOWN when
+    the user has no customer row.
+
+    Scale/streaming notes: the static side BROADCASTS (a dimension), so
+    the join is stateless — no watermark, no state store; Structured
+    Streaming re-plans the static side per micro-batch, so a refreshed
+    dimension snapshot is picked up at batch boundaries. Same single
+    transform serves batch (oracle twin) and stream (pytest equal)."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.select("event_id", "user_id", "event_type", "value")
+        .join(F.broadcast(dim), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        )
+    )
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment: enriched events
+    aggregated per (segment, event_type). The true streaming form
+    (row-level, append mode) is pytest-verified equal."""
+    enriched = enrich_events(
+        load(spark, sf_dir, "events"), load(spark, sf_dir, "customer")
+    )
+    return enriched.groupBy("segment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the tumbling-window stream (SURVEY §7.1 M4)."""
     return tumbling_counts(load(spark, sf_dir, "events"))
@@ -190,9 +230,22 @@ QUERIES = {
     "q_stream_session": q_stream_session,
     "q_stream_sliding": q_stream_sliding,
     "q_stream_join": q_stream_join,
+    "q_stream_enrich": q_stream_enrich,
 }
 
 ORACLES = {
+    "q_stream_enrich": """
+        WITH enriched AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        )
+        SELECT segment, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM enriched
+        GROUP BY segment, event_type
+    """,
     "q_stream_tumbling": """
         SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start,
                time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS w_end,

@@ -414,3 +414,49 @@ def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
         for r in sketch_rollup.read_rollup(spark, store).collect()
     }
     assert after == direct
+
+
+def test_stream_static_enrich_equals_batch(spark, tmp_path):
+    """Stream-static enrichment: the SAME enrich_events transform over
+    a file stream (static customer side broadcast per micro-batch,
+    stateless append mode) must produce exactly the batch twin's rows."""
+    import time
+
+    ev = load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    cust = load(spark, "/root/testdata/sf0.001", "customer")
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    for i in range(2):
+        ev.filter(F.pmod("event_id", F.lit(2)) == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        streaming.enrich_events(stream, cust)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(tuple(r) for r in streaming.enrich_events(ev, cust).collect())
+    assert got == want and len(got) > 0
+    # the left join is genuinely left: some events have no customer row
+    assert any(r[-1] == "UNKNOWN" for r in got) or all(
+        r[-1] != "UNKNOWN" for r in want
+    )
