@@ -230,6 +230,33 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curate_neardup_docs(docs: DataFrame) -> DataFrame:
+    """The reusable curation core: quality filter (score ≥ 0.5) →
+    exact dedup (sha256, keep smallest doc_id) → minhash near-dup
+    keep-one. Returns the SURVIVOR DOCS (doc_id, lang, n_chars, text,
+    q, h) for downstream stages (summaries, mixture sampling, packing,
+    export). See q_curation_neardup for the per-stage scale rationale."""
+    from .dedup import _doc_shingles, minhash_candidates
+
+    scored = docs.select(
+        "doc_id", "lang", "n_chars", "text",
+        quality_score_col().alias("q"),
+        F.sha2("text", 256).alias("h"),
+    ).filter(F.col("q") >= 0.5)
+    exact_keep = scored.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    survivors = scored.join(exact_keep, ["h", "doc_id"], "left_semi")
+    cands = minhash_candidates(_doc_shingles(survivors.select("doc_id", "text")))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    near_drop = (
+        cands.select("id_a", "id_b", (inter / union).alias("j"))
+        .filter(F.col("j") >= 0.2)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return survivors.join(near_drop, "doc_id", "left_anti")
+
+
 def q_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL curation pipeline — q_curation extended with the
     near-dup stage a production training-data job runs (VERDICT r2
@@ -252,26 +279,8 @@ def q_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare relative to the corpus. Banding recall < 1 → rows-only;
     pytest plants cross-language near-dups and asserts they collapse
     while the per-lang totals still reconcile."""
-    from .dedup import _doc_shingles, minhash_candidates
-
     docs = load(spark, sf_dir, "documents", spread=True)
-    scored = docs.select(
-        "doc_id", "lang", "n_chars", "text",
-        quality_score_col().alias("q"),
-        F.sha2("text", 256).alias("h"),
-    ).filter(F.col("q") >= 0.5)
-    exact_keep = scored.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    survivors = scored.join(exact_keep, ["h", "doc_id"], "left_semi")
-    cands = minhash_candidates(_doc_shingles(survivors.select("doc_id", "text")))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    near_drop = (
-        cands.select("id_a", "id_b", (inter / union).alias("j"))
-        .filter(F.col("j") >= 0.2)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    final = survivors.join(near_drop, "doc_id", "left_anti")
+    final = curate_neardup_docs(docs)
     return final.groupBy("lang").agg(
         F.count("*").alias("n_kept"),
         F.sum("n_chars").alias("total_chars"),
