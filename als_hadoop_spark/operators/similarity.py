@@ -342,13 +342,64 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label embedding centroid (elementwise
+    mean) — the class-prototype computation behind nearest-centroid
+    classification, IVF codebook seeding, and drift monitoring.
+
+    Shape at scale: posexplode to (label, dim, value) then ONE hash
+    aggregate on the BOUNDED key (labels × dims, here 5×64) with
+    map-side partials — the shuffle carries one partial sum per task
+    per (label, dim), never the exploded rows; a second tiny aggregate
+    re-assembles the centroid array in dim order. No collect_list over
+    data-sized groups anywhere."""
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    per_dim = ex.groupBy("label", "pos").agg(
+        F.sum("v").alias("s"), F.count("*").alias("c")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", F.round(F.col("s") / F.col("c"), 4).alias("m"))
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("centroid"),
+            F.max("c").alias("n_vecs"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "q_sim_search": q_sim_search,
     "q_sim_search_lsh": q_sim_search_lsh,
     "q_sim_search_ivf": q_sim_search_ivf,
+    "q_embed_centroid": q_embed_centroid,
 }
 
 ORACLES = {
+    "q_embed_centroid": """
+        WITH ex AS (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings
+        ), per_dim AS (
+            SELECT label, pos,
+                   ROUND(SUM(v) / COUNT(*), 4) AS m,
+                   COUNT(*) AS c
+            FROM ex GROUP BY label, pos
+        )
+        SELECT label,
+               list(m ORDER BY pos) AS centroid,
+               CAST(MAX(c) AS BIGINT) AS n_vecs
+        FROM per_dim GROUP BY label ORDER BY label
+    """,
     "q_sim_search": """
         SELECT query_id, cand_id, cosine, rank FROM (
             SELECT query_id, cand_id, cosine,
