@@ -375,11 +375,61 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification + confusion matrix: every vector
+    scored against each label's centroid (rounded to 4dp so engine and
+    oracle classify against IDENTICAL prototypes), assigned to the
+    highest-cosine label (ties break on the larger label — a total
+    order), and reduced to (true label, predicted label, count).
+
+    Shape at scale: the K centroids are a broadcast (K × dim doubles);
+    the corpus makes ONE partition-parallel pass computing K cosines
+    per vector; the argmax is a max(struct) hash aggregate; the output
+    is the K×K confusion matrix. Integer-count output keeps the oracle
+    hash float-free."""
+    from ..functions.vectors import cosine_sim
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    per_dim = ex.groupBy("label", "pos").agg(
+        F.round(F.sum("v") / F.count("*"), 4).alias("m")
+    )
+    cent = (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("c_label"), "centroid")
+    )
+    scored = (
+        emb.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            cosine_sim("embedding", "centroid").alias("cos"),
+        )
+    )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max(F.struct("cos", "c_label")).alias("b")
+    )
+    return (
+        best.groupBy("label", F.col("b.c_label").alias("pred_label"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "pred_label")
+    )
+
+
 QUERIES = {
     "q_sim_search": q_sim_search,
     "q_sim_search_lsh": q_sim_search_lsh,
     "q_sim_search_ivf": q_sim_search_ivf,
     "q_embed_centroid": q_embed_centroid,
+    "q_nearest_centroid": q_nearest_centroid,
 }
 
 ORACLES = {
@@ -399,6 +449,34 @@ ORACLES = {
                list(m ORDER BY pos) AS centroid,
                CAST(MAX(c) AS BIGINT) AS n_vecs
         FROM per_dim GROUP BY label ORDER BY label
+    """,
+    "q_nearest_centroid": """
+        WITH ex AS (
+            SELECT label,
+                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings
+        ), per_dim AS (
+            SELECT label, pos, ROUND(SUM(v) / COUNT(*), 4) AS m
+            FROM ex GROUP BY label, pos
+        ), cent AS (
+            SELECT label AS c_label, list(m ORDER BY pos) AS centroid
+            FROM per_dim GROUP BY label
+        ), scored AS (
+            SELECT e.vec_id, e.label, c.c_label,
+                   list_cosine_similarity(e.embedding, c.centroid) AS cos
+            FROM embeddings e CROSS JOIN cent c
+        ), best AS (
+            SELECT vec_id, label, c_label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, c_label DESC
+                   ) AS rn
+            FROM scored
+        )
+        SELECT label, c_label AS pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM best WHERE rn = 1
+        GROUP BY label, c_label
+        ORDER BY label, pred_label
     """,
     "q_sim_search": """
         SELECT query_id, cand_id, cosine, rank FROM (
