@@ -79,7 +79,12 @@ def main(names: list[str]) -> int:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            # drop SQL caches AND persisted RDDs (MLlib fits,
+            # localCheckpoints) — residue skews later queries (see
+            # bench.py clear_caches)
             spark.catalog.clearCache()
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist(False)
             return dt
 
         def duck_once(name=name):
