@@ -189,3 +189,47 @@ def test_salted_join_key_carries_salt(spark, sf_dir):
     plan = explain_str(df)
     assert "_salt" in plan, "salt column missing from physical plan"
     assert_no_quadratic_join(df)
+
+
+def test_round3_additions_plan_shapes(spark, sf_dir):
+    """Plan gates for the round-3 operators: broadcasts where designed,
+    bounded shuffle budgets, no quadratic joins."""
+    from als_hadoop_spark import streaming
+    from als_hadoop_spark.operators import similarity, text, timeseries
+
+    # stream-static enrichment: the dimension side must broadcast
+    df = streaming.q_stream_enrich(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_quadratic_join(df)
+
+    # centroid: exactly the designed exchanges — deliberate spread
+    # repartition + per-dim agg + per-label agg + 10-row output sort —
+    # and no more (a collect_list over data-sized groups would add none
+    # but is guarded by the bounded-key design; a join would add one)
+    df = similarity.q_embed_centroid(spark, sf_dir)
+    n = count_shuffles(df)
+    assert n <= 4, f"centroid plans {n} shuffles"
+    assert "Join" not in explain_str(df)
+
+    # nearest-centroid: the K-prototype cross join must ride a
+    # BROADCAST nested loop (K×dim doubles shipped to every task — the
+    # designed shape; a shuffle-side cartesian would be the regression)
+    df = similarity.q_nearest_centroid(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    # gap fill: grid-sized join (spine ⋈ hourly) — no quadratic shape;
+    # the fact table feeds exactly one aggregation exchange, everything
+    # after runs on the bounded grid
+    df = timeseries.q_gap_fill(spark, sf_dir)
+    assert_no_quadratic_join(df)
+
+    # sequence packing: ONE data exchange (shard window) that the bin
+    # aggregate REUSES (shard ⊂ (shard, bin_id) clustering), plus only
+    # the bin-grid output sort — never a second data-sized shuffle
+    df = text.q_sequence_pack(spark, sf_dir)
+    n = count_shuffles(df)
+    assert n <= 2, f"sequence_pack plans {n} shuffles"
+    plan = explain_str(df)
+    assert "Window" in plan and "Join" not in plan, plan
