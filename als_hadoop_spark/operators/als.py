@@ -304,10 +304,65 @@ def q_als_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ranking-metric cutoff for q_als_ranking
+NDCG_K = 5
+
+
+def _mean_ndcg(preds: DataFrame, score_col: str, label: str) -> DataFrame:
+    """Mean NDCG@K over users with ≥2 probe items, ordering each user's
+    held-out items by ``score_col`` (graded relevance = the true
+    rating). One row: (method, ndcg_at_5, n_users)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col(score_col).desc(), "item_id")
+    wi = Window.partitionBy("user_id").orderBy(F.col("rating").desc(), "item_id")
+    ranked = preds.select(
+        "user_id",
+        "rating",
+        F.row_number().over(w).alias("r"),
+        F.row_number().over(wi).alias("ri"),
+    )
+    gain = lambda pos: F.col("rating") / F.log2(pos + F.lit(1.0))  # noqa: E731
+    per_user = (
+        ranked.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("r") <= NDCG_K, gain(F.col("r"))).otherwise(0.0)).alias("dcg"),
+            F.sum(F.when(F.col("ri") <= NDCG_K, gain(F.col("ri"))).otherwise(0.0)).alias("idcg"),
+            F.count("*").alias("n"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("idcg") > 0))
+    )
+    return per_user.agg(
+        F.lit(label).alias("method"),
+        F.round(F.avg(F.col("dcg") / F.col("idcg")), 4).alias("ndcg_at_5"),
+        F.count("*").alias("n_users"),
+    )
+
+
+def q_als_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML eval: ranking quality of the shared ALS fit — mean NDCG@5
+    over each user's HELD-OUT items ordered by predicted score, next to
+    a hash-random ordering of the same items as the floor. RMSE (the
+    reference's only metric, ALS-Hadoop/ALS/ALS.java:423-433) measures
+    pointwise error; a recommender is consumed as a RANKING, and NDCG
+    is the standard graded-relevance metric for that.
+
+    Shape: two row_number windows per variant over the probe set
+    (user-partitioned — scales like every other user-keyed window
+    here) and one bounded aggregate. Model-dependent scores → rows-only;
+    pytest gates model >> random and both in (0, 1]."""
+    preds, _, _, _ = _shared_pipeline(spark)
+    model = _mean_ndcg(preds, "prediction", "als_model")
+    rnd = preds.withColumn("_h", F.xxhash64("user_id", "item_id"))
+    random_floor = _mean_ndcg(rnd, "_h", "random_order")
+    return model.unionByName(random_floor)
+
+
 QUERIES = {
     "q_als_fit_predict": q_als_fit_predict,
     "q_als_rmse": q_als_rmse,
     "q_als_recommend": q_als_recommend,
     "q_als_item_sim": q_als_item_sim,
+    "q_als_ranking": q_als_ranking,
 }
 ORACLES: dict[str, str] = {}

@@ -94,3 +94,20 @@ def test_als_item_sim_shape_and_monotonicity(spark, sf_dir):
         assert cosines == sorted(cosines, reverse=True)
         assert all(-1.0 <= c <= 1.0 for c in cosines)
         assert all(r["item_id"] != probe for r in neigh)
+
+
+def test_als_ranking_beats_random(spark):
+    """NDCG@5 of the model ordering must clearly beat a hash-random
+    ordering of the same held-out items, and both must be valid
+    (0 < ndcg <= 1]. The random floor is high in absolute terms (per
+    user only a handful of probe items are shuffled), so the gate is on
+    the GAP, not a fixed threshold."""
+    from als_hadoop_spark.operators.als import q_als_ranking
+
+    rows = {r["method"]: r for r in q_als_ranking(spark, "unused").collect()}
+    assert set(rows) == {"als_model", "random_order"}
+    m, r = rows["als_model"], rows["random_order"]
+    assert m["n_users"] == r["n_users"] > 100
+    for row in (m, r):
+        assert 0.0 < row["ndcg_at_5"] <= 1.0, row
+    assert m["ndcg_at_5"] >= r["ndcg_at_5"] + 0.02, (m, r)
