@@ -185,3 +185,96 @@ def test_grouped_rank_percentiles_match_numpy(spark, vals):
     for g in {g for g, _ in vals}:
         want = float(np.percentile([v for gg, v in vals if gg == g], 90))
         assert abs(got[g] - want) < 1e-6, (g, got[g], want)
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=25
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """large-star/small-star CC must equal a brute-force union-find on
+    ANY small graph — self-loops, duplicate edges, chains, cliques."""
+    from als_hadoop_spark.functions.graph import connected_components
+
+    real = [(u, v) for u, v in edges if u != v]
+    if not real:
+        return
+    df = spark.createDataFrame(real, "src LONG, dst LONG")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in real:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    ts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2000)), min_size=1, max_size=30
+    )
+)
+def test_interval_merge_islands_match_bruteforce(spark, ts):
+    """The running-max-end island windows must reproduce a brute-force
+    interval sweep for ANY event multiset (ties, duplicates, nested and
+    touching intervals). Span fixed at 100 time units."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    span = 100
+    df = spark.createDataFrame(ts, "user_id LONG, t LONG").select(
+        "user_id", F.col("t").alias("start"), (F.col("t") + span).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max("end").over(w_prev)
+    is_new = F.when(prev_end.isNull() | (F.col("start") > prev_end), 1).otherwise(0)
+    got = sorted(
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in df.select(
+            "user_id", "start", "end", F.sum(is_new).over(w_run).alias("isl")
+        )
+        .groupBy("user_id", "isl")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"), F.count("*").alias("n"))
+        .collect()
+    )
+
+    want = []
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t in ts:
+        by_user[u].append((t, t + span))
+    for u, ivs in by_user.items():
+        ivs.sort()
+        cur_s, cur_e, cnt = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                want.append((u, cur_s, cur_e, cnt))
+                cur_s, cur_e, cnt = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                cnt += 1
+        want.append((u, cur_s, cur_e, cnt))
+    assert got == sorted(want)
