@@ -426,6 +426,34 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality: keep each doc with probability
+    equal to its quality score (keep iff hash-u < q) — the
+    quality-weighted curation knob between "hard threshold" (q_curation
+    drops q < 0.5 outright) and "keep everything": low-quality docs
+    survive at reduced rate instead of vanishing, preserving
+    distributional coverage (the standard soft-filter in web-corpus
+    pipelines). Same Knuth-hash u as q_sample_mixture, so the draw is
+    deterministic, auditable, layout-independent, and evaluated per-row
+    at the scan with no shuffle before the bounded summary. Emits per
+    lang: kept/total plus avg quality of kept vs all — the upweighting
+    effect made visible (kept average must sit above the population
+    average)."""
+    docs = load(spark, sf_dir, "documents")
+    u = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_MOD31)) * F.lit(_KNUTH), F.lit(_MOD31)
+    ) / F.lit(float(_MOD31))
+    scored = docs.select(
+        "lang", quality_score_col().alias("q"), (u < quality_score_col()).alias("kept")
+    )
+    return scored.groupBy("lang").agg(
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.count("*").alias("n_total"),
+        F.round(F.avg(F.when(F.col("kept"), F.col("q"))), 4).alias("avg_q_kept"),
+        F.round(F.avg("q"), 4).alias("avg_q_all"),
+    )
+
+
 #: sequence-packing config: training-example token budget + packer shards
 PACK_CAP = 2048
 PACK_SHARDS = 16
@@ -480,6 +508,7 @@ QUERIES = {
     "q_curation": q_curation,
     "q_curation_neardup": q_curation_neardup,
     "q_sample_mixture": q_sample_mixture,
+    "q_quality_sample": q_quality_sample,
     "q_token_topk": q_token_topk,
     "q_lang_id": q_lang_id,
     "q_text_quality": q_text_quality,
@@ -546,6 +575,30 @@ ORACLES = {
                        ' '),
                    '[0-9]{3,}', '[NUM]', 'g')) AS scrubbed_hash
         FROM documents
+    """,
+    "q_quality_sample": """
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   ROUND(LEAST(len(t) / 100.0, 1.0) * 0.4
+                         + ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) * 0.4
+                         + (1.0 - ROUND(CAST(len(list_filter(t,
+                               x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                               / len(t), 4)) * 0.2,
+                         4) AS q
+            FROM (SELECT *, string_split(text, ' ') AS t FROM documents)
+        ), drawn AS (
+            SELECT lang, q,
+                   CAST(((doc_id % 2147483648) * 2654435761)
+                        % 2147483648 AS DOUBLE) / 2147483648.0 < q AS kept
+            FROM scored
+        )
+        SELECT lang,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               ROUND(AVG(CASE WHEN kept THEN q END), 4) AS avg_q_kept,
+               ROUND(AVG(q), 4) AS avg_q_all
+        FROM drawn
+        GROUP BY lang
     """,
     "q_sample_mixture": """
         SELECT lang,
