@@ -60,6 +60,24 @@ ANNOTATED = {
         "aggregate share the user_id partitioning — exactly one Exchange "
         "in the plan."
     ),
+    "q_sequence_pack": (
+        "Sequence packing: one shard-partitioned window exchange that the "
+        "bin aggregate reuses (shard is a subset of its grouping key); "
+        "the only other exchange sorts the bin-grid output. No global "
+        "sort over documents."
+    ),
+    "q_stream_enrich": (
+        "Stream-static enrichment: the dimension side broadcasts "
+        "(BroadcastHashJoin), so the streaming form is stateless — no "
+        "watermark, no state store; a refreshed dimension snapshot is "
+        "picked up per micro-batch."
+    ),
+    "q_nearest_centroid": (
+        "Nearest-centroid scoring: the K prototypes ride a "
+        "BroadcastNestedLoopJoin (K rows against the corpus — the correct "
+        "shape for a keyless K-way score), argmax is a max(struct) hash "
+        "aggregate, output is the K x K confusion matrix."
+    ),
 }
 
 
