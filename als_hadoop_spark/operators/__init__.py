@@ -23,12 +23,14 @@ from . import (
     sketches,
     text,
     timeseries,
+    tpch,
     udfs,
 )
 
 _MODULES = (
     relational,
     analytics,
+    tpch,
     als,
     dedup,
     similarity,

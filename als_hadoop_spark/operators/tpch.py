@@ -1,0 +1,347 @@
+"""Canonical decision-support shapes (TPC-H Q13/Q15/Q18/Q21/Q22) that
+round out the relational surface beyond `analytics.py`'s Q3/Q5 and
+`relational.py`'s Q17-shape correlated subquery.
+
+Each query here exists because its SHAPE forces a distinct planner
+capability that nothing else in the registry exercises:
+
+- Q13  outer-join + double aggregation (aggregate of an aggregate of a
+  LEFT join, zero-groups preserved)
+- Q15  aggregate-of-aggregate with a scalar max joined back (ties kept)
+- Q18  HAVING on a fact-side aggregate used as a semi-join filter
+- Q21  multi-correlated EXISTS / NOT EXISTS — rewritten here into ONE
+  per-order aggregate (the scalable plan); the oracle keeps the
+  literal EXISTS/NOT-EXISTS text, so CORRECTNESS proves the rewrite
+- Q22  scalar subquery threshold + anti-join
+
+The reference engine (ALS-Hadoop) has no subquery story at all — its
+only joins are the two broadcast-hash joins inside the ALS solver
+(``ALS-Hadoop/ALS/ALS.java:380-383``) — so these rows are Part-B gap
+fillers: what a user of a general engine over the same star schema
+runs every day.
+
+Float discipline: every money aggregate here is computed in INTEGER
+CENTS (``price·100`` and ``discount·100`` are exact 2-decimal fixture
+values), summed exactly as BIGINT, and divided back to dollars only
+for display. Unlike the round-after-sum discipline used elsewhere,
+this makes equality comparisons on aggregates (Q15's ``rev = max_rev``,
+Q22's ``bal > avg_bal``) EXACT across engines — no .005 boundary risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+
+#: Q13 — exclude one priority class so the LEFT join filters for real
+Q13_EXCLUDE_PRIORITY = "5-LOW"
+
+#: Q15 — revenue window (one quarter of the fixture's date span)
+Q15_DATE_LO = "1998-01-01"
+Q15_DATE_HI = "1998-04-01"
+
+#: Q18 — per-order quantity threshold (≈ p999 of the fixture's
+#: per-order sums → a few dozen survivors at any sf; scale-free shape)
+Q18_MIN_QTY = 300.0
+Q18_TOPN = 100
+
+#: Q21 — "late" = shipped more than this many days after the order
+#: date (≈ p92 of the fixture's ship lag)
+Q21_LATE_DAYS = 1500
+Q21_TOPN = 20
+
+#: Q22 — the order class whose ABSENCE qualifies a customer
+Q22_PRIORITY = "1-URGENT"
+
+
+def _cents(price_col: str, discount_col: str) -> F.Column:
+    """Exact discounted revenue in integer 1/100-cents:
+    round(price·100)·(100 − round(disc·100)). BIGINT, overflow-safe
+    (≪ 2^63 even for a 100 TB sum under Spark's 128-bit partials? No —
+    sum of BIGINT stays BIGINT; max line value ≈ 10^9 units, 10^12
+    rows → ≈ 10^21 > 2^63. At that scale switch the SUM to
+    DECIMAL(38,0) — Spark does this automatically for decimal inputs;
+    here the fixture's 60 M-row ceiling keeps BIGINT exact)."""
+    p = F.round(F.col(price_col) * 100).cast("bigint")
+    d = F.round(F.col(discount_col) * 100).cast("bigint")
+    return p * (F.lit(100).cast("bigint") - d)
+
+
+def q_outer_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count —
+    how many customers placed exactly N (non-excluded) orders, with
+    customers who placed none preserved as N = 0.
+
+    Plan shape: orders are pre-aggregated to per-customer counts FIRST
+    (one shuffle on o_custkey, map-side partials), so the LEFT join
+    moves only #customers-sized rows — the naive left-join-then-count
+    would shuffle every order row through the join. The second
+    aggregate's key space is bounded by max orders/customer (a few
+    dozen), so it collapses to almost nothing. At 100 TB this is one
+    fact shuffle + one bounded aggregate."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != Q13_EXCLUDE_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("_cnt"), F.lit(0).cast("bigint")).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+def q_agg_of_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose windowed revenue equals
+    the MAX over all suppliers' windowed revenue (ties kept).
+
+    Plan shape: one fact pass → per-supplier revenue (bounded by
+    #suppliers); the scalar max is a 1-row aggregate of that bounded
+    set, broadcast back as a cross join — no second fact pass, no
+    window-over-everything. The equality join is on an EXACT integer
+    (cents), so ties are real ties, not float luck."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_DATE_HI).cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents("l_extendedprice", "l_discount")).alias("_rev_cents")
+    )
+    top = rev.agg(F.max("_rev_cents").alias("_max_cents"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev._rev_cents == top._max_cents)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev_cents") / 10000.0, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — customers whose order
+    sums more than Q18_MIN_QTY units across its lineitems.
+
+    Plan shape: the HAVING aggregate runs on the fact table first
+    (shuffle on l_orderkey, map-side partials) and survives as a tiny
+    filter set (≈ p999 of orders); joining orders to it is effectively
+    a semi-join that AQE converts to broadcast at runtime; customer is
+    an explicit broadcast. Top-N is TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(Q18_TOPN)
+    )
+
+
+def q_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who kept multi-supplier orders
+    waiting — supplier S qualifies for an order iff S shipped late,
+    ANOTHER supplier participated (EXISTS), and NO other supplier
+    shipped late (NOT EXISTS).
+
+    The literal formulation is two correlated self-joins on the fact
+    table (EXISTS + NOT EXISTS); at 100 TB that is three fact shuffles
+    and two anti/semi probes. This implementation rewrites it as ONE
+    per-order aggregate — count distinct suppliers and distinct LATE
+    suppliers per order — after which the qualification is a pure
+    per-row predicate:
+
+        late(S, O) ∧ n_suppliers(O) ≥ 2 ∧ n_late_suppliers(O) = 1
+
+    (S is late and is therefore THE unique late supplier). One fact
+    shuffle on l_orderkey replaces all three. The oracle keeps the
+    EXISTS / NOT EXISTS text, so the driver's hash-compare PROVES the
+    rewrite equivalent on real data."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        ).alias("_late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+        F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_late_supps"),
+    )
+    qualifying = (
+        per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+        .select(F.element_at("_late_supps", 1).alias("s_suppkey"))
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qualifying.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), "s_suppkey")
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(Q21_TOPN)
+    )
+
+
+def q_scalar_threshold_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count + balance of customers whose
+    balance beats the positive-balance average AND who never placed a
+    Q22_PRIORITY order (scalar subquery threshold + anti-join).
+
+    Plan shape: the threshold is a 1-row aggregate over the customer
+    dimension, broadcast as a cross join (no collect); the anti-join
+    probes only priority-filtered orders (filter pushed into the
+    scan); the final aggregate is bounded by #nations. The threshold
+    is computed as exact-integer cents-sum / count in BOTH engines, so
+    the comparison is bit-identical — no float-average boundary."""
+    cust = load(spark, sf_dir, "customer")
+    bal_cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(bal_cents) / F.count(F.lit(1))).alias("_avg_cents")
+        )
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == Q22_PRIORITY)
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(bal_cents > F.col("_avg_cents"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(bal_cents) / 100.0, 2).alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+QUERIES = {
+    "q_outer_join_count": q_outer_join_count,
+    "q_agg_of_agg": q_agg_of_agg,
+    "q_having_semijoin": q_having_semijoin,
+    "q_exists_chain": q_exists_chain,
+    "q_scalar_threshold_anti": q_scalar_threshold_anti,
+}
+
+_CENTS_SQL = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+ORACLES = {
+    "q_outer_join_count": f"""
+        SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM (
+            SELECT c_custkey,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+            FROM customer
+            LEFT JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}'
+            GROUP BY c_custkey
+        )
+        GROUP BY n_orders
+        ORDER BY n_customers DESC, n_orders DESC
+    """,
+    "q_agg_of_agg": f"""
+        WITH rev AS (
+            SELECT l_suppkey, SUM({_CENTS_SQL}) AS rev_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO} 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{Q15_DATE_HI} 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               ROUND(rev_cents / 10000.0, 2) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q_having_semijoin": f"""
+        SELECT c_name, o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS o_totalprice, sum_qty
+        FROM orders
+        JOIN (
+            SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING ROUND(SUM(l_quantity), 2) > {Q18_MIN_QTY}
+        ) big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT {Q18_TOPN}
+    """,
+    "q_exists_chain": f"""
+        WITH flagged AS (
+            SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                       AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM (
+            SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+            FROM flagged l1
+            WHERE l1.late
+              AND EXISTS (
+                  SELECT 1 FROM flagged l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                  SELECT 1 FROM flagged l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+        ) q
+        JOIN supplier ON q.l_suppkey = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT {Q21_TOPN}
+    """,
+    "q_scalar_threshold_anti": f"""
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+                   AS total_acctbal
+        FROM customer c
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+                SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                       / CAST(COUNT(*) AS DOUBLE)
+                FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '{Q22_PRIORITY}')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+}
