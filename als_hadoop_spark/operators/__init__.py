@@ -18,6 +18,7 @@ from . import (
     dedup,
     multimodal,
     ngrams,
+    pca,
     relational,
     similarity,
     sketches,
@@ -37,6 +38,7 @@ _MODULES = (
     sketches,
     text,
     ngrams,
+    pca,
     multimodal,
     timeseries,
     udfs,
