@@ -16,6 +16,7 @@ from . import (
     als,
     analytics,
     dedup,
+    fuzzy,
     multimodal,
     ngrams,
     pca,
@@ -32,6 +33,7 @@ _MODULES = (
     relational,
     analytics,
     tpch,
+    fuzzy,
     als,
     dedup,
     similarity,

@@ -1,0 +1,182 @@
+"""Edit-distance similarity join (entity resolution / fuzzy matching)
+with EXACT results and NO quadratic plan node.
+
+Candidate generation is PassJoin-style segment blocking (Li, Deng,
+Feng — "PassJoin: A Partition-based Method for Similarity Joins",
+PVLDB 5(3), 2011 — public methodology): partition every corpus string
+into τ+1 segments; by pigeonhole, any string within edit distance τ
+must contain at least one segment VERBATIM, at a start position
+shifted by at most τ. So:
+
+- corpus side emits τ+1 = 3 rows per string: (seg_idx, len, content)
+- probe side emits the substrings that could equal a corpus segment:
+  for each candidate corpus length L ∈ [|s|−τ, |s|+τ], each segment
+  index, each shift δ ∈ [−τ, τ] — ≤ (τ+1)(2τ+1)² = 75 bounded keys
+  per probe, deliberately placed on the SMALLER side of the join
+- candidates meet in an EQUI-join on (seg_idx, L, content), are
+  deduplicated, then VERIFIED with the real ``levenshtein`` — false
+  candidates cost only work, never correctness; the pigeonhole lemma
+  guarantees no false negatives.
+
+At 100 TB the corpus side carries 3 rows per string through one
+shuffle; there is no nested-loop anywhere (plan-gated). The oracle is
+the brute-force CROSS JOIN + levenshtein in DuckDB — the driver's
+hash-compare therefore PROVES the blocking exact on real data, the
+same discipline as q_exists_chain's rewrite proof.
+
+Probe set: deterministic in-query mutation of every 150th customer
+name (one character substituted), so both engines derive identical
+probes with no side-channel fixture.
+
+The best match per probe is reduced via an exact integer encoding
+min(dist·10⁹ + custkey) — argmin with a total order, no float, no
+window sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+
+#: edit-distance threshold (τ) — segments = τ + 1
+FUZZY_TAU = 2
+
+#: every Nth customer becomes a probe (bounded probe set at any sf)
+PROBE_MOD = 150
+PROBE_REM = 7
+
+#: 1-based position of the substituted character in the probe name
+MUTATE_POS = 15
+
+
+def _mutated_probe(name: Column) -> Column:
+    """Replace the MUTATE_POS-th character with 'X' (names are
+    ``Customer#%09d`` — position 15 is always a digit, so the probe is
+    at exact edit distance 1 from its source)."""
+    return F.concat(
+        F.substring(name, 1, MUTATE_POS - 1),
+        F.lit("X"),
+        F.expr(f"substring(c_name, {MUTATE_POS + 1})"),
+    )
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tau = FUZZY_TAU
+    nseg = tau + 1
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    # ---- corpus index: τ+1 segment rows per string --------------------
+    # segment i of a length-L string spans [floor(i·L/n)+1, floor((i+1)·L/n)]
+    seg_idx = F.explode(F.array(*[F.lit(i) for i in range(nseg)])).alias("i")
+    corpus = (
+        cust.select("c_custkey", "c_name", F.length("c_name").alias("L"), seg_idx)
+        .select(
+            "c_custkey",
+            "c_name",
+            "L",
+            "i",
+            F.expr(f"CAST(i * L / {nseg} AS INT) + 1").alias("p"),
+            F.expr(f"CAST((i + 1) * L / {nseg} AS INT) - CAST(i * L / {nseg} AS INT)").alias("sl"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "i",
+            "L",
+            F.expr("substring(c_name, p, sl)").alias("seg"),
+        )
+    )
+
+    # ---- probe side: bounded key expansion ---------------------------
+    probes = cust.filter(
+        F.col("c_custkey") % PROBE_MOD == PROBE_REM
+    ).select(
+        F.col("c_custkey").alias("probe_key"),
+        _mutated_probe(F.col("c_name")).alias("probe_name"),
+    )
+    lens = F.explode(
+        F.array(*[F.lit(dl) for dl in range(-tau, tau + 1)])
+    ).alias("dl")
+    shifts = F.explode(
+        F.array(*[F.lit(s) for s in range(-tau, tau + 1)])
+    ).alias("sh")
+    pkeys = (
+        probes.select(
+            "probe_key",
+            "probe_name",
+            F.length("probe_name").alias("ls"),
+            lens,
+        )
+        .select("probe_key", "probe_name", (F.col("ls") + F.col("dl")).alias("L"), seg_idx)
+        .select("probe_key", "probe_name", "L", "i", shifts)
+        .select(
+            "probe_key",
+            "probe_name",
+            "L",
+            "i",
+            F.expr(f"CAST(i * L / {nseg} AS INT) + 1 + sh").alias("p"),
+            F.expr(f"CAST((i + 1) * L / {nseg} AS INT) - CAST(i * L / {nseg} AS INT)").alias("sl"),
+        )
+        .filter(F.col("p") >= 1)
+        .select(
+            "probe_key",
+            "probe_name",
+            "i",
+            "L",
+            F.expr("substring(probe_name, p, sl)").alias("seg"),
+        )
+    )
+
+    # ---- candidates: equi-join, dedup, verify ------------------------
+    cand = (
+        pkeys.join(corpus, ["i", "L", "seg"])
+        .select("probe_key", "probe_name", "c_custkey", "c_name")
+        .distinct()
+        .withColumn("dist", F.levenshtein("probe_name", "c_name"))
+        .filter(F.col("dist") <= tau)
+    )
+    enc = F.col("dist").cast("bigint") * F.lit(1_000_000_000).cast("bigint") + F.col(
+        "c_custkey"
+    )
+    return (
+        cand.groupBy("probe_key", "probe_name")
+        .agg(F.min(enc).alias("_enc"))
+        .select(
+            "probe_key",
+            "probe_name",
+            (F.col("_enc") % 1_000_000_000).alias("match_custkey"),
+            F.expr("_enc div 1000000000").alias("distance"),
+        )
+        .orderBy("probe_key")
+    )
+
+
+QUERIES = {"q_fuzzy_join": q_fuzzy_join}
+
+ORACLES = {
+    "q_fuzzy_join": f"""
+        WITH probes AS (
+            SELECT c_custkey AS probe_key,
+                   substr(c_name, 1, {MUTATE_POS - 1}) || 'X'
+                       || substr(c_name, {MUTATE_POS + 1}) AS probe_name
+            FROM customer
+            WHERE c_custkey % {PROBE_MOD} = {PROBE_REM}
+        ),
+        verified AS (
+            SELECT probe_key, probe_name, c_custkey,
+                   levenshtein(probe_name, c_name) AS dist
+            FROM probes CROSS JOIN customer
+            WHERE levenshtein(probe_name, c_name) <= {FUZZY_TAU}
+        )
+        SELECT probe_key, probe_name,
+               MIN(dist * 1000000000 + c_custkey) % 1000000000
+                   AS match_custkey,
+               MIN(dist * 1000000000 + c_custkey) // 1000000000
+                   AS distance
+        FROM verified
+        GROUP BY probe_key, probe_name
+        ORDER BY probe_key
+    """,
+}
