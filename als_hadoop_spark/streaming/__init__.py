@@ -147,6 +147,47 @@ def click_attribution(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_outer(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click paired with
+    the purchases by the same user in the following 30 minutes — or a
+    NULL purchase if none arrive. The outer side is the part the inner
+    join (click_attribution) can't express: on a stream, Spark holds
+    each click in state until the watermark passes the end of its
+    30-minute match window, and only then emits the NULL row — so
+    "no conversion" is a statement the engine can prove, not just the
+    absence of output.
+
+    Scale: state per click is bounded by watermark + interval horizon,
+    sharded by user_id; NULL emission is driven by the global watermark
+    (min over both sides). On batch frames the same expression is a
+    plain LEFT JOIN with the interval predicate — the oracle twin."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    conv = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", WATERMARK)
+        conv = conv.withWatermark("conv_ts", WATERMARK)
+    cond = (
+        (clicks.c_user == conv.user_id)
+        & (conv.conv_ts > clicks.click_ts)
+        & (conv.conv_ts <= clicks.click_ts + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return clicks.join(conv, cond, "left_outer").select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "conv_id",
+        "conv_ts",
+    )
+
+
 def dedup_events(events: DataFrame) -> DataFrame:
     """Streaming exact dedup: first occurrence of each (user_id, props)
     payload wins; duplicates arriving later are dropped. On a stream,
@@ -225,7 +266,15 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_attribution(load(spark, sf_dir, "events"))
 
 
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream LEFT OUTER interval join; the
+    true streaming form (NULL rows emitted on watermark passage) is
+    pytest-verified (tests/test_streaming.py)."""
+    return attribution_outer(load(spark, sf_dir, "events"))
+
+
 QUERIES = {
+    "q_stream_outer_join": q_stream_outer_join,
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_session": q_stream_session,
     "q_stream_sliding": q_stream_sliding,
@@ -234,6 +283,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_stream_outer_join": """
+        SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+               p.event_id AS conv_id, p.ts AS conv_ts
+        FROM events c
+        LEFT JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >  c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click'
+    """,
     "q_stream_enrich": """
         WITH enriched AS (
             SELECT e.event_id, e.event_type, e.value,

@@ -178,6 +178,74 @@ def test_stateful_sessionize_matches_batch_sessions(spark, sf_dir, tmp_path):
         assert key in batch, f"emitted session not in batch twin: {key}"
 
 
+def test_stream_outer_join_emits_null_on_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a click with no purchase in its
+    30-minute window must be emitted WITH NULLs once the global
+    watermark passes the window end — the engine proving "no
+    conversion happened", not merely staying silent. A trailing click
+    the watermark never passes stays unemitted (documented Spark outer
+    join semantics)."""
+    import datetime as dt
+    import time
+
+    src = str(tmp_path / "oj_src")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    m = dt.timedelta(minutes=1)
+    batches = [
+        [
+            (1, base, 1, "click", 0.0),          # matched: purchase at +10
+            (2, base + 10 * m, 1, "purchase", 9.9),
+            (3, base, 2, "click", 0.0),          # UNmatched → NULL row
+        ],
+        # watermark advancers: the GLOBAL watermark is the min over
+        # both sides, so each batch advances clicks AND purchases
+        # (unrelated user), spaced so state cleanup fires across
+        # micro-batches
+        [(90, base + 90 * m, 99, "click", 1.0),
+         (93, base + 90 * m, 99, "purchase", 1.0)],
+        [(91, base + 180 * m, 99, "click", 1.0),
+         (94, base + 180 * m, 99, "purchase", 1.0)],
+        [(92, base + 270 * m, 99, "click", 1.0),
+         (95, base + 270 * m, 99, "purchase", 1.0)],
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        streaming.attribution_outer(stream)
+        .writeStream.format("memory")
+        .queryName("t_oj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = {
+        (r["click_id"], r["conv_id"]) for r in spark.table("t_oj").collect()
+    }
+    assert (1, 2) in got, f"matched pair missing: {got}"
+    assert (3, None) in got, f"outer NULL row not emitted: {got}"
+
+
+def test_stream_outer_join_batch_twin_covers_all_clicks(spark, sf_dir):
+    """Batch twin sanity: every click appears at least once, and
+    unmatched clicks carry NULL conv columns."""
+    events = load(spark, sf_dir, "events")
+    out = streaming.attribution_outer(events)
+    n_clicks = events.filter(F.col("event_type") == "click").count()
+    assert out.select("click_id").distinct().count() == n_clicks
+    assert out.filter(F.col("conv_id").isNull()).count() > 0
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """An event arriving later than the watermark delay behind the
     stream's max event time must be dropped from a windowed aggregate
