@@ -78,6 +78,30 @@ ANNOTATED = {
         "shape for a keyless K-way score), argmax is a max(struct) hash "
         "aggregate, output is the K x K confusion matrix."
     ),
+    "q_exists_chain": (
+        "TPC-H Q21 shape. The literal EXISTS/NOT-EXISTS plan probes the "
+        "fact table three times; this compiles the rewrite — one fact "
+        "join + a two-level plain hash aggregation (no Expand, no "
+        "countDistinct, no collect_set) — so lineitem is scanned ONCE "
+        "and qualification is a per-row predicate on bounded rows. The "
+        "DuckDB oracle keeps the literal EXISTS text, proving the "
+        "rewrite on real data."
+    ),
+    "q_fuzzy_join": (
+        "Exact edit-distance join via PassJoin segment blocking: every "
+        "join in the plan is a hash equi-join on (segment_idx, length, "
+        "content) — no CartesianProduct / BroadcastNestedLoopJoin — and "
+        "the corpus side carries only tau+1 = 3 segment rows per string "
+        "through the shuffle. levenshtein verifies candidates; the "
+        "argmin is an integer-encoded min() hash aggregate, no window."
+    ),
+    "q_embed_pca": (
+        "Distributed PCA: the only Python stage is the sufficient-"
+        "statistics mapInPandas (one numpy gemm per Arrow batch, one "
+        "~33 KB partial row out); partials reduce through a bounded-key "
+        "hash aggregate (d + d^2 keys), and the projection/apply pass "
+        "is pure JVM — no ArrowEvalPython above the final aggregate."
+    ),
 }
 
 
