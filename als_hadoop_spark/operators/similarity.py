@@ -424,10 +424,147 @@ def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PQ layout: M subspaces × K centroids (4-bit codes) — 8 codes/vector
+PQ_M = 8
+PQ_K = 16
+#: ADC candidates kept per query for exact re-rank (10 × TOP_K)
+PQ_CAND = 50
+#: training-sample bound, same discipline as IVF_SAMPLE_PER_CELL
+PQ_SAMPLE = 128 * PQ_K
+
+
+def _fit_pq_codebooks(X, m: int = PQ_M, k: int = PQ_K, n_iter: int = 10, seed: int = 42):
+    """Per-subspace L2 Lloyd's k-means on a BOUNDED in-memory sample —
+    the Faiss-PQ train step. X is s×d unit rows; returns (m, k, d/m)
+    centroids. Fully vectorized, zero Spark jobs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    d = X.shape[1]
+    ds = d // m
+    books = []
+    for i in range(m):
+        S = X[:, i * ds : (i + 1) * ds]
+        C = S[rng.choice(len(S), size=min(k, len(S)), replace=False)]
+        for _ in range(n_iter):
+            # assign: argmin ||s - c||² = argmax (s·c - ||c||²/2)
+            a = np.argmax(S @ C.T - 0.5 * (C * C).sum(axis=1), axis=1)
+            sums = np.zeros_like(C)
+            cnt = np.zeros(len(C))
+            np.add.at(sums, a, S)
+            np.add.at(cnt, a, 1)
+            nonempty = cnt > 0
+            C = np.where(nonempty[:, None], sums / np.maximum(cnt, 1)[:, None], C)
+        books.append(C)
+    return np.stack(books)
+
+
+def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (Jégou, Douze, Schmid — "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    methodology): each unit vector compresses to PQ_M 4-bit codes
+    (8 codes ≈ 8 bytes vs 256 bytes raw — the memory-bound scale path
+    the IVF/bit-sketch variants don't cover), queries score the CODES
+    via asymmetric-distance lookup tables, and only the top PQ_CAND
+    candidates per query are re-ranked with exact cosine. Same output
+    schema as q_sim_search; recall@k gated in pytest.
+
+    Scale contract:
+    - TRAIN: one bounded seeded sample collect (≤ PQ_SAMPLE rows),
+      per-subspace numpy Lloyd's on the driver — zero Spark jobs;
+    - ENCODE: codebooks ship inside one Arrow-batched pandas_udf
+      closure (m·k·d/m doubles), one matmul-argmax per subspace per
+      batch — one corpus pass, 8 bytes/vector out;
+    - ADC SCORING IS PURE JVM: each query's m×k lookup table rides a
+      5-row broadcast as array<array<double>>, and the code-indexed
+      gather compiles to chained `element_at`s — the corpus-sized scan
+      never touches Python;
+    - RE-RANK: exact cosine on PQ_CAND × N_QUERIES rows only."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    unit = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double") / F.sqrt(sq)).alias("u"),
+    )
+    n = emb.count()
+    frac = min(1.0, PQ_SAMPLE / max(n, 1))
+    sample = unit.select("u") if frac >= 1.0 else unit.select("u").sample(frac, seed=42)
+    X = np.stack([np.asarray(r["u"]) for r in sample.collect()])
+    books = _fit_pq_codebooks(X)  # (m, k, ds)
+
+    @pandas_udf("array<int>")
+    def encode(u: pd.Series) -> pd.Series:
+        import numpy as np  # self-contained closure
+
+        if len(u) == 0:
+            return pd.Series([], dtype=object)
+        U = np.stack([np.asarray(v, dtype="float64") for v in u])
+        m, _, ds = books.shape
+        codes = np.empty((len(U), m), dtype="int32")
+        for i in range(m):
+            S = U[:, i * ds : (i + 1) * ds]
+            C = books[i]
+            codes[:, i] = np.argmax(S @ C.T - 0.5 * (C * C).sum(axis=1), axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    coded = unit.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        encode("u").alias("codes"),
+    )
+    # per-query ADC lookup tables: lut[m][k] = q_m · C[m][k]
+    qrows = unit.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding", "u").collect()
+    luts = [
+        (
+            r["vec_id"],
+            r["embedding"],
+            [
+                (books[i] @ np.asarray(r["u"])[i * books.shape[2] : (i + 1) * books.shape[2]]).tolist()
+                for i in range(PQ_M)
+            ],
+        )
+        for r in qrows
+    ]
+    lut_df = spark.createDataFrame(
+        luts, "query_id LONG, qv ARRAY<FLOAT>, lut ARRAY<ARRAY<DOUBLE>>"
+    )
+    adc = sum(
+        F.element_at(
+            F.element_at("lut", i + 1), F.element_at("codes", i + 1) + F.lit(1)
+        )
+        for i in range(PQ_M)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_adc").desc(), F.col("cand_id"))
+    cands = (
+        coded.join(F.broadcast(lut_df), F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "qv", "cand_id", "cv", adc.alias("_adc"))
+        .withColumn("_arank", F.row_number().over(w))
+        .filter(F.col("_arank") <= PQ_CAND)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        cands.select(
+            "query_id", "cand_id", F.round(cosine_sim("qv", "cv"), 6).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 QUERIES = {
     "q_sim_search": q_sim_search,
     "q_sim_search_lsh": q_sim_search_lsh,
     "q_sim_search_ivf": q_sim_search_ivf,
+    "q_sim_search_pq": q_sim_search_pq,
     "q_embed_centroid": q_embed_centroid,
     "q_nearest_centroid": q_nearest_centroid,
 }

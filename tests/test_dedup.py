@@ -67,6 +67,21 @@ def test_ivf_ann_recall_at_k(spark):
     assert recall >= 0.8, f"IVF recall@k {recall:.2f} < 0.8"
 
 
+def test_pq_ann_recall_at_k(spark):
+    """Product-quantization ANN (4-bit ADC + exact re-rank of the top
+    PQ_CAND) must recover >= 80% of the exact per-query top-k."""
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.q_sim_search(spark, MID_SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.q_sim_search_pq(spark, MID_SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ recall@k {recall:.2f} < 0.8"
+
+
 def test_banded_lsh_recall_on_planted_high_cosine(spark):
     """Banded lsh_candidates operates in the high-similarity regime:
     on planted cos>=0.95 duplicate pairs it must recover >= 80%."""
