@@ -440,7 +440,102 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PageRank parameters — fixed iterations so engine and oracle run the
+#: IDENTICAL computation (no convergence-threshold ambiguity)
+PR_DAMPING = 0.85
+PR_ITER = 5
+PR_TOPN = 20
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the customer–supplier
+    co-occurrence graph (an order's lineitems connect its customer to
+    each supplier; edges symmetrized, so no dangling nodes): the
+    iterative-graph workload beyond ALS, run as 5 Pregel-style
+    join-aggregate rounds (``functions.graph.pagerank``).
+
+    Node encoding keeps both entity types in one long key space
+    (customer → 2k, supplier → 2k+1; ``node div 2`` recovers the key).
+    Output is the global top-20 by ROUNDED rank — the sort happens on
+    the rounded value in BOTH engines, so the cutoff and tie-breaks
+    (entity, key) are engine-independent and the full oracle (5
+    chained CTE iterations of the same arithmetic) hash-matches
+    despite 5 rounds of float accumulation."""
+    from ..functions.graph import pagerank
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cn"),
+            (F.col("l_suppkey") * 2 + 1).alias("sn"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cn").alias("src"), F.col("sn").alias("dst")).union(
+        pairs.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
+    )
+    ranks = pagerank(edges, damping=PR_DAMPING, n_iter=PR_ITER)
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.expr("node div 2").alias("entity_key"),
+            F.round("rank", 6).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "entity", "entity_key")
+        .limit(PR_TOPN)
+    )
+
+
+def _pagerank_oracle() -> str:
+    """The oracle runs the SAME fixed-point arithmetic as 5 chained
+    CTEs — generated so iteration count stays in one place."""
+    steps = []
+    for i in range(1, PR_ITER + 1):
+        steps.append(
+            f"""r{i} AS (
+            SELECT e.dst AS node,
+                   (1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
+                       + {PR_DAMPING} * SUM(p.rank / d.deg) AS rank
+            FROM e
+            JOIN deg d ON e.src = d.src
+            JOIN r{i - 1} p ON e.src = p.node
+            GROUP BY e.dst
+        )"""
+        )
+    chained = ",\n        ".join(steps)
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        e AS (
+            SELECT cn AS src, sn AS dst FROM pairs
+            UNION ALL
+            SELECT sn AS src, cn AS dst FROM pairs
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        ),
+        {chained}
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS entity,
+               node // 2 AS entity_key,
+               ROUND(rank, 6) AS rank
+        FROM r{PR_ITER}
+        ORDER BY rank DESC, entity, entity_key
+        LIMIT {PR_TOPN}
+    """
+
+
 QUERIES = {
+    "q_graph_pagerank": q_graph_pagerank,
     "q_order_revenue_topn": q_order_revenue_topn,
     "q_column_profile": q_column_profile,
     "q_nation_volume": q_nation_volume,
@@ -455,6 +550,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_graph_pagerank": _pagerank_oracle(),
     "q_column_profile": """
         SELECT 'l_quantity' AS "column",
                CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

@@ -326,3 +326,48 @@ def test_interval_merge_islands_disjoint_one_exchange(spark, sf_dir):
             saw_multi = True
             assert b["island_start"] > a["island_end"], (uid, a, b)
     assert saw_multi, "every user had one island — gap test is vacuous"
+
+
+def test_pagerank_mass_and_numpy_parity(spark, sf_dir):
+    """Fixed-iteration PageRank: total mass stays 1 (symmetric edges →
+    no dangling leak), and the distributed result matches the same
+    power iteration run in numpy on the collected edge set."""
+    import numpy as np
+
+    from als_hadoop_spark.functions.graph import pagerank
+    from als_hadoop_spark.operators.analytics import PR_DAMPING, PR_ITER
+    from als_hadoop_spark.sources import load
+    from pyspark.sql import functions as F
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cn"),
+            (F.col("l_suppkey") * 2 + 1).alias("sn"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("cn").alias("src"), F.col("sn").alias("dst")).union(
+        pairs.select(F.col("sn").alias("src"), F.col("cn").alias("dst"))
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, PR_DAMPING, PR_ITER).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    es = [(r["src"], r["dst"]) for r in edges.collect()]
+    nodes = sorted({u for u, _ in es})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in es:
+        deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(PR_ITER):
+        nxt = np.full(n, (1.0 - PR_DAMPING) / n)
+        contrib = r / deg
+        for u, v in es:
+            nxt[idx[v]] += PR_DAMPING * contrib[idx[u]]
+        r = nxt
+    for u in nodes:
+        assert abs(got[u] - r[idx[u]]) < 1e-9, u
