@@ -196,13 +196,66 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over opaque BINARY payloads — the asset-level
+    companion to q_dedup_exact: per modality, how many payloads are
+    byte-identical and how many bytes dedup would reclaim.
+
+    Scale shape: payloads are collapsed to their sha256 BEFORE the
+    shuffle, so the wire carries 64-byte uniform digests instead of
+    media blobs (the whole point at 100 TB of images); two bounded
+    hash aggregates follow. The engine never interprets the bytes."""
+    assets = _assets(spark, sf_dir)
+    per = assets.select(
+        F.col("meta.format").alias("fmt"),
+        F.sha2("content", 256).alias("h"),
+        F.length("content").alias("nb"),
+    )
+    pay = per.groupBy("fmt", "h").agg(
+        F.count(F.lit(1)).alias("c"), F.max("nb").alias("nb")
+    )
+    return (
+        pay.groupBy("fmt")
+        .agg(
+            F.sum("c").alias("n_assets"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (F.sum("c") - F.count(F.lit(1))).alias("n_dup_rows"),
+            F.sum((F.col("c") - 1) * F.col("nb")).alias("bytes_saved"),
+        )
+        .orderBy("fmt")
+    )
+
+
 QUERIES = {
     "q_multimodal": q_multimodal,
+    "q_multimodal_dedup": q_multimodal_dedup,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
 }
 
 ORACLES = {
+    "q_multimodal_dedup": """
+        WITH assets AS (
+            SELECT ['png','jpeg','wav'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+                   encode(text) AS content
+            FROM documents
+        ),
+        pay AS (
+            -- DuckDB's sha256 is VARCHAR-only; grouping by the BLOB
+            -- itself yields identical counts to the engine's digest
+            SELECT fmt, content AS h,
+                   COUNT(*) AS c, MAX(octet_length(content)) AS nb
+            FROM assets GROUP BY fmt, content
+        )
+        SELECT fmt,
+               CAST(SUM(c) AS BIGINT) AS n_assets,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_rows,
+               CAST(SUM((c - 1) * nb) AS BIGINT) AS bytes_saved
+        FROM pay
+        GROUP BY fmt
+        ORDER BY fmt
+    """,
     "q_multimodal": """
         WITH assets AS (
             SELECT doc_id,
