@@ -502,7 +502,41 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the CCNet/KenLM filtering shape,
+    public methodology): every document scored by its mean token
+    log-probability under the CORPUS unigram LM — low scores flag
+    boilerplate/outlier documents for curation, the statistical
+    sibling of q_text_quality's rule-based score.
+
+    Scale shape: the LM "fit" is one vocabulary-bounded hash aggregate
+    (token → count) + a 1-row broadcast total; scoring joins tokens to
+    the vocabulary on the token key — Zipf-skewed, which is exactly
+    what AQE skew-join splitting (or functions.scale.salted_join) is
+    for — then one doc-keyed aggregate. Float discipline: ln(c/N) is
+    identical IEEE arithmetic in both engines; the per-doc mean is
+    rounded AFTER aggregation."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select("doc_id", "lang", F.explode(_tokens()).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    lp = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+    return (
+        lp.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "q_lm_score": q_lm_score,
     "q_text_stats": q_text_stats,
     "q_sequence_pack": q_sequence_pack,
     "q_curation": q_curation,
@@ -518,6 +552,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_lm_score": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        v AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM v),
+        lp AS (
+            SELECT t.doc_id, t.lang,
+                   ln(v.c / (SELECT n FROM tot)) AS lp
+            FROM toks t JOIN v USING (tok)
+        )
+        SELECT doc_id, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(lp), 4) AS lm_score
+        FROM lp
+        GROUP BY doc_id, lang
+        ORDER BY doc_id
+    """,
     "q_sequence_pack": """
         WITH toks AS (
             SELECT doc_id,
