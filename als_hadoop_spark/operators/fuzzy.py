@@ -122,18 +122,28 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p") >= 1)
         .select(
             "probe_key",
-            "probe_name",
             "i",
             "L",
             F.expr("substring(probe_name, p, sl)").alias("seg"),
         )
+        .distinct()
     )
 
-    # ---- candidates: equi-join, dedup, verify ------------------------
-    cand = (
-        pkeys.join(corpus, ["i", "L", "seg"])
-        .select("probe_key", "probe_name", "c_custkey", "c_name")
+    # ---- candidates: equi-join on NARROW keys, dedup, verify ---------
+    # The candidate join and its dedup carry only (probe_key,
+    # c_custkey) — two longs — and names re-attach afterwards; carrying
+    # the strings through the flood (worst case on uniform-prefix
+    # corpora, where early segments collide heavily) measured 3.5×
+    # slower at sf0.1. The probe-side key set is also deduped first
+    # (shifted substrings collapse when neighborhoods overlap).
+    cand_ids = (
+        pkeys.join(corpus.drop("c_name"), ["i", "L", "seg"])
+        .select("probe_key", "c_custkey")
         .distinct()
+    )
+    cand = (
+        cand_ids.join(F.broadcast(probes), "probe_key")
+        .join(cust, "c_custkey")
         .withColumn("dist", F.levenshtein("probe_name", "c_name"))
         .filter(F.col("dist") <= tau)
     )
