@@ -62,10 +62,14 @@ def _mutated_probe(name: Column) -> Column:
     )
 
 
-def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tau = FUZZY_TAU
+def match_pairs(cust: DataFrame, probes: DataFrame, tau: int = FUZZY_TAU) -> DataFrame:
+    """ALL (probe, corpus) pairs within edit distance ``tau`` —
+    PassJoin blocking + levenshtein verification. ``cust`` carries
+    (c_custkey, c_name); ``probes`` carries (probe_key, probe_name),
+    bounded (it broadcasts for the name re-attach). Exactness of the
+    blocking is property-tested against brute force on adversarial
+    random strings (tests/test_fuzzy.py)."""
     nseg = tau + 1
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
 
     # ---- corpus index: τ+1 segment rows per string --------------------
     # segment i of a length-L string spans [floor(i·L/n)+1, floor((i+1)·L/n)]
@@ -90,12 +94,6 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- probe side: bounded key expansion ---------------------------
-    probes = cust.filter(
-        F.col("c_custkey") % PROBE_MOD == PROBE_REM
-    ).select(
-        F.col("c_custkey").alias("probe_key"),
-        _mutated_probe(F.col("c_name")).alias("probe_name"),
-    )
     lens = F.explode(
         F.array(*[F.lit(dl) for dl in range(-tau, tau + 1)])
     ).alias("dl")
@@ -141,12 +139,21 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_key", "c_custkey")
         .distinct()
     )
-    cand = (
+    return (
         cand_ids.join(F.broadcast(probes), "probe_key")
         .join(cust, "c_custkey")
         .withColumn("dist", F.levenshtein("probe_name", "c_name"))
         .filter(F.col("dist") <= tau)
     )
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    probes = cust.filter(F.col("c_custkey") % PROBE_MOD == PROBE_REM).select(
+        F.col("c_custkey").alias("probe_key"),
+        _mutated_probe(F.col("c_name")).alias("probe_name"),
+    )
+    cand = match_pairs(cust, probes, FUZZY_TAU)
     enc = F.col("dist").cast("bigint") * F.lit(1_000_000_000).cast("bigint") + F.col(
         "c_custkey"
     )

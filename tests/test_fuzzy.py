@@ -53,3 +53,50 @@ def test_no_quadratic_node_and_bounded_shuffles(spark, sf_dir):
     df = q_fuzzy_join(spark, sf_dir)
     assert_no_quadratic_join(df)
     assert count_shuffles(df) <= 6
+
+
+def test_blocking_is_exact_on_adversarial_random_strings(spark):
+    """PassJoin completeness property: over random short strings from a
+    2-letter alphabet (maximal segment collisions AND rich edit
+    variety — insertions, deletions, substitutions all arise between
+    random pairs), the blocked+verified pair set must equal the
+    brute-force levenshtein join. One Spark run over a seeded 120×60
+    corpus/probe cross — ~7200 ground-truth pairs."""
+    import random
+
+    from als_hadoop_spark.operators.fuzzy import FUZZY_TAU, match_pairs
+
+    rng = random.Random(1234)
+    corpus = [
+        (k, "".join(rng.choice("ab") for _ in range(rng.randint(4, 12))))
+        for k in range(1, 121)
+    ]
+    probes = [
+        (k, "".join(rng.choice("ab") for _ in range(rng.randint(4, 12))))
+        for k in range(1, 61)
+    ]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (pk, ck)
+        for pk, pn in probes
+        for ck, cn in corpus
+        if lev(pn, cn) <= FUZZY_TAU
+    }
+    assert len(want) > 100  # the test actually exercises something
+
+    cust = spark.createDataFrame(corpus, "c_custkey LONG, c_name STRING")
+    pr = spark.createDataFrame(probes, "probe_key LONG, probe_name STRING")
+    got = {
+        (r["probe_key"], r["c_custkey"])
+        for r in match_pairs(cust, pr, FUZZY_TAU).collect()
+    }
+    assert got == want
