@@ -46,8 +46,7 @@ from ..sources import load
 #: number of principal components the query reports
 PCA_K = 2
 
-#: embedding dimensionality of the fixtures (asserted at fit time —
-#: a real deployment would read it off the first row's schema)
+#: fallback embedding dimensionality if the corpus is empty
 PCA_DIM = 64
 
 
@@ -88,7 +87,9 @@ def fit_pca(spark: SparkSession, emb: DataFrame, k: int = PCA_K):
         .agg(F.sum("v").alias("v"), F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("n"))
     )
     rows = reduced.collect()  # bounded: d + d² rows of (pos, v)
-    d = PCA_DIM
+    # dimensionality comes from the reduced key space itself
+    # (len = d + d²), not a hardcoded constant
+    d = int((-1 + (1 + 4 * len(rows)) ** 0.5) / 2) if rows else PCA_DIM
     flat = np.zeros(d + d * d)
     n = 0
     for r in rows:
