@@ -119,11 +119,22 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Engine twin of the reference's SequenceFile source
     (ALS-Hadoop/ALS/ALS.java:261,286,366): columnar Parquet instead of
-    binary KV pairs."""
-    return spark.read.parquet(path)
+    binary KV pairs.
+
+    ``merge_schema=True`` reconciles files written under EVOLVED
+    schemas (columns added over time): the unified schema is the union
+    of all file footers, missing columns read as NULL. Off by default
+    — footer merging is an extra file-listing pass a 100 TB scan
+    shouldn't pay when the schema is known stable."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def write_table(

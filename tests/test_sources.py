@@ -129,3 +129,26 @@ def test_write_clustered_layout_prunes(spark, tmp_path):
 
     # round trip is lossless
     assert back.count() == ev.count()
+
+
+def test_read_table_merges_evolved_schema(spark, tmp_path):
+    """Schema evolution: files written before a column existed must
+    read back with NULLs for it under merge_schema=True, and the
+    unified schema must be the union of both generations."""
+    from pyspark.sql import functions as F
+
+    from als_hadoop_spark.sources import read_table, write_table
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, name STRING")
+    write_table(v1, path)
+    v2 = spark.createDataFrame(
+        [(3, "c", 0.5)], "id LONG, name STRING, score DOUBLE"
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = read_table(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] is None and rows[3] == 0.5
+    assert merged.filter(F.col("score").isNull()).count() == 2
