@@ -156,6 +156,9 @@ def pagerank(
     )
     nodes = e.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # bounded scalar — the one driver value
+    if n_nodes == 0:
+        # empty graph → empty (node, rank) frame, not a ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0.0))
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(n_iter):

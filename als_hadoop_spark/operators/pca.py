@@ -96,6 +96,10 @@ def fit_pca(spark: SparkSession, emb: DataFrame, k: int = PCA_K):
         flat[r["pos"]] = r["v"]
         if r["pos"] == 0:
             n = int(r["n"])
+    if n < 2:
+        raise ValueError(
+            f"fit_pca needs >= 2 vectors to form a covariance (got {n})"
+        )
     s, g = flat[:d], flat[d:].reshape(d, d)
     mean = s / n
     cov = (g - n * np.outer(mean, mean)) / (n - 1)

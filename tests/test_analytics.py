@@ -371,3 +371,12 @@ def test_pagerank_mass_and_numpy_parity(spark, sf_dir):
         r = nxt
     for u in nodes:
         assert abs(got[u] - r[idx[u]]) < 1e-9, u
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from als_hadoop_spark.functions.graph import pagerank
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    out = pagerank(empty)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0

@@ -84,3 +84,11 @@ def test_q_embed_pca_shape_and_projection_is_jvm(spark, sf_dir):
     # (the only Python stage is the sufficient-statistics fit)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_fit_pca_rejects_degenerate_corpus(spark):
+    import pytest
+
+    one = spark.createDataFrame([(1, [1.0, 2.0], 0)], "vec_id LONG, embedding ARRAY<DOUBLE>, label INT")
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        fit_pca(spark, one, 1)
