@@ -14,6 +14,7 @@ All readers take explicit schemas — never ``inferSchema`` (a full extra
 scan at 100 TB).
 """
 
+from .generator import build_ratings_gen_source, register_ratings_gen
 from .tables import (
     TABLES,
     load,
@@ -31,6 +32,8 @@ from .tables import (
 
 __all__ = [
     "TABLES",
+    "build_ratings_gen_source",
+    "register_ratings_gen",
     "load",
     "load_all",
     "read_json",

@@ -152,3 +152,36 @@ def test_read_table_merges_evolved_schema(spark, tmp_path):
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[2] is None and rows[3] == 0.5
     assert merged.filter(F.col("score").isNull()).count() == 2
+
+
+def test_ratings_gen_datasource_partitions_prune_and_reproduce(spark):
+    """Custom Python DataSource: (a) one InputPartition per user shard,
+    (b) a pushed-down user_id predicate prunes to ONE planned
+    partition, (c) any shard regenerates byte-identical rows — the
+    resumable-backfill determinism contract."""
+    from als_hadoop_spark.sources import register_ratings_gen
+
+    register_ratings_gen(spark)
+
+    def gen():
+        return spark.read.format("ratings_gen").option("n_users", 1000).load()
+
+    full = gen()
+    assert full.count() == 1000 * 20
+    assert full.rdd.getNumPartitions() == 4  # 1000 users / 250 per shard
+
+    one = gen().filter("user_id = 7")
+    assert one.rdd.getNumPartitions() == 1   # shard pruning at planning
+    assert one.count() == 20                 # Spark still re-checks rows
+
+    tail = gen().filter("user_id >= 900")
+    assert tail.rdd.getNumPartitions() == 1
+    assert tail.count() == 100 * 20
+
+    a = sorted(map(tuple, gen().filter("user_id = 123").collect()))
+    b = sorted(map(tuple, gen().filter("user_id = 123").collect()))
+    assert a == b and len(a) == 20
+
+    # generated ratings are valid ALS input
+    r = full.selectExpr("min(rating)", "max(rating)").first()
+    assert 0.5 <= r[0] and r[1] <= 5.0
