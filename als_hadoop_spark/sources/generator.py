@@ -166,6 +166,49 @@ def build_ratings_gen_source(with_pushdown: bool = True):
         # spark.sql.python.filterPushdown.enabled is false
         RatingsGenReader.pushFilters = RatingsGenReader._push_filters
 
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class RatingsGenStreamReader(DataSourceStreamReader):
+        """Micro-batch form: the offset is the next ungenerated user
+        id; each trigger advances by one shard until ``n_users``.
+        partitions(start, end) replays deterministically from offsets
+        — the exactly-once contract (a failed batch regenerates its
+        exact rows; ``commit`` has nothing to clean up)."""
+
+        def __init__(self, options):
+            self.n_users = int(options.get("n_users", 1000))
+            self.n_items = int(options.get("n_items", 200))
+            self.per_user = int(options.get("ratings_per_user", 20))
+            self.seed = int(options.get("seed", 42))
+
+        def initialOffset(self) -> dict:
+            return {"next_user": 0}
+
+        def latestOffset(self) -> dict:
+            # one shard per micro-batch; capped at the configured corpus
+            return {"next_user": self.n_users}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = int(start["next_user"]), int(end["next_user"])
+            return [
+                Shard(
+                    s,
+                    min(s + users_per_shard, hi),
+                    self.seed,
+                    self.n_items,
+                    self.per_user,
+                )
+                for s in range(lo, hi, users_per_shard)
+            ] or [Shard(0, 0, self.seed, self.n_items, self.per_user)]
+
+        def read(self, partition):
+            # identical generation path as batch — stream == batch by
+            # construction
+            yield from RatingsGenReader.read(self, partition)
+
+        def commit(self, end: dict) -> None:
+            pass  # stateless generator: nothing to release
+
     class RatingsGenSource(DataSource):
         """``spark.read.format("ratings_gen")`` — see module docstring."""
 
@@ -178,6 +221,9 @@ def build_ratings_gen_source(with_pushdown: bool = True):
 
         def reader(self, schema) -> DataSourceReader:
             return RatingsGenReader(self.options)
+
+        def streamReader(self, schema) -> DataSourceStreamReader:
+            return RatingsGenStreamReader(self.options)
 
     return RatingsGenSource
 

@@ -185,3 +185,33 @@ def test_ratings_gen_datasource_partitions_prune_and_reproduce(spark):
     # generated ratings are valid ALS input
     r = full.selectExpr("min(rating)", "max(rating)").first()
     assert 0.5 <= r[0] and r[1] <= 5.0
+
+
+def test_ratings_gen_stream_equals_batch(spark):
+    """The streaming form of the custom DataSource replays the same
+    deterministic shards from offsets: AvailableNow over the stream
+    reader must produce exactly the batch reader's rows."""
+    from als_hadoop_spark.sources import register_ratings_gen
+
+    register_ratings_gen(spark)
+    stream = spark.readStream.format("ratings_gen").option("n_users", 500).load()
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_gen_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("t_gen_stream").collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format("ratings_gen").option("n_users", 500).load().collect(),
+        )
+    )
+    assert got == want and len(got) == 500 * 20
