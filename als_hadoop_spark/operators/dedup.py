@@ -192,6 +192,52 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: near-dup pair threshold reused for the cross-source matrix
+SOURCE_OVERLAP_MAX_DIST = 0.8
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage matrix — which sources near-duplicate each
+    other: minhash-banded candidate pairs, exact-jaccard verified,
+    rolled up to (source_a, source_b) with pair counts and the
+    tightest observed distance. The provenance audit a training-data
+    pipeline runs before mixing corpora (is src3 scraping src7?).
+
+    Scale shape: identical to q_dedup_minhash through verification
+    (equi-join candidates only), then two broadcast joins attach each
+    side's source label (doc_id → source is a projection of the
+    corpus; at 100 TB this side is still only (doc_id, source) — if
+    that outgrows broadcast, it shuffle-joins on the id) and a
+    bounded-key (#sources²) aggregate. Rows-only (banding), same as
+    its parent; gated by a planted cross-source pair pytest."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    cands = minhash_candidates(_doc_shingles(docs))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = cands.select(
+        "id_a",
+        "id_b",
+        F.round(F.lit(1.0) - inter / union, 4).alias("jaccard_dist"),
+    ).filter(F.col("jaccard_dist") <= SOURCE_OVERLAP_MAX_DIST)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
+    labeled = pairs.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    # canonicalize the unordered source pair so (s1,s2) and (s2,s1)
+    # land in one cell
+    lo = F.least("source_a", "source_b")
+    hi = F.greatest("source_a", "source_b")
+    return (
+        labeled.select(lo.alias("source_a"), hi.alias("source_b"), "jaccard_dist")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jaccard_dist").alias("closest_dist"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
+    )
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash hex string): per-token 64-bit hash, per-bit ±1
     votes summed per doc, fingerprint = sign bits. One explode + one
@@ -429,6 +475,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_source_overlap": q_source_overlap,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_cluster": q_dedup_cluster,

@@ -261,3 +261,32 @@ def test_curation_neardup_collapses_planted_dups(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
     out = {r["lang"]: r["n_kept"] for r in q_curation_neardup(spark, str(tmp_path)).collect()}
     assert out == {"en": 1, "fr": 1}, out
+
+
+def test_source_overlap_flags_planted_cross_source_pair(spark, tmp_path):
+    """A near-dup planted ACROSS two sources must surface as a
+    (source_a, source_b) cell; unrelated sources must not pair. The
+    unordered pair is canonicalized (lexicographically smaller source
+    first)."""
+    import random
+
+    rng = random.Random(7)
+    base = " ".join(rng.choice("abcdefgh") * 3 for _ in range(60))
+    near = base.rsplit(" ", 1)[0] + " zzz"  # one token differs
+    far1 = " ".join(rng.choice("qrstuv") * 4 for _ in range(60))
+    far2 = " ".join(rng.choice("klmnop") * 5 for _ in range(60))
+    rows = [
+        (1, base, "en", "srcB", len(base)),
+        (2, near, "en", "srcA", len(near)),   # cross-source near-dup
+        (3, far1, "en", "srcC", len(far1)),
+        (4, far2, "en", "srcD", len(far2)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in dedup.q_source_overlap(spark, str(tmp_path)).collect()
+    }
+    assert got.get(("srcA", "srcB")) == 1, got
+    assert all(k == ("srcA", "srcB") for k in got), got
