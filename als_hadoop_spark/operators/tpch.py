@@ -180,13 +180,22 @@ def q_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite equivalent on real data."""
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
-        ).alias("_late"),
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+            ).alias("_late"),
+        )
+        # ONE explicit shuffle on the order key serves BOTH aggregations
+        # below: HashPartitioning(l_orderkey) satisfies the clustered
+        # distribution of groupBy(l_orderkey, l_suppkey) (subset of
+        # keys) and of groupBy(l_orderkey) — without it the broadcast
+        # join leaves no partitioning and each aggregate re-shuffles
+        .repartition(F.col("l_orderkey"))
     )
     # two-level aggregation instead of countDistinct×2: the double
     # distinct would compile to an Expand (3× the fact rows through
