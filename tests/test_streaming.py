@@ -528,3 +528,48 @@ def test_stream_static_enrich_equals_batch(spark, tmp_path):
     assert any(r[-1] == "UNKNOWN" for r in got) or all(
         r[-1] != "UNKNOWN" for r in want
     )
+
+
+def test_streaming_pca_stats_match_batch(spark, sf_dir, tmp_path):
+    """Incremental PCA: statistics merged from per-micro-batch deltas
+    must match the single-pass batch fit (same n, mean, covariance up
+    to float addition order), so the derived eigenbasis is the same."""
+    import numpy as np
+
+    from als_hadoop_spark.operators.pca import fit_pca
+    from als_hadoop_spark.streaming.pca_rollup import pca_ingest, read_pca_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "pca_src")
+    store = str(tmp_path / "pca_store")
+    emb.repartition(3).write.parquet(src)  # several files → several batches
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        pca_ingest(stream, store)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "pca_ckpt"))
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    n, mean, cov = read_pca_stats(spark, store)
+    assert n == emb.count()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()])
+    np.testing.assert_allclose(mean, X.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(cov, np.cov(X, rowvar=False), rtol=1e-7, atol=1e-10)
+    # and therefore the same basis as the one-shot distributed fit
+    _, batch_mean, comps, _ = fit_pca(spark, emb)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, np.argsort(evals)[::-1][:2]].T
+    for i in range(2):
+        j = int(np.argmax(np.abs(top[i])))
+        if top[i, j] < 0:
+            top[i] = -top[i]
+    np.testing.assert_allclose(np.abs(top), np.abs(comps), rtol=1e-4, atol=1e-7)
