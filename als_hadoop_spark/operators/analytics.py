@@ -534,8 +534,46 @@ def _pagerank_oracle() -> str:
     """
 
 
+#: equal-frequency binning: decile boundaries
+EQF_QS = [i / 10 for i in range(1, 10)]
+
+
+def q_equifreq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global equal-frequency (decile) binning WITHOUT a global sort —
+    the feature-bucketization / monotone-binning primitive: exact
+    percentile boundaries from ONE aggregate (Spark's `percentile`
+    runs as mergeable partial aggregates, no ordering of the table),
+    broadcast back as a 1-row cross join, per-row bin = count of
+    boundaries strictly below the value, then a bounded (10-key)
+    aggregate.
+
+    Boundaries are rounded to 4dp in BOTH engines before binning so
+    the interpolation arithmetic of `percentile` vs `quantile_cont`
+    cannot flip a knife-edge row across engines."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in EQF_QS])).alias("bs")
+    ).select(F.transform("bs", lambda b: F.round(b, 4)).alias("bs"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "value",
+            F.size(F.filter("bs", lambda b: F.col("value") > b)).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("bin")
+    )
+
+
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
+    "q_equifreq_bins": q_equifreq_bins,
     "q_order_revenue_topn": q_order_revenue_topn,
     "q_column_profile": q_column_profile,
     "q_nation_volume": q_nation_volume,
@@ -551,6 +589,28 @@ QUERIES = {
 
 ORACLES = {
     "q_graph_pagerank": _pagerank_oracle(),
+    "q_equifreq_bins": f"""
+        WITH bs AS (
+            SELECT list_transform(
+                       quantile_cont(value, {EQF_QS}),
+                       x -> ROUND(x, 4)) AS b
+            FROM events
+        ),
+        binned AS (
+            SELECT value,
+                   len(list_filter((SELECT b FROM bs), x -> value > x))
+                       AS bin
+            FROM events
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(value), 2) AS lo,
+               ROUND(MAX(value), 2) AS hi,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM binned
+        GROUP BY bin
+        ORDER BY bin
+    """,
     "q_column_profile": """
         SELECT 'l_quantity' AS "column",
                CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

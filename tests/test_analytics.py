@@ -380,3 +380,20 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank(empty)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_equifreq_bins_are_balanced_and_ordered(spark, sf_dir):
+    """Equal-frequency deciles: bins tile the table (counts sum to
+    total), each bin holds ~10% of rows, and bin value ranges are
+    non-overlapping and ordered."""
+    from als_hadoop_spark.operators.analytics import q_equifreq_bins
+    from als_hadoop_spark.sources import load
+
+    rows = q_equifreq_bins(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == total
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r["n"] - total / 10) <= total * 0.02 + 2, r
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"] + 0.01  # boundaries split cleanly
