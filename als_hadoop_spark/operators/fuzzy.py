@@ -148,6 +148,10 @@ def match_pairs(cust: DataFrame, probes: DataFrame, tau: int = FUZZY_TAU) -> Dat
 
 
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best edit-distance match per probe (see module docstring):
+    deterministic in-query probe mutation → :func:`match_pairs`
+    blocking+verify → integer-encoded argmin (min(dist·10⁹ + key) —
+    a total order, no window, no float)."""
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     probes = cust.filter(F.col("c_custkey") % PROBE_MOD == PROBE_REM).select(
         F.col("c_custkey").alias("probe_key"),
