@@ -210,10 +210,20 @@ def reference_pipeline(spark: SparkSession, csv_path: str) -> tuple[DataFrame, f
     the dense encoding is not strictly required (SURVEY §1.2) — it is
     applied anyway for workflow parity and because compact ids shrink
     MLlib's internal block structures."""
-    from ..functions.ids import dense_ids
     from ..sources import read_ratings_csv
 
     raw = read_ratings_csv(spark, csv_path)
+    return pipeline_from_ratings(raw)
+
+
+def pipeline_from_ratings(raw: DataFrame):
+    """§3.1 steps 2-9 from an already-loaded ratings frame
+    (``user_id, item_id, rating``) — shared by the CSV entry point
+    above and the custom ratings_gen DataSource (sources/generator.py),
+    proving any source that lands the ratings schema feeds the same
+    dense-encode → split → fit → RMSE program."""
+    from ..functions.ids import dense_ids
+
     umap = dense_ids(raw, "user_id").withColumnRenamed("dense_id", "u")
     imap = dense_ids(raw, "item_id").withColumnRenamed("dense_id", "i")
     encoded = (

@@ -111,3 +111,24 @@ def test_als_ranking_beats_random(spark):
     for row in (m, r):
         assert 0.0 < row["ndcg_at_5"] <= 1.0, row
     assert m["ndcg_at_5"] >= r["ndcg_at_5"] + 0.02, (m, r)
+
+
+def test_generator_source_feeds_reference_pipeline(spark):
+    """End-to-end integration: the custom ratings_gen DataSource feeds
+    the reference workflow (dense-encode -> split -> fit -> RMSE) and
+    the fit beats the global-mean baseline — any source landing the
+    ratings schema plugs into the same program."""
+    from als_hadoop_spark.operators.als import pipeline_from_ratings
+    from als_hadoop_spark.sources import register_ratings_gen
+
+    register_ratings_gen(spark)
+    raw = (
+        spark.read.format("ratings_gen")
+        .option("n_users", 300)
+        .option("n_items", 80)
+        .load()
+        .select("user_id", "item_id", "rating")
+    )
+    _, rmse, mean_rmse, _ = pipeline_from_ratings(raw)
+    assert rmse < mean_rmse, f"fit {rmse} does not beat global mean {mean_rmse}"
+    assert rmse < 1.0
