@@ -647,6 +647,29 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_safe_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expression surface: ``try_cast`` on a
+    JSON-extracted field and ``try_divide`` with a data-dependent zero
+    denominator — the TRY-function family that keeps a 100 TB batch
+    alive when one malformed row would otherwise kill the stage (under
+    ANSI mode a plain CAST/division throws). NULL-on-failure semantics
+    are pinned against the oracle's explicit NULLIF/CASE rewrites.
+    Per-row expressions fused into the scan; one bounded aggregate."""
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") == 0, 1).otherwise(0)).alias("n_zero_k"),
+            F.round(F.avg(F.expr("try_divide(value, k)")), 4).alias("avg_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -654,6 +677,7 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_window_distribution": q_window_distribution,
     "q_null_semantics": q_null_semantics,
+    "q_safe_casts": q_safe_casts,
     "q_scan_project": q_scan_project,
     "q_filter": q_filter,
     "q_groupby_sum": q_groupby_sum,
@@ -693,6 +717,22 @@ ORACLES = {
                ntile(4) OVER w AS quartile
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    "q_safe_casts": """
+        WITH t AS (
+            SELECT event_type, value,
+                   TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_k,
+               ROUND(AVG(value / NULLIF(k, 0)), 4) AS avg_ratio
+        FROM t
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "q_null_semantics": """
         SELECT grp,
