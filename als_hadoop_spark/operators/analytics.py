@@ -571,9 +571,49 @@ def q_equifreq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the Markov-chain /
+    user-journey primitive behind funnel discovery): for each user's
+    time-ordered event sequence, count (from_type → to_type) steps
+    and each from-state's outgoing probability.
+
+    Shape at scale: ONE user-keyed window (lead over ts) — a single
+    exchange on user_id — then a bounded (#types²) aggregate with
+    map-side partials; the probability denominator joins back on the
+    bounded from_type key. Ties on ts break on event_id so the
+    sequence is a total order in both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    outgoing = counts.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(outgoing), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_equifreq_bins": q_equifreq_bins,
+    "q_event_transitions": q_event_transitions,
     "q_order_revenue_topn": q_order_revenue_topn,
     "q_column_profile": q_column_profile,
     "q_nation_volume": q_nation_volume,
@@ -589,6 +629,25 @@ QUERIES = {
 
 ORACLES = {
     "q_graph_pagerank": _pagerank_oracle(),
+    "q_event_transitions": """
+        WITH steps AS (
+            SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM steps WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type)
+                              AS DOUBLE), 4) AS p
+        FROM counts
+        ORDER BY from_type, to_type
+    """,
     "q_equifreq_bins": f"""
         WITH bs AS (
             SELECT list_transform(
