@@ -154,7 +154,10 @@ def pagerank(
         .sortWithinPartitions("src")
         .localCheckpoint(eager=True)
     )
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # derive nodes from the MATERIALIZED (edge, degree) set — deriving
+    # from `e` would recompute the upstream edge build (per-table
+    # joins/distinct) a second time past the checkpoint
+    nodes = ed.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # bounded scalar — the one driver value
     if n_nodes == 0:
         # empty graph → empty (node, rank) frame, not a ZeroDivisionError
