@@ -560,11 +560,126 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN — the production Faiss composition (coarse inverted
+    file for COMPUTE pruning × residual product quantization for
+    MEMORY compression): each vector stores its cell id + 8 4-bit
+    codes of the RESIDUAL x − c_cell (residuals are what PQ textbooks
+    quantize — they're smaller-normed and better centered than raw
+    vectors, so the same code budget buys more precision). A query
+    probes its nprobe nearest cells, ADC-scores only those cells'
+    codes against a per-(query, cell) lookup table, and exact cosine
+    re-ranks the top survivors.
+
+    Scale contract — the union of its parents', nothing new:
+    bounded-sample coarse + PQ trains (zero Spark jobs), one Arrow
+    encode pass, probe list = N_QUERIES × nprobe broadcast rows with
+    their LUTs, candidate generation is the CELL EQUI-JOIN (compute
+    touches ~nprobe/K of the corpus — the piece plain PQ lacks), and
+    the ADC gather is pure-JVM element_at chains (the piece IVF
+    lacks: 9 bytes/vector of state instead of d floats)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    unit = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double") / F.sqrt(sq)).alias("u"),
+    )
+    n = emb.count()
+    k = max(4, min(256, int(n**0.5)))
+    # the composition multiplies its parents' misses (probe miss ×
+    # ADC miss), so it probes wider and re-ranks deeper than either
+    # parent alone: nprobe 3k/4 (IVF uses k/2) and 2×PQ_CAND
+    nprobe = max(1, (3 * k) // 4)
+    rerank = 2 * PQ_CAND
+    frac = min(1.0, (IVF_SAMPLE_PER_CELL * k) / max(n, 1))
+    sample = unit.select("u") if frac >= 1.0 else unit.select("u").sample(frac, seed=42)
+    X = np.stack([np.asarray(r["u"]) for r in sample.collect()])
+    centers = _fit_codebook(X, min(k, len(X)))
+    # residual PQ codebooks trained on the SAME sample's residuals
+    resid = X - centers[np.argmax(X @ centers.T, axis=1)]
+    books = _fit_pq_codebooks(resid)
+
+    @pandas_udf("struct<cell:int, codes:array<int>>")
+    def encode_ivfpq(u: pd.Series) -> pd.DataFrame:
+        import numpy as np  # self-contained closure
+
+        if len(u) == 0:
+            return pd.DataFrame({"cell": [], "codes": []})
+        U = np.stack([np.asarray(v, dtype="float64") for v in u])
+        cells = np.argmax(U @ centers.T, axis=1).astype("int32")
+        R = U - centers[cells]
+        m, _, ds = books.shape
+        codes = np.empty((len(U), m), dtype="int32")
+        for i in range(m):
+            S = R[:, i * ds : (i + 1) * ds]
+            C = books[i]
+            codes[:, i] = np.argmax(S @ C.T - 0.5 * (C * C).sum(axis=1), axis=1)
+        return pd.DataFrame({"cell": cells, "codes": [row.tolist() for row in codes]})
+
+    coded = unit.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        encode_ivfpq("u").alias("_e"),
+    ).select("cand_id", "cv", F.col("_e.cell").alias("cell"), F.col("_e.codes").alias("codes"))
+
+    # probe list: (query, cell) rows with the residual-ADC lookup table
+    # lut[m][j] = q · (c_cell_sub + book[m][j]) decomposed as
+    # q·c_cell (scalar per cell) + q_m · book[m][j]
+    qrows = unit.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding", "u").collect()
+    ds = books.shape[2]
+    probes = []
+    for r in qrows:
+        qv = np.asarray(r["u"])
+        sims = centers @ qv
+        for cell in np.argsort(-sims)[:nprobe]:
+            lut = [
+                (books[i] @ qv[i * ds : (i + 1) * ds]).tolist()
+                for i in range(books.shape[0])
+            ]
+            probes.append(
+                (int(r["vec_id"]), r["embedding"], int(cell), float(sims[cell]), lut)
+            )
+    probe_df = spark.createDataFrame(
+        probes,
+        "query_id LONG, qv ARRAY<FLOAT>, cell INT, cell_dot DOUBLE, lut ARRAY<ARRAY<DOUBLE>>",
+    )
+    adc = F.col("cell_dot") + sum(
+        F.element_at(F.element_at("lut", i + 1), F.element_at("codes", i + 1) + F.lit(1))
+        for i in range(books.shape[0])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_adc").desc(), F.col("cand_id"))
+    cands = (
+        coded.join(F.broadcast(probe_df), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "qv", "cand_id", "cv", adc.alias("_adc"))
+        .withColumn("_arank", F.row_number().over(w))
+        .filter(F.col("_arank") <= rerank)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        cands.select(
+            "query_id", "cand_id", F.round(cosine_sim("qv", "cv"), 6).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
 QUERIES = {
     "q_sim_search": q_sim_search,
     "q_sim_search_lsh": q_sim_search_lsh,
     "q_sim_search_ivf": q_sim_search_ivf,
     "q_sim_search_pq": q_sim_search_pq,
+    "q_sim_search_ivfpq": q_sim_search_ivfpq,
     "q_embed_centroid": q_embed_centroid,
     "q_nearest_centroid": q_nearest_centroid,
 }

@@ -82,6 +82,23 @@ def test_pq_ann_recall_at_k(spark):
     assert recall >= 0.8, f"PQ recall@k {recall:.2f} < 0.8"
 
 
+def test_ivfpq_ann_recall_at_k(spark):
+    """IVF+PQ (coarse probe + residual-ADC + exact re-rank) must
+    recover >= 80% of the exact per-query top-k — compute pruning and
+    code compression composed may lose no more than either alone's
+    gate allows."""
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.q_sim_search(spark, MID_SF).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in similarity.q_sim_search_ivfpq(spark, MID_SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF+PQ recall@k {recall:.2f} < 0.8"
+
+
 def test_banded_lsh_recall_on_planted_high_cosine(spark):
     """Banded lsh_candidates operates in the high-similarity regime:
     on planted cos>=0.95 duplicate pairs it must recover >= 80%."""
