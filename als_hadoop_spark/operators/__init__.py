@@ -17,6 +17,7 @@ from . import (
     analytics,
     dedup,
     fuzzy,
+    market,
     multimodal,
     ngrams,
     pca,
@@ -33,6 +34,7 @@ _MODULES = (
     relational,
     analytics,
     tpch,
+    market,
     fuzzy,
     als,
     dedup,
