@@ -115,9 +115,101 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("event_type", *qcols, "n_rows").orderBy("event_type")
 
 
+#: CMS accuracy knobs: eps bounds the overestimate at eps·N with
+#: probability `confidence`; 1e-3 → a ~109 KB sketch (w=⌈e/eps⌉=2719
+#: long counters × d=⌈ln(1/(1−conf))⌉=5 rows), fixed regardless of
+#: vocabulary size.
+CMS_EPS = 1e-3
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+#: deterministic Knuth-hash doc sample used ONLY to nominate
+#: candidates (the sketch, not the sample, supplies the counts)
+CMS_SAMPLE_MOD = 4  # keep doc_id hash % 4 == 0 → ~25% of docs
+CMS_CANDIDATES = 60
+CMS_TOPK = 20
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens via merged per-source Count-Min
+    sketches — the frequency member of the mergeable-sketch trio
+    (HLL = distinct, KLL = quantiles, CMS = counts).
+
+    The 100 TB problem: "how often does token X appear corpus-wide"
+    over a vocabulary too large to keep exact counts per ingest slice.
+    CMS (Cormode-Muthukrishnan, J.Alg 2005) is the standard answer: a
+    fixed-size counter grid per slice (~109 KB at eps=1e-3) whose
+    merge is element-wise addition, with a one-sided guarantee
+    (estimate ≥ true, ≤ true + eps·N w.p. confidence). The pipeline
+    persists one sketch per source/day; any coarser question is a
+    merge of blobs.
+
+    Plan: ONE fact pass (explode tokens → `count_min_sketch` aggregate
+    per source, map-side-combined JVM partials — the granularity a
+    production pipeline would PERSIST); candidate tokens are nominated
+    from a deterministic Knuth-hash quarter-sample of docs (same
+    arithmetic as q_sample_mixture, layout-independent) via an exact
+    bounded top-CMS_CANDIDATES aggregate on the sample only. Driver
+    merges the |sources| sketches (bounded collect, KBs) through the
+    JVM `CountMinSketch.mergeInPlace` and probes the candidates —
+    |sources| + CMS_CANDIDATES driver-side items total, independent of
+    corpus size. Output: top-CMS_TOPK (token, est_count, n_sources).
+
+    Rows-only by design: CMS estimates are implementation-defined
+    (DuckDB has no CMS); `tests/test_sketches.py` gates the one-sided
+    guarantee (est ≥ true, est ≤ true + eps·N) per token and that the
+    reported top-k matches the exact top-k (deterministic on the
+    fixture: 31-token vocabulary vs 2719 counter columns), plus the
+    merged-sketch == whole-corpus-sketch identity."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_source = toks.groupBy("source").agg(
+        F.count_min_sketch(
+            "token", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+        ).alias("sk")
+    )
+    # candidate nomination: exact top tokens of the deterministic
+    # quarter-sample (bounded output; the sample only nominates — the
+    # merged sketch supplies the reported counts)
+    knuth = F.pmod(
+        (F.col("doc_id").cast("bigint") * F.lit(2654435761)),
+        F.lit(2**32),
+    )
+    cand = (
+        toks.filter(knuth % CMS_SAMPLE_MOD == 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_sample_n"))
+        .orderBy(F.col("_sample_n").desc(), F.col("token"))
+        .limit(CMS_CANDIDATES)
+    )
+    sketches = per_source.collect()  # bounded: |sources| × ~3 KB
+    candidates = [r["token"] for r in cand.collect()]  # bounded
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for row in sketches:
+        j = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(row["sk"])
+        )
+        if merged is None:
+            merged = j
+        else:
+            merged.mergeInPlace(j)
+    rows = [
+        (t, int(merged.estimateCount(t)), len(sketches)) for t in candidates
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return spark.createDataFrame(
+        rows[:CMS_TOPK], "token STRING, est_count BIGINT, n_sources INT"
+    )
+
+
 QUERIES = {
     "q_hll_rollup": q_hll_rollup,
     "q_kll_quantiles": q_kll_quantiles,
+    "q_cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 #: rows-only by design: sketch estimates are engine-specific (DuckDB's

@@ -31,6 +31,7 @@ ROWS_ONLY = {
     "q_approx_percentile",      # GK sketch — engine-specific (gated in pytest)
     "q_hll_rollup",             # DataSketches HLL — engine-specific (gated in pytest)
     "q_kll_quantiles",          # DataSketches KLL — engine-specific (gated in pytest)
+    "q_cms_heavy_hitters",      # Count-Min sketch — no DuckDB CMS (gated in pytest)
     "q_embed_pca",              # float eigenbasis — gated vs numpy PCA in pytest
 }
 

@@ -111,3 +111,61 @@ def test_kll_merge_matches_direct_sketch_ranks(spark):
             rank_merged = sum(1 for v in vals if v <= m[et][col] + 5e-7)
             # each estimate carries ~1.65% rank error; allow the sum
             assert abs(rank_direct - rank_merged) <= 0.05 * n + 1, (et, col)
+
+
+def _exact_token_counts(spark):
+    docs = load(spark, SF_DIR, "documents")
+    return {
+        r["token"]: r["n"]
+        for r in docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_cms_one_sided_guarantee_and_topk(spark):
+    """Every reported estimate must respect the CMS guarantee
+    (est ≥ true, est ≤ true + eps·N), and — because the fixture's
+    31-token vocabulary is far below the 2719 counter columns — the
+    reported top-k must equal the exact top-k with exact counts."""
+    truth = _exact_token_counts(spark)
+    n_total = sum(truth.values())
+    got = sketches.q_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(got) == sketches.CMS_TOPK
+    for r in got:
+        t = truth[r["token"]]
+        assert r["est_count"] >= t, (r["token"], r["est_count"], t)
+        assert r["est_count"] <= t + sketches.CMS_EPS * n_total
+    exact_topk = sorted(
+        truth.items(), key=lambda kv: (-kv[1], kv[0])
+    )[: sketches.CMS_TOPK]
+    assert [(r["token"], r["est_count"]) for r in got] == exact_topk
+
+
+def test_cms_merge_is_addition(spark):
+    """Merging the per-source sketches must answer identically to one
+    sketch over the whole corpus — the persisted-slice pattern loses
+    nothing (CMS merge is element-wise counter addition)."""
+    docs = load(spark, SF_DIR, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    whole = toks.agg(
+        F.count_min_sketch(
+            "token",
+            F.lit(sketches.CMS_EPS),
+            F.lit(sketches.CMS_CONFIDENCE),
+            F.lit(sketches.CMS_SEED),
+        ).alias("sk")
+    ).collect()[0]["sk"]
+    jvm = spark.sparkContext._jvm
+    j_whole = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(whole)
+    )
+    merged_rows = sketches.q_cms_heavy_hitters(spark, SF_DIR).collect()
+    for r in merged_rows:
+        assert r["est_count"] == j_whole.estimateCount(r["token"])
