@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     als,
     analytics,
+    bpe,
     dedup,
     fuzzy,
     market,
@@ -35,6 +36,7 @@ _MODULES = (
     analytics,
     tpch,
     market,
+    bpe,
     fuzzy,
     als,
     dedup,
