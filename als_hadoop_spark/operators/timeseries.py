@@ -237,6 +237,49 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF — last observation carried forward): the
+    hourly per-type average carried across missing hours, the
+    densification a LEVEL metric needs (a sensor reading or price has
+    no meaningful zero; q_gap_fill's zero-fill is for RATE metrics).
+
+    Shape: same aggregate-first discipline as q_gap_fill — facts touch
+    exactly one hash aggregate, then spine expansion, the left join,
+    AND the carry-forward window all run on the bounded (types ×
+    hours) grid. The window (`last(..., ignorenulls=True)` over an
+    unbounded-preceding ROWS frame) would be a red flag over fact
+    rows; over the grid it is O(types × hours) with one tiny exchange.
+    Leading rows can't be NULL: each span starts at the type's first
+    OBSERVED hour."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    grid = spine.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "event_type",
+        "hour",
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value"),
+        F.col("avg_value").isNotNull().cast("int").alias("is_observed"),
+    )
+
+
 #: each event projects a fixed activity interval of this many minutes
 MERGE_SPAN_MIN = 5
 
@@ -292,6 +335,7 @@ QUERIES = {
     "q_latest_by_key": q_latest_by_key,
     "q_scd2_history": q_scd2_history,
     "q_gap_fill": q_gap_fill,
+    "q_forward_fill": q_forward_fill,
     "q_interval_merge": q_interval_merge,
 }
 
@@ -383,6 +427,30 @@ ORACLES = {
                COALESCE(h.n_events, 0) AS n_events,
                COALESCE(h.sum_value, 0.0) AS sum_value
         FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+    """,
+    "q_forward_fill": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   ROUND(AVG(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2
+        ), spans AS (
+            SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+            FROM hourly GROUP BY 1
+        ), spine AS (
+            SELECT event_type,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM spans
+        ), grid AS (
+            SELECT s.event_type, s.hour, h.avg_value
+            FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+        )
+        SELECT event_type, hour,
+               LAST_VALUE(avg_value IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_value,
+               CAST(avg_value IS NOT NULL AS INT) AS is_observed
+        FROM grid
     """,
     "q_scd2_history": """
         WITH ordered AS (

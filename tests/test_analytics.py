@@ -397,3 +397,38 @@ def test_equifreq_bins_are_balanced_and_ordered(spark, sf_dir):
         assert abs(r["n"] - total / 10) <= total * 0.02 + 2, r
     for a, b in zip(rows, rows[1:]):
         assert a["hi"] <= b["lo"] + 0.01  # boundaries split cleanly
+
+
+def test_forward_fill_carries_last_observation(spark, sf_dir):
+    """LOCF semantics on the real fixture: every originally-missing
+    hour carries EXACTLY the most recent observed hour's value, no row
+    is NULL (spans start at an observed hour), and observed hours match
+    a direct aggregate."""
+    from als_hadoop_spark.operators.timeseries import q_forward_fill
+
+    out = q_forward_fill(spark, sf_dir).collect()
+    direct = {
+        (r["event_type"], r["hour"]): r["v"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+        .collect()
+    }
+    by_type: dict = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_filled = 0
+    for et, rows in by_type.items():
+        rows.sort(key=lambda r: r["hour"])
+        last_observed = None
+        for r in rows:
+            assert r["avg_value"] is not None, (et, r["hour"])
+            key = (et, r["hour"])
+            if r["is_observed"]:
+                assert key in direct and r["avg_value"] == direct[key]
+                last_observed = r["avg_value"]
+            else:
+                assert key not in direct
+                assert r["avg_value"] == last_observed, (et, r["hour"])
+                n_filled += 1
+    assert n_filled > 0, "fixture has no gaps — test is vacuous"
