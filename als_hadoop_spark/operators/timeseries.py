@@ -167,6 +167,72 @@ def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MERGE cutoff: events before this are the SNAPSHOT, from it on the
+#: CHANGELOG (≈ the fixture span's last fifth, so both sides are big)
+MERGE_CUTOFF = "2024-01-25 00:00:00"
+#: one user in this many of the changelog's users is a DELETE
+MERGE_DELETE_MOD = 10
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (changelog apply): fold a change batch into a
+    snapshot with full upsert semantics — WHEN MATCHED AND op = 'D'
+    DELETE / WHEN MATCHED UPDATE / WHEN NOT MATCHED AND op ≠ 'D'
+    INSERT — the third member of the CDC family (q_latest_by_key =
+    SCD1 compaction, q_scd2_history = SCD2 history, this = the
+    lakehouse MERGE a Delta/Iceberg writer executes).
+
+    Both sides compact to ONE row per key BEFORE meeting (the same
+    max(struct) aggregate as q_latest_by_key — map-side partials, one
+    row per key×partition on the wire), so the full-outer join moves
+    key-bounded streams, never raw events. The op column is derived
+    deterministically (Knuth hash of user_id, same arithmetic in the
+    oracle): every MERGE_DELETE_MOD-th changelog user is a DELETE.
+    Output = the post-merge snapshot plus an `action` provenance
+    column; deleted keys are (provably, via the oracle) absent."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+
+    def latest(df: DataFrame, prefix: str) -> DataFrame:
+        agg = df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_s")
+        )
+        return agg.select(
+            "user_id",
+            F.col("_s.event_type").alias(f"{prefix}_state"),
+            F.col("_s.value").alias(f"{prefix}_value"),
+        )
+
+    snap = latest(ev.filter(F.col("ts") < cutoff), "snap")
+    chg = latest(ev.filter(F.col("ts") >= cutoff), "chg").withColumn(
+        "op",
+        F.when(
+            F.pmod(
+                F.pmod(F.col("user_id").cast("bigint") * 2654435761, 2**32),
+                MERGE_DELETE_MOD,
+            )
+            == 0,
+            F.lit("D"),
+        ).otherwise(F.lit("U")),
+    )
+    merged = snap.join(chg, "user_id", "full_outer")
+    return (
+        # matched deletes remove the key; not-matched deletes are
+        # no-ops — so every op='D' row drops, snapshot-only (op NULL)
+        # and op='U' rows survive
+        merged.filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.coalesce("chg_state", "snap_state").alias("state"),
+            F.coalesce("chg_value", "snap_value").alias("value"),
+            F.when(F.col("chg_state").isNull(), "kept")
+            .when(F.col("snap_state").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("action"),
+        )
+    )
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 (slowly-changing-dimension type 2) history derivation from
     a changelog: collapse each user's event stream into state
@@ -333,6 +399,7 @@ QUERIES = {
     "q_asof_join": q_asof_join,
     "q_time_rollup": q_time_rollup,
     "q_latest_by_key": q_latest_by_key,
+    "q_merge_upsert": q_merge_upsert,
     "q_scd2_history": q_scd2_history,
     "q_gap_fill": q_gap_fill,
     "q_forward_fill": q_forward_fill,
@@ -427,6 +494,38 @@ ORACLES = {
                COALESCE(h.n_events, 0) AS n_events,
                COALESCE(h.sum_value, 0.0) AS sum_value
         FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+    """,
+    "q_merge_upsert": f"""
+        WITH snap AS (
+            SELECT user_id, event_type AS snap_state, value AS snap_value
+            FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}'
+            ) WHERE rn = 1
+        ), chg AS (
+            SELECT user_id, event_type AS chg_state, value AS chg_value,
+                   CASE WHEN ((user_id * 2654435761) % 4294967296)
+                             % {MERGE_DELETE_MOD} = 0
+                        THEN 'D' ELSE 'U' END AS op
+            FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}'
+            ) WHERE rn = 1
+        )
+        SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+               COALESCE(c.chg_state, s.snap_state) AS state,
+               COALESCE(c.chg_value, s.snap_value) AS value,
+               CASE WHEN c.user_id IS NULL THEN 'kept'
+                    WHEN s.user_id IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS action
+        FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+        WHERE c.op IS NULL OR c.op = 'U'
     """,
     "q_forward_fill": """
         WITH hourly AS (

@@ -432,3 +432,51 @@ def test_forward_fill_carries_last_observation(spark, sf_dir):
                 assert r["avg_value"] == last_observed, (et, r["hour"])
                 n_filled += 1
     assert n_filled > 0, "fixture has no gaps — test is vacuous"
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    """All four MERGE outcomes on a planted changelog: matched-update,
+    matched-delete (absent from output), not-matched-insert,
+    not-matched-delete (no-op), and snapshot-only rows kept. User ids
+    are searched per op class from the same Knuth-hash arithmetic the
+    operator uses, so the scenario is stable by construction."""
+    from als_hadoop_spark.operators.timeseries import (
+        MERGE_DELETE_MOD,
+        q_merge_upsert,
+    )
+
+    def op_of(uid: int) -> str:
+        return "D" if ((uid * 2654435761) % 2**32) % MERGE_DELETE_MOD == 0 else "U"
+
+    # find small uids per op class so the test is hash-stable by
+    # construction rather than by luck
+    del_uid = next(u for u in range(1, 100) if op_of(u) == "D")
+    upd_uid = next(u for u in range(1, 100) if op_of(u) == "U")
+    ins_uid = next(u for u in range(1, 100) if u not in (del_uid, upd_uid) and op_of(u) == "U")
+    noop_del_uid = next(u for u in range(del_uid + 1, 200) if op_of(u) == "D")
+    kept_uid = max(del_uid, upd_uid, ins_uid, noop_del_uid) + 1
+
+    before, after = "2024-01-20 00:00:00", "2024-01-26 00:00:00"
+    rows = [
+        # snapshot rows (before cutoff)
+        (1, before, del_uid, "view", 1.0, "{}"),
+        (2, before, upd_uid, "view", 2.0, "{}"),
+        (3, before, kept_uid, "view", 3.0, "{}"),
+        # changelog rows (after cutoff)
+        (4, after, del_uid, "purchase", 9.0, "{}"),   # matched delete
+        (5, after, upd_uid, "click", 8.0, "{}"),      # matched update
+        (6, after, ins_uid, "click", 7.0, "{}"),      # insert
+        (7, after, noop_del_uid, "click", 6.0, "{}"), # not-matched delete → no-op
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["user_id"]: r for r in q_merge_upsert(spark, str(tmp_path)).collect()}
+    assert del_uid not in got and noop_del_uid not in got
+    assert got[upd_uid]["state"] == "click" and got[upd_uid]["action"] == "updated"
+    assert got[ins_uid]["state"] == "click" and got[ins_uid]["action"] == "inserted"
+    assert got[kept_uid]["state"] == "view" and got[kept_uid]["action"] == "kept"
+    assert set(got) == {upd_uid, ins_uid, kept_uid}
