@@ -102,6 +102,31 @@ ANNOTATED = {
         "hash aggregate (d + d^2 keys), and the projection/apply pass "
         "is pure JVM — no ArrowEvalPython above the final aggregate."
     ),
+    "q_forecast_revenue": (
+        "TPC-H Q6 — the pushdown yardstick: all three predicates reach "
+        "the parquet reader (PushedFilters), ReadSchema carries exactly "
+        "the four touched columns, and the whole query is scan → partial "
+        "agg → one single-row exchange → final agg. If this plan ever "
+        "grows a node, scan efficiency regressed."
+    ),
+    "q_volume_shipping": (
+        "TPC-H Q7 shape: both region→nation dimension chains collapse to "
+        "BroadcastHashJoins; the fact table pays exactly one shuffle "
+        "(join to orders) plus the bounded (nations² × years) aggregate "
+        "— the known-optimal Q7 plan at any scale."
+    ),
+    "q_merge_upsert": (
+        "MERGE INTO changelog apply: both sides compact to one row per "
+        "key via max(struct) hash aggregates (map-side partials) BEFORE "
+        "the full-outer SortMergeJoin, so the join's inputs are "
+        "key-bounded — raw events never cross the merge boundary."
+    ),
+    "q_forward_fill": (
+        "LOCF densification: facts touch ONE hash aggregate; the spine "
+        "explode, left join, and the last(ignorenulls) carry-forward "
+        "window all run on the bounded (types × hours) grid — the "
+        "window's sort is over grid rows, never fact rows."
+    ),
 }
 
 
