@@ -1,0 +1,131 @@
+"""Incremental token-frequency maintenance — the streaming ingest form
+of ``operators.sketches.q_cms_heavy_hitters`` (completing the pattern:
+``sketch_rollup`` ingests HLL, ``pca_rollup`` ingests PCA statistics,
+this ingests Count-Min frequency sketches).
+
+A 100 TB document feed cannot recount corpus-wide token frequencies on
+every refresh. Count-Min sketches are mergeable by ELEMENT-WISE COUNTER
+ADDITION, so the maintenance loop is:
+
+    micro-batch → one CMS delta per source (~109 KB, any vocabulary) →
+    append the delta → any reader merges deltas and probes tokens
+
+Store contract follows ``pca_rollup``, NOT ``sketch_rollup``: CMS
+merge, like summation and unlike HLL's register-max, is NOT idempotent
+under duplication (a replayed delta double-counts) — so exactly-once
+comes from the layout: one parquet subdir per micro-batch, a replayed
+batch OVERWRITES its own subdir under foreachBatch's at-least-once
+contract, and the reader globs whatever subdirs exist.
+
+The merged-deltas == single-sketch-over-all-rows identity (exact, not
+approximate: both orders add the same per-row counter increments into
+the same seeded grid) is pinned by
+``tests/test_streaming.py::test_streaming_cms_rollup_matches_batch``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketches import CMS_CONFIDENCE, CMS_EPS, CMS_SEED
+
+_STORE_SCHEMA = "source STRING, sk BINARY, n_tokens LONG"
+
+
+def _sketch_deltas(batch_df: DataFrame) -> DataFrame:
+    """One CMS delta per source for the micro-batch (columns
+    ``source, text``) — same tokenization and sketch parameters as the
+    batch operator, so deltas and batch sketches merge freely."""
+    toks = batch_df.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return toks.groupBy("source").agg(
+        F.count_min_sketch(
+            "token", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+        ).alias("sk"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+def cms_ingest(docs_stream: DataFrame, store_dir: str):
+    """Attach the frequency-maintenance stage to a documents stream
+    (columns ``source, text``). Returns the DataStreamWriter — caller
+    picks trigger/checkpoint and calls ``.start()``."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _sketch_deltas(batch_df).write.mode("overwrite").parquet(
+            f"{store_dir}/batch={batch_id}"
+        )
+
+    return docs_stream.writeStream.foreachBatch(process_batch).outputMode(
+        "append"
+    )
+
+
+def read_frequencies(
+    spark: SparkSession, store_dir: str, tokens: list[str]
+) -> DataFrame:
+    """Merge-on-read: estimated corpus-wide count for each probe token
+    across every delta in the store. The collect is bounded by
+    (#sources × #batches) sketch blobs — compaction keeps that
+    O(sources) — and the probe set is caller-bounded; raw documents
+    are never re-read."""
+    deltas = spark.read.schema(_STORE_SCHEMA).parquet(
+        f"{store_dir}/batch=*"
+    ).collect()
+    jvm = spark.sparkContext._jvm
+    merged = None
+    total = 0
+    for row in deltas:
+        j = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(row["sk"])
+        )
+        total += row["n_tokens"]
+        if merged is None:
+            merged = j
+        else:
+            merged.mergeInPlace(j)
+    rows = [
+        (t, int(merged.estimateCount(t)) if merged else 0, total)
+        for t in tokens
+    ]
+    return spark.createDataFrame(
+        rows, "token STRING, est_count BIGINT, n_tokens_total BIGINT"
+    )
+
+
+def compact(spark: SparkSession, store_dir: str) -> None:
+    """Fold every delta into one batch=compacted subdir so the store
+    stays O(sources). CMS merge is associative and commutative, so
+    readers before/after see identical estimates; the fold itself runs
+    driver-side over the bounded blob set (there is no JVM-aggregate
+    CMS merge function to push it into an executor plan)."""
+    deltas = spark.read.schema(_STORE_SCHEMA).parquet(
+        f"{store_dir}/batch=*"
+    ).collect()
+    jvm = spark.sparkContext._jvm
+    by_source: dict[str, tuple] = {}
+    for row in deltas:
+        j = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(row["sk"])
+        )
+        if row["source"] in by_source:
+            prev_j, prev_n = by_source[row["source"]]
+            prev_j.mergeInPlace(j)
+            by_source[row["source"]] = (prev_j, prev_n + row["n_tokens"])
+        else:
+            by_source[row["source"]] = (j, row["n_tokens"])
+    out = []
+    for source, (j, n) in sorted(by_source.items()):
+        bos = jvm.java.io.ByteArrayOutputStream()
+        j.writeTo(bos)
+        out.append((source, bytearray(bos.toByteArray()), n))
+    folded = spark.createDataFrame(out, _STORE_SCHEMA)
+    import shutil
+
+    rows = folded.collect()  # materialize before deleting inputs
+    shutil.rmtree(store_dir)
+    spark.createDataFrame(rows, _STORE_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{store_dir}/batch=compacted")

@@ -573,3 +573,82 @@ def test_streaming_pca_stats_match_batch(spark, sf_dir, tmp_path):
         if top[i, j] < 0:
             top[i] = -top[i]
     np.testing.assert_allclose(np.abs(top), np.abs(comps), rtol=1e-4, atol=1e-7)
+
+
+def test_streaming_cms_rollup_matches_batch(spark, tmp_path):
+    """Incremental CMS frequency ingest: merged per-batch deltas must
+    answer EXACTLY like one sketch over all rows (both add the same
+    per-row counter increments into the same seeded grid — splitting
+    into micro-batches adds no error), and compaction must be
+    invisible to readers."""
+    import os
+    import time
+
+    from als_hadoop_spark.streaming import cms_rollup
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = str(tmp_path / "doc_src")
+    store = str(tmp_path / "cms_store")
+    for i in range(3):
+        chunk = docs.filter(F.pmod("doc_id", F.lit(3)) == i).drop("doc_id")
+        chunk.coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    stream = (
+        spark.readStream.schema("source STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        cms_rollup.cms_ingest(stream, store)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    # probe set: every distinct token (vocab is 31 on the fixture)
+    toks = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    truth = {r["t"]: r["n"] for r in toks.groupBy("t").agg(F.count("*").alias("n")).collect()}
+    probe = sorted(truth)
+
+    from als_hadoop_spark.operators.sketches import (
+        CMS_CONFIDENCE,
+        CMS_EPS,
+        CMS_SEED,
+    )
+
+    whole = toks.agg(
+        F.count_min_sketch(
+            "t", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+        ).alias("sk")
+    ).collect()[0]["sk"]
+    jvm = spark.sparkContext._jvm
+    j_whole = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(whole))
+
+    streamed = {
+        r["token"]: (r["est_count"], r["n_tokens_total"])
+        for r in cms_rollup.read_frequencies(spark, store, probe).collect()
+    }
+    n_total = sum(truth.values())
+    for t in probe:
+        est, tot = streamed[t]
+        assert tot == n_total
+        assert est == j_whole.estimateCount(t), t     # merge adds no error
+        assert est >= truth[t]                        # CMS one-sided
+
+    cms_rollup.compact(spark, store)
+    assert os.listdir(store) == ["batch=compacted"]
+    after = {
+        r["token"]: (r["est_count"], r["n_tokens_total"])
+        for r in cms_rollup.read_frequencies(spark, store, probe).collect()
+    }
+    assert after == streamed
