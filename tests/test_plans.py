@@ -233,3 +233,43 @@ def test_round3_additions_plan_shapes(spark, sf_dir):
     assert n <= 2, f"sequence_pack plans {n} shuffles"
     plan = explain_str(df)
     assert "Window" in plan and "Join" not in plan, plan
+
+
+def test_merge_upsert_compacts_before_join(spark, sf_dir):
+    """MERGE changelog apply: BOTH inputs of the full-outer join must
+    already be aggregated (one row per key crosses the join) — in the
+    logical plan every Join input subtree contains an Aggregate, and
+    no quadratic node exists."""
+    from als_hadoop_spark.operators import timeseries
+
+    df = timeseries.q_merge_upsert(spark, sf_dir)
+    assert_no_quadratic_join(df)
+    plan = explain_str(df, "extended")
+    phys = plan[plan.find("== Physical Plan ==") :]
+    join_pos = phys.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = phys.find("ShuffledHashJoin")
+    assert join_pos != -1, phys
+    # physical plan prints children after the join node: both sides
+    # must show an aggregate below it (struct-max compiles to
+    # SortAggregate; Hash/ObjectHash would equally satisfy the shape)
+    tree = phys[join_pos : phys.find("(1) Scan")]
+    assert tree.count("Aggregate") >= 4, tree  # 2 sides × partial+final
+
+
+def test_forward_fill_window_runs_on_grid(spark, sf_dir):
+    """LOCF: the fact table feeds exactly one aggregation; the
+    carry-forward Window sits ABOVE the spine join (grid-sized input),
+    and the plan has no quadratic node."""
+    from als_hadoop_spark.operators import timeseries
+
+    df = timeseries.q_forward_fill(spark, sf_dir)
+    assert_no_quadratic_join(df)
+    plan = explain_str(df)
+    # both fact scans (spans branch + values branch) feed an immediate
+    # aggregate; no third touch of the fact table exists
+    assert plan.count("events.parquet") <= 2, plan
+    # the Window consumes the joined GRID, not raw facts — in the
+    # formatted tree the Window node sits above the spine Join
+    assert "Window" in plan and "Join" in plan
+    assert plan.find("Window") < plan.find("Join"), plan
