@@ -143,7 +143,42 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_bpe_merges": q_bpe_merges}
+#: top-N BPE tokens reported by q_bpe_tokenize
+BPE_TOPK = 20
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table to the corpus: the weighted
+    BPE-token frequency table (top-BPE_TOPK), i.e. what the trained
+    tokenizer actually emits over the training corpus.
+
+    Scale shape: tokenization is a property of the WORD, so the merges
+    fold over the vocabulary-bounded (word, freq) table — BPE_MERGES
+    chained pure-JVM `aggregate` folds in one lazy plan — and the
+    final counts are one explode + weighted aggregate on that bounded
+    table. The corpus itself is touched exactly once (the word-freq
+    pass inside learn_bpe); applying the tokenizer adds ZERO further
+    corpus passes. Rows-only for the same reason as q_bpe_merges (the
+    plan embeds learned literals); `tests/test_bpe.py` pins the FULL
+    token-frequency dict against the reference implementation."""
+    vocab = _word_freqs(spark, sf_dir).localCheckpoint(eager=True)
+    merges = learn_bpe(vocab)
+    toks = vocab.select(
+        "freq",
+        F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))).alias("syms"),
+    )
+    for _, left, right, merged, _cnt in merges:
+        toks = toks.select("freq", _merge_fold(left, right, merged).alias("syms"))
+    return (
+        toks.select("freq", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(BPE_TOPK)
+    )
+
+
+QUERIES = {"q_bpe_merges": q_bpe_merges, "q_bpe_tokenize": q_bpe_tokenize}
 
 #: rows-only by design: iterative argmax-dependent rounds are not one
 #: SQL statement; exact-equality gate vs a pure-Python BPE trainer in

@@ -95,3 +95,41 @@ def test_bpe_overlapping_run_semantics(spark):
     assert merges[1][4] == 2
     assert merges[1][1:3] in {("a", "</w>"), ("aa", "a")}
     assert merges[1][1:3] == min([("a", "</w>"), ("aa", "a")])
+
+
+def test_bpe_tokenize_matches_reference(spark):
+    """Applying the learned merges: the reported top-K BPE token
+    frequencies equal the reference implementation's tokenization of
+    the same corpus, weight for weight."""
+    from collections import Counter
+
+    from als_hadoop_spark.operators.bpe import BPE_TOPK, q_bpe_tokenize
+
+    docs = load(spark, SF_DIR, "documents")
+    freqs = {
+        r["word"]: r["n"]
+        for r in docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    merges = _reference_bpe(freqs, BPE_MERGES)
+    tok_counts: Counter = Counter()
+    for w, f in freqs.items():
+        syms = list(w) + [BPE_EOW]
+        for _, left, right, merged, _c in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            syms = out
+        for s in syms:
+            tok_counts[s] += f
+    expected = sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
+    got = [(r["token"], r["n"]) for r in q_bpe_tokenize(spark, SF_DIR).collect()]
+    assert got == expected

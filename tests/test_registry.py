@@ -33,6 +33,7 @@ ROWS_ONLY = {
     "q_kll_quantiles",          # DataSketches KLL — engine-specific (gated in pytest)
     "q_cms_heavy_hitters",      # Count-Min sketch — no DuckDB CMS (gated in pytest)
     "q_bpe_merges",             # iterative argmax rounds — not one SQL stmt (exact pytest gate)
+    "q_bpe_tokenize",           # plan embeds learned merge literals (exact pytest gate)
     "q_embed_pca",              # float eigenbasis — gated vs numpy PCA in pytest
 }
 
