@@ -133,3 +133,12 @@ def test_bpe_tokenize_matches_reference(spark):
     expected = sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
     got = [(r["token"], r["n"]) for r in q_bpe_tokenize(spark, SF_DIR).collect()]
     assert got == expected
+
+
+def test_bpe_empty_corpus(spark):
+    """Zero words → zero merges, no crash (the round loop must break
+    on the first empty argmax, not iterate on empty plans)."""
+    from als_hadoop_spark.operators.bpe import learn_bpe
+
+    vocab = spark.createDataFrame([], "word STRING, freq LONG")
+    assert learn_bpe(vocab) == []

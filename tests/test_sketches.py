@@ -169,3 +169,13 @@ def test_cms_merge_is_addition(spark):
     merged_rows = sketches.q_cms_heavy_hitters(spark, SF_DIR).collect()
     for r in merged_rows:
         assert r["est_count"] == j_whole.estimateCount(r["token"])
+
+
+def test_cms_empty_corpus(spark, tmp_path):
+    """No documents → empty heavy-hitter table, no driver crash (the
+    merged sketch is None and the candidate set empty)."""
+    empty = spark.createDataFrame(
+        [], "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    empty.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert sketches.q_cms_heavy_hitters(spark, str(tmp_path)).count() == 0
