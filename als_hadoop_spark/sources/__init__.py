@@ -25,9 +25,12 @@ from .tables import (
     read_ratings_csv,
     read_table,
     register_views,
+    write_clustered,
     write_jsonl,
     write_orc,
     write_table,
+    write_zordered,
+    zvalue,
 )
 
 __all__ = [
@@ -42,7 +45,10 @@ __all__ = [
     "read_ratings_csv",
     "read_table",
     "register_views",
+    "write_clustered",
     "write_jsonl",
     "write_orc",
     "write_table",
+    "write_zordered",
+    "zvalue",
 ]

@@ -2,7 +2,8 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: the ten driver tables (TESTDATA.md); one parquet file each under sf_dir.
 TABLES = (
@@ -234,3 +235,70 @@ def write_clustered(
         .sortWithinPartitions(*partition_by, *cluster_by)
     )
     out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+#: z-curve resolution: 16 bits per dimension → 32-bit z-values
+_Z_BITS = 16
+
+
+def zvalue(x: Column, y: Column) -> Column:
+    """Morton (Z-order) key of two 16-bit-normalized ints — pure JVM
+    bit arithmetic (a chain of shift/or expressions, no UDF): bit i of
+    x lands at position 2i, bit i of y at 2i+1, so sorting by the
+    result interleaves both dimensions' locality."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional layout sink — the ZORDER story
+    ``write_clustered`` can't give: linear clustering makes ONE column
+    prunable and leaves every other filter touching all files; the
+    Morton curve trades a little locality on each dimension for
+    locality on BOTH, so each written file covers an approximately
+    square region of (x, y) space and a selective predicate on EITHER
+    column skips most files via parquet footer min/max stats.
+
+    Both columns are rank-normalized to 16-bit via their min/max (one
+    1-row aggregate broadcast back — no collect), bit-interleaved
+    JVM-side, then range-partitioned and sorted on the z-value: one
+    range exchange at write time, same as the linear writer.
+    ``tests/test_sources.py`` measures the actual file-skip counts on
+    both dimensions against the linear layout."""
+    stats = df.agg(
+        F.min(col_x).alias("_xlo"),
+        F.max(col_x).alias("_xhi"),
+        F.min(col_y).alias("_ylo"),
+        F.max(col_y).alias("_yhi"),
+    )
+    scaled = df.crossJoin(F.broadcast(stats))
+
+    def norm(c: str, lo: str, hi: str) -> Column:
+        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1)).cast("double")
+        return (
+            ((F.col(c) - F.col(lo)) / span * ((1 << _Z_BITS) - 1))
+            .cast("long")
+        )
+
+    out = (
+        scaled.withColumn(
+            "_z", zvalue(norm(col_x, "_xlo", "_xhi"), norm(col_y, "_ylo", "_yhi"))
+        )
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_xlo", "_xhi", "_ylo", "_yhi", "_z")
+    )
+    out.write.mode(mode).parquet(path)
