@@ -270,3 +270,30 @@ def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
     # linear: its own column prunes hard ... the second doesn't at all
     assert lin_part <= 4, lin_part
     assert lin_supp >= total * 0.9, (lin_supp, total)
+
+
+def test_clustered_layout_enables_dynamic_partition_pruning(spark, tmp_path):
+    """Joining the partitioned layout on its partition column with a
+    selectively-filtered dimension must plan Dynamic Partition Pruning
+    (the fact scan's PartitionFilters carry a dynamicpruning subquery)
+    — the mechanism that keeps a 100 TB partitioned fact from scanning
+    partitions the dimension filter excludes at runtime."""
+    from als_hadoop_spark.sources import tables
+
+    ev = tables.load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = str(tmp_path / "part_fact")
+    tables.write_clustered(
+        ev, path, partition_by=["event_type"], cluster_by=["user_id"], n_buckets=4
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", 1.5), ("view", 0.5), ("purchase", 9.9)],
+        "event_type STRING, weight DOUBLE",
+    ).filter(F.col("weight") > 5)  # selective: 1 of 3 types survives
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    got = joined.collect()
+    assert [r["event_type"] for r in got] == ["purchase"]
