@@ -278,3 +278,35 @@ def test_interval_merge_islands_match_bruteforce(spark, ts):
                 cnt += 1
         want.append((u, cur_s, cur_e, cnt))
     assert got == sorted(want)
+
+
+@settings(**SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zvalue_matches_reference_interleave(spark, pairs):
+    """The JVM Morton key equals the textbook bit interleave for any
+    16-bit inputs — and is therefore a bijection on (x, y)."""
+    from pyspark.sql import functions as F
+
+    from als_hadoop_spark.sources.tables import zvalue
+
+    def ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "x LONG, y LONG")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zvalue(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == ref(x, y), (x, y)
+    assert len(set(got.values())) == len(set(pairs))  # bijective
