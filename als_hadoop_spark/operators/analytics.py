@@ -610,8 +610,97 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: co-supplier edges exist where two suppliers ship HIGH-QUANTITY lines
+#: of the same order (the filter keeps the graph sparse — unfiltered,
+#: every supplier pair co-occurs and the graph is complete)
+TRI_MIN_QTY = 48.0
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-supplier graph (suppliers shipping
+    high-quantity lines of the same order are connected): node/edge
+    counts, triangle count, and the global clustering coefficient
+    3·triangles / wedges — the third graph workload next to PageRank
+    (iteration) and connected components (convergence): a bounded
+    self-join cascade.
+
+    Scale shape — degree-oriented counting (the arboricity bound from
+    the compact-forward / Schank-Wagner literature, public): each
+    undirected edge is oriented from its LOWER-degree endpoint to the
+    higher ((deg, id) lexicographic, a total order), and triangles are
+    counted as directed wedges a→b, a→c closed by b→c. Every join is
+    an equi-join, and the wedge fan-out per node is bounded by its
+    OUT-degree ≤ O(√m) on any graph (vs raw degree — the difference
+    between a hub exploding the join and not). The orientation changes
+    the plan, not the answer, so the DuckDB oracle counts the same
+    census from the simpler node-ordered formulation and must
+    hash-match exactly."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > TRI_MIN_QTY
+    ).select("l_orderkey", "l_suppkey")
+    r = li.withColumnRenamed("l_suppkey", "_s2")
+    edges = (
+        li.join(r, "l_orderkey")
+        .filter(F.col("l_suppkey") < F.col("_s2"))
+        .select(F.col("l_suppkey").alias("a"), F.col("_s2").alias("b"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .union(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: lower (deg, id) → higher (deg, id)
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("_db"))
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    w1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    w2 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))
+    closer = oriented.select(
+        F.least("src", "dst").alias("y"), F.greatest("src", "dst").alias("z")
+    )
+    tri = wedges.join(closer, ["y", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+    )
+    return (
+        nodes.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
+    "q_graph_triangles": q_graph_triangles,
     "q_equifreq_bins": q_equifreq_bins,
     "q_event_transitions": q_event_transitions,
     "q_order_revenue_topn": q_order_revenue_topn,
@@ -629,6 +718,32 @@ QUERIES = {
 
 ORACLES = {
     "q_graph_pagerank": _pagerank_oracle(),
+    "q_graph_triangles": f"""
+        WITH li AS (
+            SELECT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_quantity > {TRI_MIN_QTY}
+        ), e AS (
+            SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+            FROM li l1 JOIN li l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_suppkey < l2.l_suppkey
+        ), deg AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+            GROUP BY v
+        ), tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT n_triangles FROM tri) AS n_triangles,
+               ROUND(3.0 * (SELECT n_triangles FROM tri)
+                     / (SELECT SUM(deg * (deg - 1) // 2) FROM deg),
+                     6) AS clustering_coeff
+    """,
     "q_event_transitions": """
         WITH steps AS (
             SELECT event_type AS from_type,

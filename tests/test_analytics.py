@@ -480,3 +480,57 @@ def test_merge_upsert_semantics(spark, tmp_path):
     assert got[ins_uid]["state"] == "click" and got[ins_uid]["action"] == "inserted"
     assert got[kept_uid]["state"] == "view" and got[kept_uid]["action"] == "kept"
     assert set(got) == {upd_uid, ins_uid, kept_uid}
+
+
+def test_graph_triangles_matches_bruteforce(spark, tmp_path):
+    """Planted graph (a K4 plus a pendant edge, built from orders whose
+    high-quantity lines define co-supplier edges): the degree-oriented
+    count must equal the brute-force triangle census — K4 has 4
+    triangles, the pendant adds wedges but none."""
+    from itertools import combinations
+
+    from als_hadoop_spark.operators.analytics import (
+        TRI_MIN_QTY,
+        q_graph_triangles,
+    )
+
+    # orders: each row below is one order's supplier set; every pair
+    # within an order becomes an edge
+    orders = [
+        (1, [1, 2]), (2, [1, 3]), (3, [1, 4]), (4, [2, 3]),
+        (5, [2, 4]), (6, [3, 4]),          # K4 over suppliers 1-4
+        (7, [4, 9]),                        # pendant edge
+        (8, [7]),                           # isolated supplier: no edge
+    ]
+    rows = []
+    eid = 0
+    for okey, supps in orders:
+        for s in supps:
+            eid += 1
+            rows.append((okey, 1, s, eid, TRI_MIN_QTY + 1.0, 1.0, 0.0, 0.0, "N", "O", "1996-01-01 00:00:00"))
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber LONG, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, "
+        "l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, l_shipdate STRING",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    edges = set()
+    for _, supps in orders:
+        for x, y in combinations(sorted(supps), 2):
+            edges.add((x, y))
+    nodes = sorted({v for e in edges for v in e})
+    tri = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if {(x, y), (x, z), (y, z)} <= edges
+    )
+    deg = {v: sum(1 for e in edges if v in e) for v in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+    got = q_graph_triangles(spark, str(tmp_path)).collect()[0]
+    assert got["n_nodes"] == len(nodes) == 5
+    assert got["n_edges"] == len(edges) == 7
+    assert got["n_triangles"] == tri == 4
+    assert got["clustering_coeff"] == round(3.0 * tri / wedges, 6)
