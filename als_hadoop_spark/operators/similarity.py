@@ -674,8 +674,72 @@ def q_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: k-means clustering knobs (K matches the fixture's label count so
+#: purity is interpretable; seed fixes MLlib's k-means|| init)
+KMEANS_K = 10
+KMEANS_SEED = 42
+KMEANS_MAX_ITER = 10
+
+
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised clustering of the embedding corpus via MLlib
+    KMeans — the cluster-then-curate primitive (cluster a corpus,
+    inspect/sample per cluster) that complements the SUPERVISED
+    q_nearest_centroid (which needs labels) and the ANN family (which
+    needs queries). Output: per-cluster size, majority label, and
+    label purity — the quality lens a curation pipeline applies to
+    decide which clusters to keep.
+
+    Spark-first by the same argument as ALS (SURVEY §2 A11): MLlib's
+    KMeans IS distributed Lloyd's — broadcast centers, map-side
+    partial sums per center, driver update of K×d floats per
+    iteration — so hand-rolling it would duplicate the built-in
+    block. The label join and purity aggregate are bounded
+    (K × labels keys). Rows-only: cluster ids and boundaries are
+    init/seed-dependent; `tests/test_dedup.py` gates structure (the
+    clusters partition the corpus) and that weighted purity beats the
+    1/K random baseline — the fixture's embeddings are only weakly
+    label-separable per vector (purity ≈ 0.17 vs 0.1 random; the
+    label signal lives at centroid level, cf. q_nearest_centroid), so
+    the margin is modest by construction."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(
+        k=KMEANS_K, seed=KMEANS_SEED, maxIter=KMEANS_MAX_ITER
+    ).fit(emb)
+    pred = model.transform(emb).select("label", F.col("prediction").alias("cluster"))
+    by_pair = pred.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = by_pair.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(F.col("n").desc(), "label")
+        ),
+    ).filter(F.col("_r") == 1)
+    sizes = by_pair.groupBy("cluster").agg(F.sum("n").alias("n_vectors"))
+    return (
+        sizes.join(
+            top.select("cluster", F.col("label").alias("majority_label"), F.col("n").alias("_maj")),
+            "cluster",
+        )
+        .select(
+            "cluster",
+            "n_vectors",
+            "majority_label",
+            F.round(F.col("_maj") / F.col("n_vectors"), 4).alias("purity"),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "q_sim_search": q_sim_search,
+    "q_embed_kmeans": q_embed_kmeans,
     "q_sim_search_lsh": q_sim_search_lsh,
     "q_sim_search_ivf": q_sim_search_ivf,
     "q_sim_search_pq": q_sim_search_pq,

@@ -307,3 +307,23 @@ def test_source_overlap_flags_planted_cross_source_pair(spark, tmp_path):
     }
     assert got.get(("srcA", "srcB")) == 1, got
     assert all(k == ("srcA", "srcB") for k in got), got
+
+
+def test_kmeans_partitions_corpus_and_beats_random_purity(spark):
+    """q_embed_kmeans structure gates: the clusters partition the
+    corpus exactly (sizes sum to N, ≤ K clusters), per-cluster purity
+    is a valid fraction, and WEIGHTED purity beats the 1/K random
+    baseline (the fixture's embeddings are only weakly label-separable
+    per vector, so the margin is modest by design)."""
+    from als_hadoop_spark.operators.similarity import KMEANS_K, q_embed_kmeans
+    from als_hadoop_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_embed_kmeans(spark, sf).collect()
+    n = load(spark, sf, "embeddings").count()
+    assert 0 < len(rows) <= KMEANS_K
+    assert sum(r["n_vectors"] for r in rows) == n
+    for r in rows:
+        assert 0.0 < r["purity"] <= 1.0
+    weighted = sum(r["purity"] * r["n_vectors"] for r in rows) / n
+    assert weighted > 1.2 / KMEANS_K, weighted  # ≥20% above random

@@ -24,6 +24,7 @@ ROWS_ONLY = {
     "q_sim_search_ivf",         # ANN recall < 1 (gated in pytest)
     "q_sim_search_pq",          # PQ-compressed ANN (recall gated in pytest)
     "q_sim_search_ivfpq",       # IVF+PQ composition (recall gated in pytest)
+    "q_embed_kmeans",           # seed/init-dependent clusters (purity gated in pytest)
     "q_multimodal_features",    # Python stub decoder — pinned in pytest
     "q_multimodal_frames",      # Python stub frame sampler — pinned in pytest
     "q_curation_neardup",       # minhash banding stage (gated in pytest)
