@@ -368,8 +368,49 @@ def q_als_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.unionByName(random_floor)
 
 
+#: rank grid for the sweep — brackets the generator's latent rank 6,
+#: so held-out RMSE should bottom out in the middle of the grid
+SWEEP_RANKS = (2, 8, 24)
+#: fewer iterations than the reference's 10: the sweep compares ranks
+#: RELATIVELY, and 5 iterations at 3 ranks costs less than one
+#: full-depth fit of the winner (which q_als_fit_predict already does)
+SWEEP_MAX_ITER = 5
+
+
+def q_als_rank_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection the reference hard-codes away: held-out RMSE
+    across a rank grid (the reference pins rank=20 at
+    ALS-Hadoop/ALS/ALS.java:52; a real user of the pipeline tunes it).
+    Output: one row per rank with its probe RMSE, the global-mean
+    floor, and an is_best flag (min RMSE, ties to the smaller rank —
+    Occam).
+
+    Scale shape: each grid point is an independent MLlib fit over the
+    SAME cached split — on a cluster the three fits are embarrassingly
+    parallel (submit via concurrent jobs); here they run sequentially
+    and stay cheap via SWEEP_MAX_ITER. The scalar RMSEs are bounded
+    driver values (one float per grid point), same contract as the
+    reference's driver-side RMSE read (ALS/ALS.java:423-433)."""
+    ratings = synth_ratings(spark)
+    rows = []
+    base = None
+    for rank in SWEEP_RANKS:
+        _preds, rmse, base_rmse, _model = als_pipeline(
+            ratings, rank=rank, max_iter=SWEEP_MAX_ITER
+        )
+        _preds.unpersist()
+        base = base_rmse
+        rows.append((rank, round(rmse, 4)))
+    best = min(rows, key=lambda r: (r[1], r[0]))[0]
+    return spark.createDataFrame(
+        [(rk, rm, round(base, 4), rk == best) for rk, rm in rows],
+        "rank INT, rmse DOUBLE, global_mean_rmse DOUBLE, is_best BOOLEAN",
+    )
+
+
 QUERIES = {
     "q_als_fit_predict": q_als_fit_predict,
+    "q_als_rank_sweep": q_als_rank_sweep,
     "q_als_rmse": q_als_rmse,
     "q_als_recommend": q_als_recommend,
     "q_als_item_sim": q_als_item_sim,

@@ -132,3 +132,21 @@ def test_generator_source_feeds_reference_pipeline(spark):
     _, rmse, mean_rmse, _ = pipeline_from_ratings(raw)
     assert rmse < mean_rmse, f"fit {rmse} does not beat global mean {mean_rmse}"
     assert rmse < 1.0
+
+
+def test_rank_sweep_finds_latent_structure(spark):
+    """The sweep must (a) emit one row per grid rank with exactly one
+    winner, (b) every rank beats the global-mean floor, and (c) the
+    underfit rank-2 point loses to the winner by a wide margin — the
+    generator's latent rank is 6, so the grid's middle must win."""
+    from als_hadoop_spark.operators.als import SWEEP_RANKS, q_als_rank_sweep
+
+    rows = {r["rank"]: r for r in q_als_rank_sweep(spark, "unused").collect()}
+    assert set(rows) == set(SWEEP_RANKS)
+    best = [r for r in rows.values() if r["is_best"]]
+    assert len(best) == 1
+    b = best[0]
+    assert all(b["rmse"] <= r["rmse"] for r in rows.values())
+    assert all(r["rmse"] < r["global_mean_rmse"] for r in rows.values())
+    assert rows[min(SWEEP_RANKS)]["rmse"] > b["rmse"] * 1.5  # underfit visible
+    assert b["rank"] != min(SWEEP_RANKS)

@@ -17,6 +17,7 @@ ROWS_ONLY = {
     "q_als_recommend",          # factor-derived scores (gated in pytest)
     "q_als_item_sim",           # factor-derived cosines (gated in pytest)
     "q_als_ranking",            # factor-derived NDCG (beats-random pytest gate)
+    "q_als_rank_sweep",         # factor-derived RMSE grid (structure gated in pytest)
     "q_dedup_minhash",          # banding recall < 1 (gated in pytest)
     "q_source_overlap",         # minhash banding rollup (planted-pair pytest)
     "q_dedup_simhash",          # xxhash64 bits are impl-specific
