@@ -206,8 +206,46 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every event-type pair via HLL
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where
+    the union estimate comes from `hll_union` over the SAME persisted
+    per-type sketches q_hll_rollup maintains — the pairwise question
+    ("how many purchasers also clicked?") answered from kilobyte
+    summaries with zero re-scans of the fact table.
+
+    Scale shape: one fact pass builds |types| sketches; the pair
+    expansion is a self-join of that BOUNDED sketch table (types²/2
+    rows); every estimate is a JVM scalar over broadcast-size blobs.
+    Intersection via inclusion-exclusion inherits ~3× the union's
+    relative error (standard HLL caveat, worst for small overlaps) —
+    the pytest gate bounds it against the exact intersections."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("ska")
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("skb")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est_a = F.hll_sketch_estimate("ska")
+    est_b = F.hll_sketch_estimate("skb")
+    est_u = F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est_a.alias("users_a"),
+        est_b.alias("users_b"),
+        F.greatest(est_a + est_b - est_u, F.lit(0)).alias("approx_overlap"),
+    ).orderBy("type_a", "type_b")
+
+
 QUERIES = {
     "q_hll_rollup": q_hll_rollup,
+    "q_hll_overlap": q_hll_overlap,
     "q_kll_quantiles": q_kll_quantiles,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
 }

@@ -339,6 +339,40 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exactly this many docs kept per language by q_stratified_k
+STRATA_K = 25
+
+
+def q_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sampling: EXACTLY min(K, stratum size)
+    documents per language, selected deterministically — the balanced
+    eval-set / few-shot-pool builder (q_sample_mixture's Bernoulli
+    draw hits a RATE in expectation; an eval set needs an exact
+    count). Selection = the K smallest Knuth-hash values per language
+    (ties impossible: doc_id is unique and the multiplier is odd, so
+    the hash is injective mod 2³¹) — layout-independent, reproducible,
+    auditable, like every sampler in this module.
+
+    Scale shape: ONE exchange on the bounded lang key for the
+    row_number window; the hash ranking means no global sort and no
+    second pass. Per-group top-K via window is the standard plan; K
+    and |langs| bound the output."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_MOD31)) * F.lit(_KNUTH), F.lit(_MOD31)
+    )
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", h.alias("_h"))
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= STRATA_K)
+        .select("lang", "pick", "doc_id", "source", "n_chars")
+        .orderBy("lang", "pick")
+    )
+
+
 #: top terms kept per document by TF-IDF
 TFIDF_TOP_K = 3
 
@@ -580,6 +614,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_lm_score": q_lm_score,
     "q_zipf_fit": q_zipf_fit,
+    "q_stratified_k": q_stratified_k,
     "q_text_stats": q_text_stats,
     "q_sequence_pack": q_sequence_pack,
     "q_curation": q_curation,
@@ -614,6 +649,20 @@ ORACLES = {
                ROUND(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
                ROUND(regr_r2(ln(freq), ln(rank)), 6) AS fit_r2
         FROM ranked
+    """,
+    "q_stratified_k": f"""
+        SELECT lang, pick, doc_id, source, n_chars
+        FROM (
+            SELECT lang, doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id % {_MOD31}) * {_KNUTH} % {_MOD31},
+                                doc_id
+                   ) AS pick
+            FROM documents
+        )
+        WHERE pick <= {STRATA_K}
+        ORDER BY lang, pick
     """,
     "q_lm_score": """
         WITH toks AS (

@@ -32,6 +32,7 @@ ROWS_ONLY = {
     "q_dedup_cluster",          # minhash banding edges (planted-chain pytest)
     "q_approx_percentile",      # GK sketch — engine-specific (gated in pytest)
     "q_hll_rollup",             # DataSketches HLL — engine-specific (gated in pytest)
+    "q_hll_overlap",            # HLL inclusion-exclusion — engine-specific (gated in pytest)
     "q_kll_quantiles",          # DataSketches KLL — engine-specific (gated in pytest)
     "q_cms_heavy_hitters",      # Count-Min sketch — no DuckDB CMS (gated in pytest)
     "q_bpe_merges",             # iterative argmax rounds — not one SQL stmt (exact pytest gate)

@@ -179,3 +179,24 @@ def test_cms_empty_corpus(spark, tmp_path):
     )
     empty.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     assert sketches.q_cms_heavy_hitters(spark, str(tmp_path)).count() == 0
+
+
+def test_hll_overlap_error_vs_exact(spark):
+    """Inclusion-exclusion overlap estimates must land within 10% of
+    the exact pairwise intersections (generous vs the ~3× union error
+    bound; the fixture's overlaps are large, where the estimate is
+    strongest), and the A/B cardinalities must match q_hll_rollup's."""
+    ev = load(spark, SF_DIR, "events")
+    users = {
+        r["event_type"]: set()
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        users[r["event_type"]].add(r["user_id"])
+    got = sketches.q_hll_overlap(spark, SF_DIR).collect()
+    assert len(got) == len(users) * (len(users) - 1) // 2
+    for r in got:
+        exact = len(users[r["type_a"]] & users[r["type_b"]])
+        assert abs(r["approx_overlap"] - exact) <= max(0.10 * exact, 5), (
+            r["type_a"], r["type_b"], r["approx_overlap"], exact,
+        )
