@@ -367,6 +367,39 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: props parses
+    once into the binary variant encoding (`parse_json`) and fields
+    come out with `variant_get` / `try_variant_get` — the
+    schema-on-read path for ragged JSON where `from_json` would force
+    one global schema (and where a 100 TB events table wants the
+    parse to happen once, at ingest, with cheap typed access after).
+
+    The probe extracts an existing path (typed int), a MISSING path
+    through the try_ variant (NULL, not an error — proven by counting
+    them), and a type-coerced read of the same field as string; one
+    bounded event_type aggregate. All outputs integer-exact, so the
+    DuckDB oracle (json_extract twins) hash-matches."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    fields = v.select(
+        "event_type",
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.try_variant_get("v", "$.absent", "int").alias("missing"),
+        F.variant_get("v", "$.k", "string").alias("k_str"),
+    )
+    return (
+        fields.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.count("missing").alias("n_absent_hits"),
+            F.sum(F.length("k_str")).alias("sum_kstr_len"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-B gap: JSON extraction + map/array construction. props is a
     JSON string; from_json parses it JVM-side (no UDF). Aggregates are
@@ -697,6 +730,7 @@ QUERIES = {
     "q_listagg": q_listagg,
     "q_scalar_funcs": q_scalar_funcs,
     "q_array_map_json": q_array_map_json,
+    "q_variant_json": q_variant_json,
     "q_array_funcs": q_array_funcs,
     "q_pivot": q_pivot,
     "q_percentiles": q_percentiles,
@@ -710,6 +744,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_variant_json": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               CAST(COUNT(CAST(json_extract_string(props, '$.absent') AS INT))
+                    AS BIGINT) AS n_absent_hits,
+               SUM(LENGTH(json_extract_string(props, '$.k'))) AS sum_kstr_len
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "q_window_distribution": """
         SELECT event_id, user_id, value,
                ROUND(percent_rank() OVER w, 6) AS pct_rank,
