@@ -158,13 +158,64 @@ def q_udf_groupfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's Arrow-optimized Python UDF (`udf(useArrow=True)`) —
+    the modern default for scalar Python logic that isn't naturally
+    vectorized: row-at-a-time author ergonomics, Arrow-batch transfer
+    underneath (no pickle per row). Completes the UDF matrix next to
+    the pandas_udf (batch-vectorized) and UDTF rows.
+
+    The function normalizes a document's token stream the way a
+    cleaning pass would (strip, collapse case, drop empties, rejoin) —
+    string logic that is awkward as nested HOF expressions but trivial
+    in Python. Integer-exact outputs (token count + sha256-derived
+    fingerprint bits) keep the full DuckDB oracle despite the Python
+    hop."""
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def normalize(text):
+        toks = [t.lower() for t in text.split(" ") if t]
+        return " ".join(toks)
+
+    docs = load(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        normalize("text").alias("norm"),
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.size(F.split("norm", " ")).alias("n_tokens"),
+            F.sha2("norm", 256).alias("norm_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "q_udf_quantize": q_udf_quantize,
     "q_udf_chunk": q_udf_chunk,
     "q_udf_groupfit": q_udf_groupfit,
+    "q_udf_arrow": q_udf_arrow,
 }
 
 ORACLES = {
+    "q_udf_arrow": """
+        WITH norm AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(string_split(lower(text), ' '),
+                                   t -> t <> ''),
+                       ' ') AS norm
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens,
+               sha256(norm) AS norm_hash
+        FROM norm
+        ORDER BY doc_id
+    """,
     # identical SQL to analytics.q_regression's oracle — the UDF path
     # must reproduce the closed-form fit bit-for-bit at 4 decimals.
     "q_udf_groupfit": """
