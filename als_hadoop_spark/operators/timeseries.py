@@ -346,6 +346,50 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled series (the
+    TimescaleDB `time_weight('LOCF')` primitive, public semantics):
+    each observation holds until the next one, so the mean is the
+    integral of the step function over the observed span — the correct
+    average for level metrics sampled at uneven intervals, where the
+    plain avg() over-weights bursts of samples.
+
+    Per event_type: Σ value·Δt / Σ Δt with Δt = µs to the NEXT
+    observation (the last observation in a span carries no weight —
+    its holding interval is unobserved). ONE window exchange on the
+    bounded event_type key (ties on ts break on event_id — total order
+    in both engines), then one bounded aggregate. Exact integer µs
+    weights; the single division rounds at 4dp after aggregation."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    steps = ev.select(
+        "event_type",
+        "value",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
+            "dt_us"
+        ),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    return (
+        steps.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us"))
+                / F.sum(F.when(F.col("dt_us").isNotNull(), F.col("dt_us"))),
+                4,
+            ).alias("tw_avg"),
+            F.round(F.avg("value"), 4).alias("plain_avg"),
+            F.count(F.lit(1)).alias("n_samples"),
+            ((F.max("t_us") - F.min("t_us")) / F.lit(3.6e9)).alias(
+                "span_hours"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 #: each event projects a fixed activity interval of this many minutes
 MERGE_SPAN_MIN = 5
 
@@ -403,6 +447,7 @@ QUERIES = {
     "q_scd2_history": q_scd2_history,
     "q_gap_fill": q_gap_fill,
     "q_forward_fill": q_forward_fill,
+    "q_time_weighted_avg": q_time_weighted_avg,
     "q_interval_merge": q_interval_merge,
 }
 
@@ -526,6 +571,24 @@ ORACLES = {
                     ELSE 'updated' END AS action
         FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
         WHERE c.op IS NULL OR c.op = 'U'
+    """,
+    "q_time_weighted_avg": """
+        WITH steps AS (
+            SELECT event_type, value,
+                   LEAD(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) - epoch_us(ts) AS dt_us,
+                   epoch_us(ts) AS t_us
+            FROM events
+        )
+        SELECT event_type,
+               ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS tw_avg,
+               ROUND(AVG(value), 4) AS plain_avg,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               (MAX(t_us) - MIN(t_us)) / 3600000000.0 AS span_hours
+        FROM steps
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "q_forward_fill": """
         WITH hourly AS (
