@@ -91,7 +91,16 @@ def learn_bpe(vocab: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
     [(rank, left, right, merged, pair_count), ...]. Ties on count
     break on (left, right) lexicographically — a total order, so the
     merge list is deterministic in any engine."""
-    spark = vocab.sparkSession
+    merges, _ = learn_bpe_with_vocab(vocab, n_merges)
+    return merges
+
+
+def learn_bpe_with_vocab(
+    vocab: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[list[tuple], DataFrame]:
+    """`learn_bpe` plus the FINAL (freq, syms) vocabulary table with
+    every learned merge already applied — so a tokenize step can reuse
+    it instead of re-chaining the folds from scratch."""
     vocab = vocab.select(
         "freq",
         F.concat(
@@ -129,7 +138,7 @@ def learn_bpe(vocab: DataFrame, n_merges: int = BPE_MERGES) -> list[tuple]:
         )
         if (rank + 1) % CHECKPOINT_EVERY == 0:
             vocab = vocab.localCheckpoint(eager=True)
-    return merges
+    return merges, vocab
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,14 +170,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus passes. Rows-only for the same reason as q_bpe_merges (the
     plan embeds learned literals); `tests/test_bpe.py` pins the FULL
     token-frequency dict against the reference implementation."""
-    vocab = _word_freqs(spark, sf_dir).localCheckpoint(eager=True)
-    merges = learn_bpe(vocab)
-    toks = vocab.select(
-        "freq",
-        F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))).alias("syms"),
-    )
-    for _, left, right, merged, _cnt in merges:
-        toks = toks.select("freq", _merge_fold(left, right, merged).alias("syms"))
+    _merges, toks = learn_bpe_with_vocab(_word_freqs(spark, sf_dir))
     return (
         toks.select("freq", F.explode("syms").alias("token"))
         .groupBy("token")

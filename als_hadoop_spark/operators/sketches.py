@@ -123,8 +123,14 @@ CMS_EPS = 1e-3
 CMS_CONFIDENCE = 0.99
 CMS_SEED = 42
 #: deterministic Knuth-hash doc sample used ONLY to nominate
-#: candidates (the sketch, not the sample, supplies the counts)
-CMS_SAMPLE_MOD = 4  # keep doc_id hash % 4 == 0 → ~25% of docs
+#: candidates (the sketch, not the sample, supplies the counts).
+#: Known limitation of sample-based nomination (standard for CMS,
+#: which cannot enumerate its keys): a heavy hitter concentrated in
+#: the unsampled half of doc_ids would not be nominated and would be
+#: missing from the reported top-k even though the sketch holds its
+#: count — acceptable for corpus-level tokens (spread across docs by
+#: nature), wrong for per-doc-unique keys.
+CMS_SAMPLE_MOD = 2  # keep doc_id hash % 2 == 0 → ~50% of docs
 CMS_CANDIDATES = 60
 CMS_TOPK = 20
 
@@ -146,7 +152,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE fact pass (explode tokens → `count_min_sketch` aggregate
     per source, map-side-combined JVM partials — the granularity a
     production pipeline would PERSIST); candidate tokens are nominated
-    from a deterministic Knuth-hash quarter-sample of docs (same
+    from a deterministic Knuth-hash half-sample of docs (same
     arithmetic as q_sample_mixture, layout-independent) via an exact
     bounded top-CMS_CANDIDATES aggregate on the sample only. Driver
     merges the |sources| sketches (bounded collect, KBs) through the
@@ -172,7 +178,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sk")
     )
     # candidate nomination: exact top tokens of the deterministic
-    # quarter-sample (bounded output; the sample only nominates — the
+    # half-sample (bounded output; the sample only nominates — the
     # merged sketch supplies the reported counts)
     knuth = F.pmod(
         (F.col("doc_id").cast("bigint") * F.lit(2654435761)),

@@ -375,10 +375,10 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         steps.groupBy("event_type")
         .agg(
+            # SUM skips NULLs, so the last observation per span (dt_us
+            # NULL) drops out of numerator and denominator alike
             F.round(
-                F.sum(F.col("value") * F.col("dt_us"))
-                / F.sum(F.when(F.col("dt_us").isNotNull(), F.col("dt_us"))),
-                4,
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4
             ).alias("tw_avg"),
             F.round(F.avg("value"), 4).alias("plain_avg"),
             F.count(F.lit(1)).alias("n_samples"),

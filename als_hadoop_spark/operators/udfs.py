@@ -175,6 +175,8 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf("string", useArrow=True)
     def normalize(text):
+        if text is None:  # NULL in → NULL out, like the oracle's lower(NULL)
+            return None
         toks = [t.lower() for t in text.split(" ") if t]
         return " ".join(toks)
 

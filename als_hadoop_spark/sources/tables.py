@@ -287,7 +287,12 @@ def write_zordered(
     scaled = df.crossJoin(F.broadcast(stats))
 
     def norm(c: str, lo: str, hi: str) -> Column:
-        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1)).cast("double")
+        # guard ONLY the degenerate constant-column case (span = 0);
+        # clamping every sub-1 span — e.g. a score column in [0, 0.01]
+        # — would collapse that dimension's bits and silently degrade
+        # the curve to linear on the other column
+        raw_span = (F.col(hi) - F.col(lo)).cast("double")
+        span = F.when(raw_span == 0, F.lit(1.0)).otherwise(raw_span)
         return (
             ((F.col(c) - F.col(lo)) / span * ((1 << _Z_BITS) - 1))
             .cast("long")

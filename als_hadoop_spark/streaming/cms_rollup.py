@@ -48,18 +48,57 @@ def _sketch_deltas(batch_df: DataFrame) -> DataFrame:
     )
 
 
+def _compacted_high_watermark(store_dir: str) -> int:
+    """Highest micro-batch id already folded into a ``batch=compacted-N``
+    subdir, or -1. Compaction encodes its coverage in the dir name so
+    a REPLAYED batch (foreachBatch is at-least-once) can detect that
+    its counts already live in the compacted blob and skip the
+    re-write — without this, a replay after compaction would add its
+    delta a second time and CMS's non-idempotent merge would
+    double-count it."""
+    import os
+    import re
+
+    hw = -1
+    if os.path.isdir(store_dir):
+        for name in os.listdir(store_dir):
+            m = re.fullmatch(r"batch=compacted-(\d+)", name)
+            if m:
+                hw = max(hw, int(m.group(1)))
+    return hw
+
+
 def cms_ingest(docs_stream: DataFrame, store_dir: str):
     """Attach the frequency-maintenance stage to a documents stream
     (columns ``source, text``). Returns the DataStreamWriter — caller
     picks trigger/checkpoint and calls ``.start()``."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _compacted_high_watermark(store_dir):
+            return  # replayed batch already folded into the compacted blob
         _sketch_deltas(batch_df).write.mode("overwrite").parquet(
             f"{store_dir}/batch={batch_id}"
         )
 
     return docs_stream.writeStream.foreachBatch(process_batch).outputMode(
         "append"
+    )
+
+
+def _read_deltas(spark: SparkSession, store_dir: str) -> list:
+    """All delta rows in the store; an absent or not-yet-written store
+    reads as empty rather than raising (a reader may race the first
+    micro-batch)."""
+    import os
+
+    if not os.path.isdir(store_dir) or not any(
+        name.startswith("batch=") for name in os.listdir(store_dir)
+    ):
+        return []
+    return (
+        spark.read.schema(_STORE_SCHEMA)
+        .parquet(f"{store_dir}/batch=*")
+        .collect()
     )
 
 
@@ -70,10 +109,8 @@ def read_frequencies(
     across every delta in the store. The collect is bounded by
     (#sources × #batches) sketch blobs — compaction keeps that
     O(sources) — and the probe set is caller-bounded; raw documents
-    are never re-read."""
-    deltas = spark.read.schema(_STORE_SCHEMA).parquet(
-        f"{store_dir}/batch=*"
-    ).collect()
+    are never re-read. An empty/absent store yields zero estimates."""
+    deltas = _read_deltas(spark, store_dir)
     jvm = spark.sparkContext._jvm
     merged = None
     total = 0
@@ -96,14 +133,29 @@ def read_frequencies(
 
 
 def compact(spark: SparkSession, store_dir: str) -> None:
-    """Fold every delta into one batch=compacted subdir so the store
-    stays O(sources). CMS merge is associative and commutative, so
-    readers before/after see identical estimates; the fold itself runs
+    """Fold every delta into one ``batch=compacted-N`` subdir (N = the
+    highest micro-batch id folded, the replay high-watermark) so the
+    store stays O(sources). CMS merge is associative and commutative,
+    so readers before/after see identical estimates; the fold runs
     driver-side over the bounded blob set (there is no JVM-aggregate
-    CMS merge function to push it into an executor plan)."""
-    deltas = spark.read.schema(_STORE_SCHEMA).parquet(
-        f"{store_dir}/batch=*"
-    ).collect()
+    CMS merge function to push it into an executor plan).
+
+    Crash-safe swap: the folded output is fully written into a sibling
+    temp dir FIRST, then the old store is moved aside, the new one
+    renamed into place, and the old one deleted — at no point is the
+    only copy of the counts a partially-written directory."""
+    import os
+    import re
+    import shutil
+
+    deltas = _read_deltas(spark, store_dir)
+    if not deltas:
+        return
+    hw = _compacted_high_watermark(store_dir)
+    for name in os.listdir(store_dir):
+        m = re.fullmatch(r"batch=(\d+)", name)
+        if m:
+            hw = max(hw, int(m.group(1)))
     jvm = spark.sparkContext._jvm
     by_source: dict[str, tuple] = {}
     for row in deltas:
@@ -121,11 +173,12 @@ def compact(spark: SparkSession, store_dir: str) -> None:
         bos = jvm.java.io.ByteArrayOutputStream()
         j.writeTo(bos)
         out.append((source, bytearray(bos.toByteArray()), n))
-    folded = spark.createDataFrame(out, _STORE_SCHEMA)
-    import shutil
-
-    rows = folded.collect()  # materialize before deleting inputs
-    shutil.rmtree(store_dir)
-    spark.createDataFrame(rows, _STORE_SCHEMA).write.mode(
-        "overwrite"
-    ).parquet(f"{store_dir}/batch=compacted")
+    tmp_dir, old_dir = f"{store_dir}.compact-tmp", f"{store_dir}.compact-old"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    spark.createDataFrame(out, _STORE_SCHEMA).write.parquet(
+        f"{tmp_dir}/batch=compacted-{hw}"
+    )
+    os.rename(store_dir, old_dir)
+    os.rename(tmp_dir, store_dir)
+    shutil.rmtree(old_dir)

@@ -646,9 +646,39 @@ def test_streaming_cms_rollup_matches_batch(spark, tmp_path):
         assert est >= truth[t]                        # CMS one-sided
 
     cms_rollup.compact(spark, store)
-    assert os.listdir(store) == ["batch=compacted"]
+    assert os.listdir(store) == ["batch=compacted-2"]
     after = {
         r["token"]: (r["est_count"], r["n_tokens_total"])
         for r in cms_rollup.read_frequencies(spark, store, probe).collect()
     }
     assert after == streamed
+
+    # at-least-once REPLAY after compaction must not double-count:
+    # a fresh checkpoint replays the same files as batch ids 0..2,
+    # all <= the compacted high-watermark, so ingest skips them
+    q2 = (
+        cms_rollup.cms_ingest(
+            spark.readStream.schema("source STRING, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*"),
+            store,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q2.awaitTermination(180)
+    finally:
+        q2.stop()
+    replayed = {
+        r["token"]: (r["est_count"], r["n_tokens_total"])
+        for r in cms_rollup.read_frequencies(spark, store, probe).collect()
+    }
+    assert replayed == streamed
+
+    # empty/absent store reads as zeros, not an exception
+    zero = cms_rollup.read_frequencies(
+        spark, str(tmp_path / "no_such_store"), ["scan"]
+    ).collect()
+    assert [(r["est_count"], r["n_tokens_total"]) for r in zero] == [(0, 0)]
