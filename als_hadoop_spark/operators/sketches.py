@@ -249,14 +249,107 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("type_a", "type_b")
 
 
+#: bits per bitmap word — 32 low bits of a BIGINT word, so `1 << bit`
+#: never touches the sign bit and the identical shift arithmetic is
+#: exact in both engines
+BITMAP_BITS = 32
+
+
+def q_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise audience overlap via bitmap indexes — the
+    Roaring/Druid-style companion to q_hll_overlap's sketch estimate:
+    each event type's user set becomes a bitmap (`bit_or` of
+    `1 << (user_id % 32)` per 32-user bucket), and |A∩B| is
+    `sum(bit_count(a & b))` over bucket-aligned words.
+
+    Why this is the exact-set-op scale shape: the fact table collapses
+    in ONE pass to |types| × ⌈users/32⌉ bigint words (bit_or has
+    map-side partials and is duplication-idempotent, so no distinct
+    needed); every later set operation (AND here — OR/XOR the same
+    way) is a bucket equi-join over word streams, never a re-scan,
+    never a shuffle of raw user ids. Requires a DENSE id space — the
+    fixtures' user_id already is; sparse keys chain
+    functions.ids.dense_ids first (that composition is the
+    production path). All-integer output → full DuckDB oracle, which
+    doubles as the exactness check for q_hll_overlap's estimates."""
+    ev = load(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr(f"user_id div {BITMAP_BITS}").alias("bucket"),
+            F.expr(
+                f"shiftleft(1L, CAST(user_id % {BITMAP_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+    totals = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("w")).alias("n_users")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "bucket", F.col("w").alias("wa")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "bucket", F.col("w").alias("wb")
+    )
+    inter = (
+        a.join(b, "bucket")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))).alias(
+                "n_overlap"
+            )
+        )
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select("type_a", "type_b", "users_a", "users_b", "n_overlap")
+        .orderBy("type_a", "type_b")
+    )
+
+
 QUERIES = {
     "q_hll_rollup": q_hll_rollup,
     "q_hll_overlap": q_hll_overlap,
+    "q_bitmap_overlap": q_bitmap_overlap,
     "q_kll_quantiles": q_kll_quantiles,
     "q_cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
-#: rows-only by design: sketch estimates are engine-specific (DuckDB's
-#: HLL/quantile implementations differ); accuracy + merge-identity are
-#: pytest-gated in tests/test_sketches.py instead.
-ORACLES: dict[str, str] = {}
+#: sketch estimates are engine-specific (DuckDB's HLL/quantile
+#: implementations differ) → those queries are rows-only, accuracy +
+#: merge-identity pytest-gated in tests/test_sketches.py. The bitmap
+#: overlap is EXACT integer arithmetic → full oracle.
+ORACLES: dict[str, str] = {
+    "q_bitmap_overlap": f"""
+        WITH words AS (
+            SELECT event_type,
+                   user_id // {BITMAP_BITS} AS bucket,
+                   bit_or(1::BIGINT << CAST(user_id % {BITMAP_BITS} AS INT))
+                       AS w
+            FROM events
+            GROUP BY event_type, bucket
+        ), totals AS (
+            SELECT event_type, SUM(bit_count(w)) AS n_users
+            FROM words GROUP BY event_type
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               ta.n_users AS users_a, tb.n_users AS users_b,
+               SUM(bit_count(a.w & b.w)) AS n_overlap
+        FROM words a
+        JOIN words b ON a.bucket = b.bucket AND a.event_type < b.event_type
+        JOIN totals ta ON ta.event_type = a.event_type
+        JOIN totals tb ON tb.event_type = b.event_type
+        GROUP BY type_a, type_b, users_a, users_b
+        ORDER BY type_a, type_b
+    """,
+}

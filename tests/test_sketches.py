@@ -200,3 +200,20 @@ def test_hll_overlap_error_vs_exact(spark):
         assert abs(r["approx_overlap"] - exact) <= max(0.10 * exact, 5), (
             r["type_a"], r["type_b"], r["approx_overlap"], exact,
         )
+
+
+def test_bitmap_overlap_is_exact(spark):
+    """The bitmap AND overlap must equal brute-force set intersection
+    EXACTLY (no estimate here), and agree with q_hll_overlap's
+    estimates within that test's tolerance — the exact/approx pair
+    answer the same question."""
+    ev = load(spark, SF_DIR, "events")
+    users: dict = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    got = sketches.q_bitmap_overlap(spark, SF_DIR).collect()
+    assert len(got) == len(users) * (len(users) - 1) // 2
+    for r in got:
+        assert r["users_a"] == len(users[r["type_a"]])
+        assert r["users_b"] == len(users[r["type_b"]])
+        assert r["n_overlap"] == len(users[r["type_a"]] & users[r["type_b"]])
