@@ -610,6 +610,47 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for users who complete
+    view→purchase (first purchase STRICTLY AFTER first view), the
+    p50/p90 and mean of the delay — q_event_funnel counts WHO
+    converts, this measures HOW LONG conversion takes, the other half
+    of every funnel dashboard.
+
+    Scale shape: two filtered min-aggregates keyed on user_id (map-side
+    partials) + one user-keyed join, then ONE single-row percentile
+    aggregate over the bounded converter set — no per-user sequence
+    sort. Delays in exact integer microseconds until the final
+    divisions; percentile interpolation is the same linear rule in
+    both engines (quantile_cont twin), with the result rounded 4dp."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_view = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    first_purchase = (
+        ev.join(first_view, "user_id")
+        .filter(
+            (F.col("event_type") == FUNNEL_STEPS[2])
+            & (F.col("ts") > F.col("t_view"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"), F.min("t_view").alias("t_view"))
+    )
+    delay_us = F.unix_micros("t_buy") - F.unix_micros("t_view")
+    return first_purchase.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile(delay_us, F.lit(0.5)) / 60e6, 4).alias(
+            "p50_minutes"
+        ),
+        F.round(F.percentile(delay_us, F.lit(0.9)) / 60e6, 4).alias(
+            "p90_minutes"
+        ),
+        F.round(F.avg(delay_us) / 60e6, 4).alias("mean_minutes"),
+    )
+
+
 #: co-supplier edges exist where two suppliers ship HIGH-QUANTITY lines
 #: of the same order (the filter keeps the graph sparse — unfiltered,
 #: every supplier pair co-occurs and the graph is complete)
@@ -701,6 +742,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_triangles": q_graph_triangles,
+    "q_funnel_latency": q_funnel_latency,
     "q_equifreq_bins": q_equifreq_bins,
     "q_event_transitions": q_event_transitions,
     "q_order_revenue_topn": q_order_revenue_topn,
@@ -718,6 +760,29 @@ QUERIES = {
 
 ORACLES = {
     "q_graph_pagerank": _pagerank_oracle(),
+    "q_funnel_latency": """
+        WITH fv AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id
+        ), fp AS (
+            SELECT e.user_id,
+                   MIN(epoch_us(e.ts)) AS t_buy_us,
+                   MIN(epoch_us(fv.t_view)) AS t_view_us
+            FROM events e
+            JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > fv.t_view
+            GROUP BY e.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+               ROUND(quantile_cont(t_buy_us - t_view_us, 0.5)
+                     / 60000000.0, 4) AS p50_minutes,
+               ROUND(quantile_cont(t_buy_us - t_view_us, 0.9)
+                     / 60000000.0, 4) AS p90_minutes,
+               ROUND(AVG(t_buy_us - t_view_us) / 60000000.0, 4)
+                   AS mean_minutes
+        FROM fp
+    """,
     "q_graph_triangles": f"""
         WITH li AS (
             SELECT l_orderkey, l_suppkey FROM lineitem
