@@ -127,6 +127,20 @@ ANNOTATED = {
         "window all run on the bounded (types × hours) grid — the "
         "window's sort is over grid rows, never fact rows."
     ),
+    "q_bitmap_overlap": (
+        "Exact set algebra at scale: the fact table collapses in one "
+        "pass to types × ceil(users/32) bigint words (bit_or partials "
+        "are map-side-combined and duplication-idempotent), and the "
+        "pairwise AND + popcount runs as a bucket equi-join over word "
+        "streams — raw user ids never shuffle twice."
+    ),
+    "q_graph_triangles": (
+        "Degree-oriented triangle counting: every join is an equi-join "
+        "and the wedge fan-out per node is bounded by OUT-degree "
+        "(edges point lower→higher (deg,id)) — the compact-forward "
+        "arboricity bound that keeps hub nodes from exploding the "
+        "plan; no quadratic node anywhere."
+    ),
 }
 
 
