@@ -70,6 +70,51 @@ def dense_ids(df: DataFrame, key: str, num_partitions: int | None = None) -> Dat
     )
 
 
+def global_ranks(
+    df: DataFrame,
+    order_exprs: list,
+    num_partitions: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """df + ``rank_col``: the 1-based global row_number over
+    ``order_exprs`` (Column expressions; ``.desc()`` supported) —
+    the scale-safe form of ``row_number() OVER (ORDER BY ...)``.
+
+    An unpartitioned rank window funnels the whole input through ONE
+    task (Spark's ``WindowExec: No Partition Defined`` warning). This
+    is the same two-stage enumeration as ``dense_ids`` generalized to
+    arbitrary sort expressions and full-row passthrough:
+    range-partition on the order expressions (global order preserved
+    across partition boundaries), enumerate locally via
+    ``monotonically_increasing_id`` decomposition, then add
+    broadcast per-partition offsets (a ≤``num_partitions``-row frame).
+    Ties get arbitrary-but-valid distinct ranks (row_number
+    semantics); pass a unique tiebreaker column for determinism."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    mono = F.monotonically_increasing_id()
+    parts = (
+        df.repartitionByRange(num_partitions, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .select(
+            *df.columns,
+            F.shiftrightunsigned(mono, 33).cast("int").alias("_pid"),
+            mono.bitwiseAND(F.lit(_MONO_LOCAL_MASK)).alias("_lidx"),
+        )
+    )
+    cnt = parts.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = cnt.select(
+        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off")
+    )
+    return parts.join(F.broadcast(off), "_pid").select(
+        *df.columns,
+        (F.col("_off") + F.col("_lidx") + F.lit(1)).alias(rank_col),
+    )
+
+
 def grouped_ranks(
     df: DataFrame, group_cols: list[str], order_col: str, num_partitions: int | None = None
 ) -> DataFrame:

@@ -373,7 +373,9 @@ ORACLES = {
             SELECT doc_id, bigram AS top_bigram,
                    ROUND(CAST(cnt AS DOUBLE) / n_bigrams, 6)
                        AS top_bigram_frac,
-                   n_bigrams
+                   -- windowed SUM over integers is HUGEINT in DuckDB,
+                   -- same driver-hash trap as the aggregate form
+                   CAST(n_bigrams AS BIGINT) AS n_bigrams
             FROM ranked WHERE rn = 1
         ),
         ratios AS (

@@ -747,10 +747,12 @@ ORACLES = {
     "q_variant_json": """
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                    AS BIGINT) AS sum_k,
                CAST(COUNT(CAST(json_extract_string(props, '$.absent') AS INT))
                     AS BIGINT) AS n_absent_hits,
-               SUM(LENGTH(json_extract_string(props, '$.k'))) AS sum_kstr_len
+               CAST(SUM(LENGTH(json_extract_string(props, '$.k')))
+                    AS BIGINT) AS sum_kstr_len
         FROM events
         GROUP BY event_type
         ORDER BY event_type

@@ -339,12 +339,12 @@ ORACLES: dict[str, str] = {
             FROM events
             GROUP BY event_type, bucket
         ), totals AS (
-            SELECT event_type, SUM(bit_count(w)) AS n_users
+            SELECT event_type, CAST(SUM(bit_count(w)) AS BIGINT) AS n_users
             FROM words GROUP BY event_type
         )
         SELECT a.event_type AS type_a, b.event_type AS type_b,
                ta.n_users AS users_a, tb.n_users AS users_b,
-               SUM(bit_count(a.w & b.w)) AS n_overlap
+               CAST(SUM(bit_count(a.w & b.w)) AS BIGINT) AS n_overlap
         FROM words a
         JOIN words b ON a.bucket = b.bucket AND a.event_type < b.event_type
         JOIN totals ta ON ta.event_type = a.event_type

@@ -593,14 +593,16 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    from pyspark.sql import Window
+    # Two-stage distributed rank (functions/ids.py:global_ranks): a
+    # plain row_number() OVER (ORDER BY freq DESC, tok) would sort the
+    # whole vocabulary — 10⁷–10⁸ distinct tokens on a web corpus — in
+    # ONE task. global_ranks range-partitions on the same order, so the
+    # rank is bit-identical and every task stays O(vocab/partitions).
+    from als_hadoop_spark.functions.ids import global_ranks
 
-    ranked = vocab.select(
-        "freq",
-        F.row_number()
-        .over(Window.orderBy(F.col("freq").desc(), F.col("tok")))
-        .alias("rank"),
-    )
+    ranked = global_ranks(
+        vocab, [F.col("freq").desc(), F.col("tok")], rank_col="rank"
+    ).select("freq", "rank")
     return ranked.agg(
         F.count(F.lit(1)).alias("vocab_size"),
         F.sum("freq").alias("n_tokens"),
@@ -645,7 +647,7 @@ ORACLES = {
             FROM vocab
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
-               SUM(freq) AS n_tokens,
+               CAST(SUM(freq) AS BIGINT) AS n_tokens,
                ROUND(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
                ROUND(regr_r2(ln(freq), ln(rank)), 6) AS fit_r2
         FROM ranked

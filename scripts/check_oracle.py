@@ -41,6 +41,81 @@ def rows_to_canonical(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def spark_type_class(dt) -> str:
+    """Collapse a Spark DataType into a cross-engine type class."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, T.MapType):
+        return "map"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    return f"other:{dt.simpleString()}"
+
+
+def arrow_type_class(at) -> str:
+    """Collapse a pyarrow DataType (DuckDB result) into the same classes.
+
+    DuckDB's HUGEINT (the result type of SUM over integers) surfaces as
+    decimal128(38,0) in Arrow — exactly the drift that makes the driver's
+    value-hash diverge from Spark's int64 even when every value matches.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_integer(at):
+        return "int"
+    if pa.types.is_floating(at):
+        return "float"
+    if pa.types.is_decimal(at):
+        return "decimal"
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return "str"
+    if pa.types.is_boolean(at):
+        return "bool"
+    if pa.types.is_date(at):
+        return "date"
+    if pa.types.is_timestamp(at):
+        return "timestamp"
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        return "array"
+    if pa.types.is_map(at):
+        return "map"
+    if pa.types.is_struct(at):
+        return "struct"
+    if pa.types.is_binary(at) or pa.types.is_large_binary(at):
+        return "binary"
+    return f"other:{at}"
+
+
+def dtype_problems(sdf, duck_tbl) -> list[str]:
+    """Per-column type-class parity between Spark schema and DuckDB arrow."""
+    stypes = {f.name: spark_type_class(f.dataType) for f in sdf.schema.fields}
+    out = []
+    for field in duck_tbl.schema:
+        sc = stypes.get(field.name)
+        dc = arrow_type_class(field.type)
+        if sc is not None and sc != dc:
+            out.append(f"dtype[{field.name}] spark={sc} duck={dc}")
+    return out
+
+
 def main(names=None):
     import duckdb
 
@@ -72,14 +147,15 @@ def main(names=None):
             print(f"ok   {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            duck_tbl = con.execute(oracles[name]).arrow()
+            dcols = duck_tbl.column_names
+            dcolumns = [duck_tbl.column(i).to_pylist() for i in range(duck_tbl.num_columns)]
+            drows = list(zip(*dcolumns)) if dcolumns else []
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
-        problems = []
+        problems = dtype_problems(sdf, duck_tbl)
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):

@@ -273,3 +273,20 @@ def test_forward_fill_window_runs_on_grid(spark, sf_dir):
     # formatted tree the Window node sits above the spine Join
     assert "Window" in plan and "Join" in plan
     assert plan.find("Window") < plan.find("Join"), plan
+
+
+def test_zipf_rank_is_distributed(spark, sf_dir):
+    """q_zipf_fit must not rank the vocabulary in one task. After the
+    round-4 global_ranks rewrite the only Window in the plan is the
+    offsets cumsum over the ≤num_partitions-row per-partition counts
+    (ordered by _pid); a vocabulary-wide rank window (ordered by
+    freq/tok) must never reappear."""
+    from als_hadoop_spark.operators import text
+
+    plan = explain_str(text.q_zipf_fit(spark, sf_dir))
+    assert "rangepartitioning" in plan.lower(), "distributed sort missing"
+    window_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert window_lines, "offsets window vanished — check global_ranks"
+    for ln in window_lines:
+        assert "_pid" in ln, f"unbounded window not over partition counts: {ln}"
+        assert "freq" not in ln and "tok" not in ln, f"vocab-wide window: {ln}"

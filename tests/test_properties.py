@@ -310,3 +310,33 @@ def test_zvalue_matches_reference_interleave(spark, pairs):
     for (x, y), z in got.items():
         assert z == ref(x, y), (x, y)
     assert len(set(got.values())) == len(set(pairs))  # bijective
+
+
+@settings(**SETTINGS)
+@given(
+    toks=st.lists(
+        st.tuples(st.text("abcde", min_size=1, max_size=3), st.integers(1, 99)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_global_ranks_matches_row_number(spark, toks):
+    """global_ranks == row_number() OVER (ORDER BY freq DESC, tok) for
+    any (tok, freq) table — including freq ties broken by the string
+    column and descending order — while never sorting in one task."""
+    from als_hadoop_spark.functions.ids import global_ranks
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(toks, "tok STRING, freq LONG").repartition(5)
+    got = {
+        r["tok"]: r["rank"]
+        for r in global_ranks(
+            df, [F.col("freq").desc(), F.col("tok")], num_partitions=3
+        ).collect()
+    }
+    want = {
+        tok: i + 1
+        for i, (tok, _) in enumerate(sorted(toks, key=lambda t: (-t[1], t[0])))
+    }
+    assert got == want
