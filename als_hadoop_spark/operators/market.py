@@ -84,13 +84,14 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid-range discounts — SUM(price·discount) under three pushable
     predicates, no join.
 
-    Plan shape: single fact scan; all three predicates and both used
-    columns reach the parquet reader (PushedFilters + 4-col
-    ReadSchema); one partial+final aggregate of ONE bigint — the
-    minimal possible plan, and the yardstick query for scan
-    efficiency at 100 TB. The discount BETWEEN compares
-    round(discount·100) to integer bounds in both engines, so the
-    0.05/0.07 boundaries are exact."""
+    Plan shape: single fact scan with a 4-col ReadSchema; the
+    l_shipdate and l_quantity predicates push to the parquet reader
+    (PushedFilters), while the discount BETWEEN intentionally
+    evaluates post-scan — it compares round(l_discount·100) to
+    integer bounds in both engines so the 0.05/0.07 boundaries are
+    exact cross-engine, and a derived expression can't push. One
+    partial+final aggregate of ONE bigint — the yardstick query for
+    scan efficiency at 100 TB."""
     li = load(spark, sf_dir, "lineitem")
     disc_cents = F.round(F.col("l_discount") * 100).cast("bigint")
     price_cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")

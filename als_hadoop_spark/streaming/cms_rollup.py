@@ -10,12 +10,26 @@ ADDITION, so the maintenance loop is:
     micro-batch → one CMS delta per source (~109 KB, any vocabulary) →
     append the delta → any reader merges deltas and probes tokens
 
-Store contract follows ``pca_rollup``, NOT ``sketch_rollup``: CMS
-merge, like summation and unlike HLL's register-max, is NOT idempotent
-under duplication (a replayed delta double-counts) — so exactly-once
-comes from the layout: one parquet subdir per micro-batch, a replayed
-batch OVERWRITES its own subdir under foreachBatch's at-least-once
-contract, and the reader globs whatever subdirs exist.
+Exactly-once under at-least-once replay: CMS merge, like summation and
+unlike HLL's register-max, is NOT idempotent under duplication — a
+delta merged twice double-counts. The store therefore keys each delta
+subdir by a CONTENT DIGEST of the delta rows (``batch=<sha256[:16]>``),
+not by the checkpoint-relative micro-batch id:
+
+- a replayed batch (foreachBatch may re-run after failure) reproduces
+  the same digest and overwrites its own subdir — idempotent;
+- a stream RESTARTED WITH A FRESH CHECKPOINT re-numbers batches from 0,
+  which would collide with (and silently drop or double-count) earlier
+  ids — content digests don't care about numbering, so re-processed
+  data overwrites and genuinely new data lands under new keys;
+- after compaction folds a delta away, its digest lives on in the
+  compacted blob's ``_folded.json`` manifest, so a late replay of that
+  batch is recognized and skipped instead of re-added.
+
+The flip side of content identity: two GENUINELY distinct batches with
+byte-identical deltas (same docs re-ingested on purpose) are
+indistinguishable from a replay and count once — the semantics a
+dedup-oriented ingest wants.
 
 The merged-deltas == single-sketch-over-all-rows identity (exact, not
 approximate: both orders add the same per-row counter increments into
@@ -31,6 +45,10 @@ from pyspark.sql import functions as F
 from ..operators.sketches import CMS_CONFIDENCE, CMS_EPS, CMS_SEED
 
 _STORE_SCHEMA = "source STRING, sk BINARY, n_tokens LONG"
+
+#: store-subdir name for a compacted blob; the generation counter only
+#: guarantees uniqueness, coverage is tracked by the manifest inside.
+_COMPACTED_RE = r"batch=compacted-(\d+)"
 
 
 def _sketch_deltas(batch_df: DataFrame) -> DataFrame:
@@ -48,37 +66,59 @@ def _sketch_deltas(batch_df: DataFrame) -> DataFrame:
     )
 
 
-def _compacted_high_watermark(store_dir: str) -> int:
-    """Highest micro-batch id already folded into a ``batch=compacted-N``
-    subdir, or -1. Compaction encodes its coverage in the dir name so
-    a REPLAYED batch (foreachBatch is at-least-once) can detect that
-    its counts already live in the compacted blob and skip the
-    re-write — without this, a replay after compaction would add its
-    delta a second time and CMS's non-idempotent merge would
-    double-count it."""
+def _delta_key(rows) -> str:
+    """Content digest of a batch's delta rows — the identity under
+    which the batch is stored and replay-detected."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for source, sk, n in sorted(
+        (r["source"], bytes(r["sk"]), r["n_tokens"]) for r in rows
+    ):
+        h.update(source.encode())
+        h.update(sk)
+        h.update(str(n).encode())
+    return h.hexdigest()[:16]
+
+
+def _folded_keys(store_dir: str) -> set:
+    """Delta digests already folded into compacted blobs — read from
+    each compacted subdir's ``_folded.json`` (the underscore keeps the
+    manifest invisible to Spark's parquet reader)."""
+    import json
     import os
     import re
 
-    hw = -1
+    keys: set = set()
     if os.path.isdir(store_dir):
         for name in os.listdir(store_dir):
-            m = re.fullmatch(r"batch=compacted-(\d+)", name)
-            if m:
-                hw = max(hw, int(m.group(1)))
-    return hw
+            if re.fullmatch(_COMPACTED_RE, name):
+                mf = os.path.join(store_dir, name, "_folded.json")
+                if os.path.exists(mf):
+                    with open(mf) as f:
+                        keys.update(json.load(f))
+    return keys
 
 
 def cms_ingest(docs_stream: DataFrame, store_dir: str):
     """Attach the frequency-maintenance stage to a documents stream
     (columns ``source, text``). Returns the DataStreamWriter — caller
-    picks trigger/checkpoint and calls ``.start()``."""
+    picks trigger/checkpoint and calls ``.start()``.
+
+    The per-batch collect is one delta row per source (kilobyte sketch
+    blobs) — bounded by design, never the batch's documents."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _compacted_high_watermark(store_dir):
-            return  # replayed batch already folded into the compacted blob
-        _sketch_deltas(batch_df).write.mode("overwrite").parquet(
-            f"{store_dir}/batch={batch_id}"
-        )
+        rows = _sketch_deltas(batch_df).collect()
+        if not rows:
+            return
+        key = _delta_key(rows)
+        if key in _folded_keys(store_dir):
+            return  # this batch's counts already live in a compacted blob
+        spark = batch_df.sparkSession
+        spark.createDataFrame(rows, _STORE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{store_dir}/batch={key}")
 
     return docs_stream.writeStream.foreachBatch(process_batch).outputMode(
         "append"
@@ -133,29 +173,47 @@ def read_frequencies(
 
 
 def compact(spark: SparkSession, store_dir: str) -> None:
-    """Fold every delta into one ``batch=compacted-N`` subdir (N = the
-    highest micro-batch id folded, the replay high-watermark) so the
-    store stays O(sources). CMS merge is associative and commutative,
-    so readers before/after see identical estimates; the fold runs
-    driver-side over the bounded blob set (there is no JVM-aggregate
-    CMS merge function to push it into an executor plan).
+    """Fold every delta into one ``batch=compacted-<gen>`` subdir so
+    the store stays O(sources). CMS merge is associative and
+    commutative, so readers before/after see identical estimates; the
+    fold runs driver-side over the bounded blob set (there is no
+    JVM-aggregate CMS merge function to push it into an executor plan).
 
-    Crash-safe swap: the folded output is fully written into a sibling
-    temp dir FIRST, then the old store is moved aside, the new one
-    renamed into place, and the old one deleted — at no point is the
-    only copy of the counts a partially-written directory."""
+    The new blob carries a ``_folded.json`` manifest: the digests of
+    every delta it absorbed plus everything earlier blobs had absorbed
+    — this is what lets ``cms_ingest`` skip a replay that arrives
+    AFTER its delta subdir was compacted away.
+
+    Contract: run with the stream paused. The swap is still defended
+    in depth: the fold covers an explicit snapshot of subdirs, and any
+    delta that lands between the snapshot and the swap is SALVAGED
+    into the new store before the old one is deleted — a racing writer
+    costs nothing but an un-compacted delta. (A reader racing the
+    swap may briefly observe an absent store and read zeros.)"""
+    import json
     import os
     import re
     import shutil
 
-    deltas = _read_deltas(spark, store_dir)
-    if not deltas:
+    if not os.path.isdir(store_dir):
         return
-    hw = _compacted_high_watermark(store_dir)
-    for name in os.listdir(store_dir):
-        m = re.fullmatch(r"batch=(\d+)", name)
-        if m:
-            hw = max(hw, int(m.group(1)))
+    # explicit snapshot: the fold covers exactly these subdirs
+    folded_names = {n for n in os.listdir(store_dir) if n.startswith("batch=")}
+    if not folded_names:
+        return
+    deltas = (
+        spark.read.schema(_STORE_SCHEMA)
+        .parquet(*[f"{store_dir}/{n}" for n in sorted(folded_names)])
+        .collect()
+    )
+    gen = 1 + max(
+        [-1]
+        + [
+            int(m.group(1))
+            for n in folded_names
+            if (m := re.fullmatch(_COMPACTED_RE, n))
+        ]
+    )
     jvm = spark.sparkContext._jvm
     by_source: dict[str, tuple] = {}
     for row in deltas:
@@ -173,12 +231,30 @@ def compact(spark: SparkSession, store_dir: str) -> None:
         bos = jvm.java.io.ByteArrayOutputStream()
         j.writeTo(bos)
         out.append((source, bytearray(bos.toByteArray()), n))
+    # manifest: prior blobs' coverage + the delta digests folded now
+    all_keys = sorted(
+        _folded_keys(store_dir)
+        | {
+            n.split("=", 1)[1]
+            for n in folded_names
+            if not re.fullmatch(_COMPACTED_RE, n)
+        }
+    )
     tmp_dir, old_dir = f"{store_dir}.compact-tmp", f"{store_dir}.compact-old"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     shutil.rmtree(old_dir, ignore_errors=True)
-    spark.createDataFrame(out, _STORE_SCHEMA).write.parquet(
-        f"{tmp_dir}/batch=compacted-{hw}"
+    blob = f"batch=compacted-{gen}"
+    spark.createDataFrame(out, _STORE_SCHEMA).coalesce(1).write.parquet(
+        f"{tmp_dir}/{blob}"
     )
+    with open(f"{tmp_dir}/{blob}/_folded.json", "w") as f:
+        json.dump(all_keys, f)
     os.rename(store_dir, old_dir)
     os.rename(tmp_dir, store_dir)
+    # salvage deltas a racing writer landed after the snapshot
+    for name in os.listdir(old_dir):
+        if name.startswith("batch=") and name not in folded_names:
+            os.rename(
+                os.path.join(old_dir, name), os.path.join(store_dir, name)
+            )
     shutil.rmtree(old_dir)

@@ -12,22 +12,38 @@ a persisted index):
 1. band the batch's docs with the SAME xxhash64 banded-minhash
    signatures as the batch operator (one shared implementation:
    ``minhash_bands``),
-2. equi-join the batch's band keys against the persisted band index
+2. probe the persisted band index with the batch's band keys
    (plus the batch itself, for intra-batch pairs) → candidate pairs,
 3. exact-jaccard re-rank on the carried shingle arrays, keep
    ``jaccard ≥ NGRAM_JACCARD_T``,
-4. append matches to ``<index>/matches``, append the batch's bands to
-   ``<index>/bands``.
+4. append matches to ``<index>/matches``, fold the batch's bands into
+   the prefix-partitioned ``<index>/bands`` index.
 
-State/scale: the index holds bands = 4 rows × (2 longs + key string)
-per document — O(corpus) on DISK, never in memory; each micro-batch
-joins |batch|·bands keys against it, shuffling only the batch side
-when the stored index is bucketed by band_key (at production scale
-the bands dir would be a bucketed/Delta table with compaction; plain
-parquet append keeps the test surface dependency-free). Exactly-once:
-foreachBatch can re-run a batch on failure — idempotence comes from
-overwriting a per-batch subdirectory keyed by batch_id, so a replayed
-batch replaces its own output instead of duplicating it.
+Batch-vs-index join shape (the part that must survive 100 TB): the
+index holds bands = 4 rows × (2 longs + key string) per document —
+O(corpus) on DISK, never in memory. Probing it with a SortMergeJoin
+would shuffle AND sort the whole index every micro-batch. Instead:
+
+- **the micro-batch side broadcasts** (``F.broadcast(probe)``): a
+  micro-batch is bounded by the trigger (maxFilesPerTrigger /
+  maxOffsetsPerTrigger), so its banded form is broadcast-sized by
+  construction. The historical side streams through a
+  BroadcastHashJoin — ZERO shuffle, zero sort, of either side.
+- **the index is partitioned by a band-key hash prefix**
+  (``band_pfx = xxhash64(band_key) mod BAND_PFX_MOD`` directories).
+  Before the join, the batch's distinct prefixes (≤ BAND_PFX_MOD
+  values, a bounded collect) become an IN filter that Spark turns
+  into directory-level PartitionFilters — a small batch reads only
+  the index shards its keys can possibly live in, not the corpus.
+  A huge batch degrades gracefully to a full single-pass scan, which
+  is the lower bound for any hash join.
+
+Exactly-once: foreachBatch can re-run a batch on failure — idempotence
+comes from overwriting a per-batch subdirectory keyed by batch_id
+(``bands/batch=N/band_pfx=P/``), so a replayed batch replaces its own
+output instead of duplicating it. Compaction of many small per-batch
+shards into fewer files per prefix is the same write over the
+read-back index (run it with the stream stopped).
 """
 
 from __future__ import annotations
@@ -43,7 +59,16 @@ from ..operators.dedup import (
     _MINHASH_PRIME,
 )
 
-_BANDS_SCHEMA = "doc_id LONG, band INT, band_key STRING, shingles ARRAY<STRING>"
+#: number of band-key hash-prefix directories in the persisted index.
+#: Sized so one prefix shard of a 100 TB corpus (~bands/256) is still
+#: a parallel scan, while a small micro-batch's distinct prefixes
+#: prune most directories via PartitionFilters.
+BAND_PFX_MOD = 64
+
+_BANDS_SCHEMA = (
+    "doc_id LONG, band INT, band_key STRING, shingles ARRAY<STRING>, "
+    "band_pfx INT, batch INT"
+)
 
 
 def minhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -89,6 +114,54 @@ def minhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def band_pfx(band_key: F.Column) -> F.Column:
+    """Index-shard id of a band key — the partition directory it lives
+    in. Pure JVM hash, identical on the write and probe paths."""
+    return F.pmod(F.xxhash64(band_key), F.lit(BAND_PFX_MOD)).cast("int")
+
+
+def read_band_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The persisted band index with its ``band_pfx``/``batch``
+    partition columns recovered from the directory layout."""
+    return (
+        spark.read.option("basePath", f"{index_dir}/bands")
+        .schema(_BANDS_SCHEMA)
+        .parquet(f"{index_dir}/bands/*")
+    )
+
+
+def historical_candidates(
+    old_bands: DataFrame, new_bands: DataFrame, prefixes: list[int]
+) -> DataFrame:
+    """Candidate (id_a historical, id_b new) pairs from probing the
+    persisted index with a banded micro-batch.
+
+    ``prefixes`` (the batch's distinct ``band_pfx`` values, a
+    ≤ BAND_PFX_MOD-element list collected batch-side) prunes index
+    directories BEFORE the scan; the batch side broadcasts, so the
+    surviving index shards stream through a BroadcastHashJoin with no
+    shuffle or sort on either side. Separated from ``neardup_ingest``
+    so tests can gate this exact plan shape."""
+    probe = new_bands.select(
+        F.col("doc_id").alias("id_b"),
+        "band",
+        "band_key",
+        F.col("shingles").alias("sh_b"),
+    )
+    hist = (
+        old_bands.filter(F.col("band_pfx").isin(prefixes))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            "band",
+            "band_key",
+            F.col("shingles").alias("sh_a"),
+        )
+    )
+    return hist.join(F.broadcast(probe), ["band", "band_key"]).filter(
+        F.col("id_a") != F.col("id_b")
+    )
+
+
 def _rerank(cands: DataFrame) -> DataFrame:
     """Exact jaccard over carried shingle arrays; keep ≥ threshold."""
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -113,36 +186,32 @@ def neardup_ingest(docs_stream: DataFrame, index_dir: str):
     spark = docs_stream.sparkSession
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        new_bands = minhash_bands(batch_df.select("doc_id", "text")).persist()
+        new_bands = (
+            minhash_bands(batch_df.select("doc_id", "text"))
+            .withColumn("band_pfx", band_pfx(F.col("band_key")))
+            .persist()
+        )
         try:
             try:
-                old_bands = spark.read.schema(_BANDS_SCHEMA).parquet(
-                    f"{index_dir}/bands/*"
-                )
+                old_bands = read_band_index(spark, index_dir)
                 have_index = True
             except Exception:  # first batch: no index yet
                 have_index = False
+            sides = []
+            if have_index:
+                # bounded collect: ≤ BAND_PFX_MOD distinct shard ids
+                prefixes = [
+                    r[0] for r in new_bands.select("band_pfx").distinct().collect()
+                ]
+                sides.append(historical_candidates(old_bands, new_bands, prefixes))
+            # intra-batch pairs (smaller id plays the historical role);
+            # both sides are micro-batch-sized, a plain equi-join
             probe = new_bands.select(
                 F.col("doc_id").alias("id_b"),
                 "band",
                 "band_key",
                 F.col("shingles").alias("sh_b"),
             )
-            # historical pairs: every index doc a new doc collides with
-            sides = []
-            if have_index:
-                hist = old_bands.select(
-                    F.col("doc_id").alias("id_a"),
-                    "band",
-                    "band_key",
-                    F.col("shingles").alias("sh_a"),
-                )
-                sides.append(
-                    probe.join(hist, ["band", "band_key"]).filter(
-                        F.col("id_a") != F.col("id_b")
-                    )
-                )
-            # intra-batch pairs (smaller id plays the historical role)
             intra = new_bands.select(
                 F.col("doc_id").alias("id_a"),
                 "band",
@@ -166,8 +235,10 @@ def neardup_ingest(docs_stream: DataFrame, index_dir: str):
             matches.write.mode("overwrite").parquet(
                 f"{index_dir}/matches/batch={batch_id}"
             )
-            new_bands.write.mode("overwrite").parquet(
-                f"{index_dir}/bands/batch={batch_id}"
+            (
+                new_bands.write.mode("overwrite")
+                .partitionBy("band_pfx")
+                .parquet(f"{index_dir}/bands/batch={batch_id}")
             )
         finally:
             new_bands.unpersist()

@@ -19,6 +19,17 @@ idempotent under duplication (sums double-count) — which is exactly
 why the per-batch-subdir overwrite scheme, not an append-log, is the
 store contract.
 
+The store is bound to ONE checkpoint lineage: batch ids are
+checkpoint-relative, so a stream restarted with a FRESH checkpoint
+renumbers from 0 and would overwrite old subdirs with differently-
+bounded batches while stale higher-numbered dirs keep double-counting.
+Content-digest keying (cms_rollup's answer) is brittle here — the
+deltas are float sums, and bit-identical replay is an implementation
+detail, not a contract — so the failure is made LOUD instead: batch 0
+arriving over a store that already has later-batch history raises
+rather than corrupting. Restarting from scratch means a fresh store
+dir (the old one remains a valid, readable snapshot).
+
 Merged stats == single-pass batch stats to float addition order
 (pinned in tests/test_streaming.py); the eigenbasis follows.
 """
@@ -72,6 +83,27 @@ def pca_ingest(emb_stream: DataFrame, store_dir: str):
     picks trigger/checkpoint and calls ``.start()``."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            import os
+
+            # batch 0 over a store with OTHER batches = a fresh
+            # checkpoint pointed at an old store. A same-checkpoint
+            # replay of batch 0 can only see batch=0 itself (replay is
+            # of the last uncommitted batch), so this never false-fires.
+            stale = [
+                n
+                for n in (
+                    os.listdir(store_dir) if os.path.isdir(store_dir) else []
+                )
+                if n.startswith("batch=") and n != "batch=0"
+            ]
+            if stale:
+                raise ValueError(
+                    "pca_ingest: store already holds batches from another "
+                    f"checkpoint lineage ({sorted(stale)[:3]}…); batch ids "
+                    "are checkpoint-relative and sums double-count — point "
+                    "a fresh checkpoint at a fresh store dir"
+                )
         _stat_delta(batch_df).write.mode("overwrite").parquet(
             f"{store_dir}/batch={batch_id}"
         )

@@ -103,11 +103,13 @@ ANNOTATED = {
         "is pure JVM — no ArrowEvalPython above the final aggregate."
     ),
     "q_forecast_revenue": (
-        "TPC-H Q6 — the pushdown yardstick: all three predicates reach "
-        "the parquet reader (PushedFilters), ReadSchema carries exactly "
-        "the four touched columns, and the whole query is scan → partial "
-        "agg → one single-row exchange → final agg. If this plan ever "
-        "grows a node, scan efficiency regressed."
+        "TPC-H Q6 — the pushdown yardstick: l_shipdate and l_quantity "
+        "push to the parquet reader (PushedFilters); the rounded-cents "
+        "discount predicate intentionally evaluates post-scan for "
+        "cross-engine exactness (a derived expression can't push). "
+        "ReadSchema carries exactly the four touched columns; the rest "
+        "is scan → partial agg → one single-row exchange → final agg. "
+        "If this plan ever grows a node, scan efficiency regressed."
     ),
     "q_volume_shipping": (
         "TPC-H Q7 shape: both region→nation dimension chains collapse to "

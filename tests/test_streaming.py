@@ -646,7 +646,9 @@ def test_streaming_cms_rollup_matches_batch(spark, tmp_path):
         assert est >= truth[t]                        # CMS one-sided
 
     cms_rollup.compact(spark, store)
-    assert os.listdir(store) == ["batch=compacted-2"]
+    assert os.listdir(store) == ["batch=compacted-0"]
+    # the blob's manifest remembers every folded delta digest
+    assert len(cms_rollup._folded_keys(store)) == 3
     after = {
         r["token"]: (r["est_count"], r["n_tokens_total"])
         for r in cms_rollup.read_frequencies(spark, store, probe).collect()
@@ -654,8 +656,9 @@ def test_streaming_cms_rollup_matches_batch(spark, tmp_path):
     assert after == streamed
 
     # at-least-once REPLAY after compaction must not double-count:
-    # a fresh checkpoint replays the same files as batch ids 0..2,
-    # all <= the compacted high-watermark, so ingest skips them
+    # a fresh checkpoint replays the same files (re-numbered 0..2, but
+    # numbering is irrelevant — identity is the delta content digest),
+    # every digest is in the compacted manifest, so ingest skips them
     q2 = (
         cms_rollup.cms_ingest(
             spark.readStream.schema("source STRING, text STRING")
@@ -677,8 +680,123 @@ def test_streaming_cms_rollup_matches_batch(spark, tmp_path):
     }
     assert replayed == streamed
 
+    # a fresh checkpoint that sees BOTH old files and NEW data must
+    # count exactly the new rows once — the batch-id-keyed store
+    # dropped these (ids restart at 0, under the old high-watermark)
+    extra = spark.createDataFrame(
+        [("wiki", "brandnew tokens here")], "source STRING, text STRING"
+    )
+    extra.coalesce(1).write.parquet(f"{src}/b3")
+    q3 = (
+        cms_rollup.cms_ingest(
+            spark.readStream.schema("source STRING, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*"),
+            store,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q3.awaitTermination(180)
+    finally:
+        q3.stop()
+    grown = {
+        r["token"]: (r["est_count"], r["n_tokens_total"])
+        for r in cms_rollup.read_frequencies(
+            spark, store, probe + ["brandnew"]
+        ).collect()
+    }
+    assert grown["brandnew"][0] >= 1
+    assert grown[probe[0]][1] == n_total + 3  # old counts intact, +3 new
+
     # empty/absent store reads as zeros, not an exception
     zero = cms_rollup.read_frequencies(
         spark, str(tmp_path / "no_such_store"), ["scan"]
     ).collect()
     assert [(r["est_count"], r["n_tokens_total"]) for r in zero] == [(0, 0)]
+
+
+def test_neardup_probe_plan_prunes_and_broadcasts(spark, tmp_path):
+    """The per-batch index probe must stay O(batch), not O(corpus):
+    the batch's band-prefix list reaches the index scan as
+    PartitionFilters (directory pruning), the batch side broadcasts,
+    and the O(corpus) index side is never shuffled or sorted
+    (BroadcastHashJoin, no SortMergeJoin, no Exchange above the index
+    scan)."""
+    from als_hadoop_spark.streaming import neardup
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "nd_index")
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    bands = neardup.minhash_bands(docs).withColumn(
+        "band_pfx", neardup.band_pfx(F.col("band_key"))
+    )
+    bands.write.mode("overwrite").partitionBy("band_pfx").parquet(
+        f"{idx}/bands/batch=0"
+    )
+
+    new_docs = spark.createDataFrame(
+        [(100, " ".join(f"new{j}" for j in range(30)))], "doc_id LONG, text STRING"
+    )
+    new_bands = new_docs.transform(neardup.minhash_bands).withColumn(
+        "band_pfx", neardup.band_pfx(F.col("band_key"))
+    )
+    prefixes = [r[0] for r in new_bands.select("band_pfx").distinct().collect()]
+    assert 0 < len(prefixes) <= neardup.BAND_PFX_MOD
+
+    old_bands = neardup.read_band_index(spark, idx)
+    from als_hadoop_spark.plans import explain_str
+
+    cands = neardup.historical_candidates(old_bands, new_bands, prefixes)
+    plan = explain_str(cands)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "PartitionFilters" in plan and "band_pfx" in plan, plan
+    # the index side of the join must carry no Exchange: the only
+    # exchange in the whole plan is the broadcast of the batch side
+    import re
+
+    exchanges = re.findall(r"^\s*\(\d+\) (\w*Exchange\w*)", plan, flags=re.M)
+    assert all("Broadcast" in e for e in exchanges), (exchanges, plan)
+
+
+def test_pca_ingest_rejects_foreign_checkpoint_lineage(spark, tmp_path):
+    """A fresh checkpoint pointed at a store with existing later-batch
+    history must fail loudly (batch ids are checkpoint-relative and
+    PCA deltas double-count) — not silently renumber and corrupt."""
+    import numpy as np
+    import pytest
+
+    from als_hadoop_spark.streaming import pca_rollup
+
+    store = str(tmp_path / "pca_store")
+    src = str(tmp_path / "emb_src")
+    emb = spark.createDataFrame(
+        [([float(i), float(i + 1)],) for i in range(8)],
+        "embedding ARRAY<DOUBLE>",
+    )
+    emb.coalesce(1).write.parquet(f"{src}/b0")
+    # fake history from a previous checkpoint lineage
+    import os
+
+    os.makedirs(f"{store}/batch=3")
+
+    q = (
+        pca_rollup.pca_ingest(
+            spark.readStream.schema("embedding ARRAY<DOUBLE>").parquet(f"{src}/b*"),
+            store,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="checkpoint lineage"):
+        q.awaitTermination(120)
+    q.stop()
