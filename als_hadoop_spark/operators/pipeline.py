@@ -42,12 +42,26 @@ from .text import (
 
 
 def curate_and_pack(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    packed_dir: str | None = None,
+    pack_cap: int = PACK_CAP,
 ) -> DataFrame:
     """Run the full curation DAG over ``{sf_dir}/documents.parquet``,
     write training-ready JSONL under ``out_dir`` (partitioned by
     lang), and return the per-language manifest
-    (lang, n_docs, total_tokens, n_bins, avg_quality)."""
+    (lang, n_docs, total_tokens, n_bins, avg_quality).
+
+    ``packed_dir`` (optional) additionally writes the packed rows as a
+    Z-ORDERED parquet table on (shard, bin_id) — the layout a training
+    loader wants: a data-parallel rank pulls its shard, a curriculum
+    stage pulls a bin range, and EITHER predicate skips most files via
+    parquet footer min/max stats (``sources.tables.write_zordered``;
+    the measured skip counts are in tests/test_pipeline.py). The JSONL
+    sink stays lang-partitioned for mixture-specific reads; the packed
+    sink serves the by-shard/by-bin access pattern JSONL directories
+    can't."""
     docs = load(spark, sf_dir, "documents", spread=True)
     kept = curate_neardup_docs(docs)
 
@@ -79,18 +93,25 @@ def curate_and_pack(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # pack_cap is a training config (sequence length budget per bin),
+    # not an engine constant — callers override it per run
     packed = toks.withColumn(
-        "bin_id", F.floor((F.sum("n_tokens").over(w) - 1) / PACK_CAP)
+        "bin_id", F.floor((F.sum("n_tokens").over(w) - 1) / pack_cap)
     )
 
+    export_cols = packed.select(
+        "doc_id", "lang", "text", "quality", "n_tokens", "shard", "bin_id"
+    )
     write_jsonl(
-        packed.select(
-            "doc_id", "lang", "text", "quality", "n_tokens", "shard", "bin_id"
-        ),
+        export_cols,
         out_dir,
         partition_by=["lang"],
         compression=None,  # plain for inspectability; gzip in production
     )
+    if packed_dir is not None:
+        from ..sources.tables import write_zordered
+
+        write_zordered(export_cols, packed_dir, "shard", "bin_id")
 
     # manifest from the same plan (not a re-read of the sink)
     manifest = packed.groupBy("lang").agg(

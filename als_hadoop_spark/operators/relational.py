@@ -46,7 +46,9 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("double").alias("qty"),
-        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("net_price"),
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6
+        ).alias("net_price"),
         F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
     )
 
@@ -362,7 +364,7 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("o_month"),
         F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_2002"),
         F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
-        F.abs(F.col("o_totalprice") - 1000.0).alias("abs_diff"),
+        F.round(F.abs(F.col("o_totalprice") - 1000.0), 6).alias("abs_diff"),
         F.round(F.pow(F.col("o_totalprice") / 10000.0, 2), 6).alias("pow_ratio"),
     )
 
@@ -806,7 +808,7 @@ ORACLES = {
     "q_scan_project": """
         SELECT l_orderkey, l_linenumber,
                CAST(l_quantity AS DOUBLE) AS qty,
-               l_extendedprice * (1.0 - l_discount) AS net_price,
+               ROUND(l_extendedprice * (1.0 - l_discount), 6) AS net_price,
                CAST(l_shipdate AS TIMESTAMP) AS ship_ts
         FROM lineitem
     """,
@@ -951,7 +953,7 @@ ORACLES = {
                EXTRACT(MONTH FROM o_orderdate) AS o_month,
                DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
                ROUND(SQRT(o_totalprice), 4) AS sqrt_price,
-               ABS(o_totalprice - 1000.0) AS abs_diff,
+               ROUND(ABS(o_totalprice - 1000.0), 6) AS abs_diff,
                ROUND(POW(o_totalprice / 10000.0, 2), 6) AS pow_ratio
         FROM orders
     """,

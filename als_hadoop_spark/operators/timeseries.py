@@ -382,7 +382,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tw_avg"),
             F.round(F.avg("value"), 4).alias("plain_avg"),
             F.count(F.lit(1)).alias("n_samples"),
-            ((F.max("t_us") - F.min("t_us")) / F.lit(3.6e9)).alias(
+            F.round((F.max("t_us") - F.min("t_us")) / F.lit(3.6e9), 6).alias(
                 "span_hours"
             ),
         )
@@ -585,7 +585,7 @@ ORACLES = {
                ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS tw_avg,
                ROUND(AVG(value), 4) AS plain_avg,
                CAST(COUNT(*) AS BIGINT) AS n_samples,
-               (MAX(t_us) - MIN(t_us)) / 3600000000.0 AS span_hours
+               ROUND((MAX(t_us) - MIN(t_us)) / 3600000000.0, 6) AS span_hours
         FROM steps
         GROUP BY event_type
         ORDER BY event_type

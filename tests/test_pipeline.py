@@ -63,3 +63,39 @@ def test_curate_and_pack_end_to_end(spark, sf_dir, tmp_path):
     assert {k: tuple(v) for k, v in again.items()} == {
         k: tuple(v) for k, v in manifest.items()
     }
+
+
+def test_packed_sink_prunes_on_shard_and_bin(spark, tmp_path):
+    """The optional z-ordered packed sink must reconcile exactly with
+    the JSONL export AND make BOTH loader access patterns selective:
+    a single shard (data-parallel rank) and a bin range (curriculum
+    stage) each touch a minority of the written files. sf0.01 + a
+    small pack_cap on purpose: at the default 2048-token cap the test
+    corpus fits one bin per shard, degenerating the bin dimension."""
+    from tests.conftest import SF_DIR_MID
+
+    out = str(tmp_path / "out")
+    packed = str(tmp_path / "packed")
+    manifest = {
+        r["lang"]: r
+        for r in curate_and_pack(
+            spark, SF_DIR_MID, out, packed_dir=packed, pack_cap=128
+        ).collect()
+    }
+    pdf = spark.read.parquet(packed)
+    assert pdf.count() == sum(r["n_docs"] for r in manifest.values())
+
+    def files_touched(cond) -> int:
+        return (
+            pdf.filter(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    total = pdf.select(F.input_file_name().alias("f")).distinct().count()
+    max_bin = pdf.agg(F.max("bin_id")).collect()[0][0]
+    by_shard = files_touched(F.col("shard") == 0)
+    by_bin = files_touched(F.col("bin_id") <= max_bin / 8)
+    assert by_shard <= total * 0.6, (by_shard, total)
+    assert by_bin <= total * 0.6, (by_bin, total)
