@@ -439,7 +439,72 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC loop CLOSED: q_merge_upsert's changelog fold executed as
+    a real transaction against a commit-log table
+    (``sources.acid.AcidTable``) — snapshot written at version 0, the
+    change batch MERGEd copy-on-write at version 1 (only data files
+    containing changed keys are rewritten; the commit atomically swaps
+    them), and the returned frame is a SNAPSHOT READ of the committed
+    table. The oracle proves the transactional path is byte-equivalent
+    to the pure-relational MERGE semantics: WHEN MATCHED AND op='D'
+    DELETE / WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT.
+
+    Scale shape: identical to q_merge_upsert's (both sides compact to
+    one row per key before the full-outer join) plus file-granular
+    copy-on-write — at 100 TB the rewrite cost is proportional to the
+    files the change keys actually live in, not the table."""
+    import tempfile
+
+    from ..sources.acid import AcidTable
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+
+    def latest(df: DataFrame) -> DataFrame:
+        agg = df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_s")
+        )
+        return agg.select(
+            "user_id",
+            F.col("_s.event_type").alias("state"),
+            F.col("_s.value").alias("value"),
+        )
+
+    snap = latest(ev.filter(F.col("ts") < cutoff))
+    chg = latest(ev.filter(F.col("ts") >= cutoff)).withColumn(
+        "op",
+        F.when(
+            F.pmod(
+                F.pmod(F.col("user_id").cast("bigint") * 2654435761, 2**32),
+                MERGE_DELETE_MOD,
+            )
+            == 0,
+            F.lit("D"),
+        ).otherwise(F.lit("U")),
+    )
+
+    def upsert(touched: DataFrame, changes: DataFrame) -> DataFrame:
+        t = touched.select(
+            "user_id",
+            F.col("state").alias("snap_state"),
+            F.col("value").alias("snap_value"),
+        )
+        j = t.join(changes, "user_id", "full_outer")
+        return j.filter(F.col("op").isNull() | (F.col("op") == "U")).select(
+            "user_id",
+            F.coalesce("state", "snap_state").alias("state"),
+            F.coalesce("value", "snap_value").alias("value"),
+        )
+
+    tbl = AcidTable(spark, tempfile.mkdtemp(prefix="q_acid_merge_"))
+    tbl.append(snap)
+    tbl.merge(chg, "user_id", upsert)
+    return tbl.snapshot().orderBy("user_id")
+
+
 QUERIES = {
+    "q_acid_merge": q_acid_merge,
     "q_asof_join": q_asof_join,
     "q_time_rollup": q_time_rollup,
     "q_latest_by_key": q_latest_by_key,
@@ -539,6 +604,39 @@ ORACLES = {
                COALESCE(h.n_events, 0) AS n_events,
                COALESCE(h.sum_value, 0.0) AS sum_value
         FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+    """,
+    # q_acid_merge must equal the pure-relational MERGE minus the
+    # provenance column: the transactional path changes WHERE rows
+    # live (commit-log table), never WHAT the merge produces.
+    "q_acid_merge": f"""
+        WITH snap AS (
+            SELECT user_id, event_type AS snap_state, value AS snap_value
+            FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}'
+            ) WHERE rn = 1
+        ), chg AS (
+            SELECT user_id, event_type AS chg_state, value AS chg_value,
+                   CASE WHEN ((user_id * 2654435761) % 4294967296)
+                             % {MERGE_DELETE_MOD} = 0
+                        THEN 'D' ELSE 'U' END AS op
+            FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}'
+            ) WHERE rn = 1
+        )
+        SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+               COALESCE(c.chg_state, s.snap_state) AS state,
+               COALESCE(c.chg_value, s.snap_value) AS value
+        FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+        WHERE c.op IS NULL OR c.op = 'U'
+        ORDER BY user_id
     """,
     "q_merge_upsert": f"""
         WITH snap AS (

@@ -1,0 +1,139 @@
+"""Commit-log ACID table (sources/acid.py): snapshot isolation, time
+travel, optimistic concurrency, copy-on-write granularity, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from als_hadoop_spark.sources.acid import AcidTable, CommitConflict
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, v STRING")
+
+
+def test_append_snapshot_and_time_travel(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    v0 = t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = t.append(_df(spark, [(3, "c")]))
+    assert (v0, v1) == (0, 1)
+    assert t.snapshot().count() == 3
+    # time travel: version 0 is immutable history
+    assert sorted(r["k"] for r in t.snapshot(version=0).collect()) == [1, 2]
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["append", "append"]
+
+
+def test_overwrite_replaces_and_preserves_history(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(9, "z")]))
+    assert [r["k"] for r in t.snapshot().collect()] == [9]
+    assert [r["k"] for r in t.snapshot(version=0).collect()] == [1]
+
+
+def test_unpublished_files_are_invisible(spark, tmp_path):
+    """A data file that exists on disk but is named by no commit must
+    not appear in any snapshot — readers trust the log, not the
+    directory listing (the property that makes half-written jobs
+    harmless)."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    # stage files without committing (simulates a crashed writer)
+    t._stage_files(_df(spark, [(99, "ghost")]))
+    assert [r["k"] for r in t.snapshot().collect()] == [1]
+
+
+def test_commit_race_append_rebases_overwrite_conflicts(spark, tmp_path):
+    """Two writers race version N: the append rebases onto the new
+    head; the overwrite detects its snapshot is stale and raises."""
+    from unittest import mock
+
+    t1 = AcidTable(spark, str(tmp_path / "t"))
+    t1.append(_df(spark, [(1, "a")]))
+    t2 = AcidTable(spark, str(tmp_path / "t"))
+    # t2 sneaks a commit in — t1's next append must land at v2, not v1
+    t2.append(_df(spark, [(2, "b")]))
+    v = t1.append(_df(spark, [(3, "c")]))
+    assert v == 2 and t1.snapshot().count() == 3
+
+    # overwrite whose snapshot goes stale mid-flight: freeze t1's view
+    # of the head at v2, let t2 commit v3, then t1's overwrite targets
+    # v3 — the O_EXCL create loses and the API must raise, not clobber
+    stale = t1.latest_version()
+    t2.append(_df(spark, [(4, "d")]))
+    with mock.patch.object(AcidTable, "latest_version", return_value=stale):
+        with pytest.raises(CommitConflict):
+            t1.overwrite(_df(spark, [(9, "z")]))
+    # the failed overwrite published nothing: t2's append is intact
+    assert t1.snapshot().count() == 4
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write at file granularity: a MERGE touching keys from
+    ONE of two committed files must remove/rewrite only that file."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_df(spark, [(10, "x"), (11, "y")]).coalesce(1))
+    n_files_before = len(t._replay())
+    assert n_files_before == 2
+
+    changes = spark.createDataFrame([(10, "X")], "k LONG, v STRING")
+
+    def upsert(touched, chg):
+        c = chg.select("k", F.col("v").alias("_nv"))
+        j = touched.join(c, "k", "full_outer")
+        return j.select("k", F.coalesce("_nv", "v").alias("v"))
+
+    t.merge(changes, "k", upsert)
+    hist = t.history()[-1]
+    assert hist["operation"] == "merge"
+    assert len(hist["remove"]) == 1, hist  # only the file holding k=10
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got == {1: "a", 2: "b", 10: "X", 11: "y"}
+
+
+def test_delete_is_copy_on_write_and_exact(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.append(_df(spark, [(10, "x")]).coalesce(1))
+    t.delete(F.col("k") == 2)
+    got = sorted(r["k"] for r in t.snapshot().collect())
+    assert got == [1, 10]
+    assert len(t.history()[-1]["remove"]) == 1  # only file 1 rewritten
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    live_before = set(t._replay())
+    deleted = t.vacuum()
+    assert deleted and set(deleted).isdisjoint(live_before)
+    # current snapshot unharmed; time travel to v0 is now gone
+    assert [r["k"] for r in t.snapshot().collect()] == [2]
+    data_files = [
+        n for n in os.listdir(t.path) if n.endswith(".parquet")
+    ]
+    assert set(data_files) == live_before
+
+
+def test_acid_merge_query_matches_relational_merge(spark, sf_dir):
+    """The registered q_acid_merge must produce exactly
+    q_merge_upsert's post-merge snapshot (minus the provenance
+    column) — the transactional path changes where rows live, not
+    what the merge computes."""
+    from als_hadoop_spark.operators.timeseries import q_acid_merge, q_merge_upsert
+
+    got = {
+        (r["user_id"], r["state"], r["value"])
+        for r in q_acid_merge(spark, sf_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["state"], r["value"])
+        for r in q_merge_upsert(spark, sf_dir).collect()
+    }
+    assert got == want and want
