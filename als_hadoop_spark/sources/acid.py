@@ -134,16 +134,38 @@ class AcidTable:
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
-    def append(self, df: DataFrame, max_retries: int = 10) -> int:
+    def append(
+        self, df: DataFrame, txn: dict | None = None, max_retries: int = 10
+    ) -> int:
         """Blind append — conflicts with nothing, so a lost commit race
         REBASES onto the new head (same files, next version) instead of
-        failing. Returns the committed version."""
+        failing. Returns the committed version.
+
+        ``txn={"app": id, "batch": n}`` stamps the commit with a
+        writer-transaction identity (the Delta txnAppId/txnVersion
+        idempotence recipe): a streaming writer checks ``last_txn``
+        before appending, so an at-least-once replayed micro-batch
+        commits exactly once. The check+commit here is not atomic —
+        ONE writer per app id is the contract (a Spark streaming query
+        is single-driver by construction)."""
         adds = self._stage_files(df)
+        entry = {"operation": "append", "add": adds}
+        if txn is not None:
+            entry["txn"] = txn
         for _ in range(max_retries):
             v = self.latest_version() + 1
-            if self._try_commit(v, {"operation": "append", "add": adds}):
+            if self._try_commit(v, entry):
                 return v
         raise CommitConflict(f"append lost {max_retries} commit races")
+
+    def last_txn(self, app: str) -> int:
+        """Highest committed txn batch number for ``app``, or -1."""
+        hi = -1
+        for entry in self.history():
+            txn = entry.get("txn")
+            if txn and txn.get("app") == app:
+                hi = max(hi, int(txn.get("batch", -1)))
+        return hi
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table's content. Read-modify-write: if anyone

@@ -1,0 +1,50 @@
+"""Exactly-once streaming ingest into a commit-log ACID table — the
+fifth incremental maintainer (neardup / sketch / pca / cms rollups →
+this), and the one that makes the others' ad-hoc store layouts
+optional: a stream lands in a TRANSACTIONAL table that any batch
+operator can snapshot-read mid-ingest.
+
+Exactly-once under foreachBatch's at-least-once contract uses the
+published Delta idempotent-writes recipe (txnAppId/txnVersion): every
+commit carries ``{"txn": {"app": <app_id>, "batch": <n>}}``, and the
+writer skips a batch whose number is already committed for its app id.
+Unlike the per-batch-subdir overwrite scheme, a replayed batch here
+never even stages files — the log remembers.
+
+``app_id`` IDENTIFIES THE CHECKPOINT LINEAGE (batch numbers are
+checkpoint-relative): restarting a stream from a fresh checkpoint
+against the same table requires a fresh app_id, otherwise restarted
+batch 0 is mistaken for a replay of old batch 0 and dropped — the
+same rule Delta documents for txnAppId. One live writer per app_id
+(a Structured Streaming query is single-driver by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..sources.acid import AcidTable
+
+
+def acid_txn_append(
+    tbl: AcidTable, batch_df: DataFrame, app_id: str, batch_id: int
+) -> int | None:
+    """Commit one micro-batch exactly once; None if it was a replay.
+    Factored out of the foreachBatch closure so tests can drive the
+    replay path without a checkpoint-restore harness."""
+    if batch_id <= tbl.last_txn(app_id):
+        return None
+    return tbl.append(batch_df, txn={"app": app_id, "batch": batch_id})
+
+
+def acid_append_sink(stream: DataFrame, table_path: str, app_id: str):
+    """Attach a stream to an ACID table. Returns the DataStreamWriter —
+    caller picks trigger/checkpoint and calls ``.start()``."""
+    spark = stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        acid_txn_append(
+            AcidTable(spark, table_path), batch_df, app_id, batch_id
+        )
+
+    return stream.writeStream.foreachBatch(process_batch).outputMode("append")

@@ -137,3 +137,49 @@ def test_acid_merge_query_matches_relational_merge(spark, sf_dir):
         for r in q_merge_upsert(spark, sf_dir).collect()
     }
     assert got == want and want
+
+
+def test_streaming_acid_ingest_is_exactly_once(spark, tmp_path):
+    """A real stream lands in the table transactionally; a replayed
+    micro-batch (same app, same batch number) commits nothing; a new
+    checkpoint lineage (new app_id) appends normally."""
+    import time
+
+    from als_hadoop_spark.streaming.acid_ingest import (
+        acid_append_sink,
+        acid_txn_append,
+    )
+
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    b0 = _df(spark, [(1, "a"), (2, "b")])
+    b1 = _df(spark, [(3, "c")])
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    time.sleep(1.1)
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        acid_append_sink(stream, path, app_id="lineage-1")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    t = AcidTable(spark, path)
+    assert t.snapshot().count() == 3
+    assert t.last_txn("lineage-1") == 1
+
+    # at-least-once replay of batch 1: the log remembers, nothing lands
+    assert acid_txn_append(t, b1, "lineage-1", 1) is None
+    assert t.snapshot().count() == 3
+
+    # a NEW checkpoint lineage must use a new app_id and appends fine
+    assert acid_txn_append(t, b1, "lineage-2", 0) is not None
+    assert t.snapshot().count() == 4
