@@ -143,6 +143,15 @@ ANNOTATED = {
         "arboricity bound that keeps hub nodes from exploding the "
         "plan; no quadratic node anywhere."
     ),
+    "q_acid_merge": (
+        "Transactional MERGE (commit-log table): the relational fold is "
+        "q_merge_upsert's key-compacted full-outer join; around it, the "
+        "copy-on-write finds touched files via a broadcast semi-join on "
+        "input_file_name (rewrite cost ∝ files holding changed keys, "
+        "not table size) and the O_EXCL log commit publishes the swap "
+        "atomically — the snapshot read is a plain multi-file parquet "
+        "scan of log-listed files."
+    ),
 }
 
 
