@@ -498,8 +498,11 @@ def q_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tbl = AcidTable(spark, tempfile.mkdtemp(prefix="q_acid_merge_"))
-    tbl.append(snap)
-    tbl.merge(chg, "user_id", upsert)
+    # key-bounded frames (one row per user): a handful of files keeps
+    # the commit's file count — and every later probe's task count —
+    # proportional to data, not to shuffle.partitions
+    tbl.append(snap.coalesce(4))
+    tbl.merge(chg, "user_id", lambda t, c: upsert(t, c).coalesce(4))
     return tbl.snapshot().orderBy("user_id")
 
 
