@@ -262,6 +262,28 @@ class AcidTable:
             raise CommitConflict("table changed during delete")
         return base + 1
 
+    def optimize(self, target_files: int = 8) -> int:
+        """Small-file compaction (the OPTIMIZE of the lakehouse
+        formats): rewrite the live file set into ``target_files``
+        larger files in ONE commit — content-identical before/after
+        (readers see either layout, never a mix), so a long-running
+        streaming append's per-batch files stop taxing every snapshot
+        read. Raises CommitConflict if the head moves mid-compaction;
+        data files are immutable so retrying is always safe."""
+        base = self.latest_version()
+        live = self._replay(base)
+        if len(live) <= target_files:
+            return base
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in live]
+        ).coalesce(target_files)
+        adds = self._stage_files(df)
+        if not self._try_commit(
+            base + 1, {"operation": "optimize", "add": adds, "remove": live}
+        ):
+            raise CommitConflict("table changed during optimize")
+        return base + 1
+
     # --------------------------------------------------------- reads
 
     def snapshot(self, version: int | None = None) -> DataFrame:

@@ -183,3 +183,26 @@ def test_streaming_acid_ingest_is_exactly_once(spark, tmp_path):
     # a NEW checkpoint lineage must use a new app_id and appends fine
     assert acid_txn_append(t, b1, "lineage-2", 0) is not None
     assert t.snapshot().count() == 4
+
+
+def test_optimize_compacts_without_changing_content(spark, tmp_path):
+    """OPTIMIZE folds many small committed files into few, in one
+    commit, with byte-identical content and history intact; vacuum
+    then reclaims the compacted-away files."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    for i in range(6):
+        t.append(_df(spark, [(i, f"v{i}")]).coalesce(1))
+    assert len(t._replay()) == 6
+    before = sorted((r["k"], r["v"]) for r in t.snapshot().collect())
+
+    v = t.optimize(target_files=2)
+    assert t.history()[-1]["operation"] == "optimize"
+    assert len(t._replay()) <= 2
+    after = sorted((r["k"], r["v"]) for r in t.snapshot().collect())
+    assert after == before
+    # pre-optimize versions still time-travel
+    assert sorted(r["k"] for r in t.snapshot(version=v - 1).collect()) == list(range(6))
+    # already-compact table is a no-op commit-wise
+    assert t.optimize(target_files=2) == v
+    t.vacuum()
+    assert sorted((r["k"], r["v"]) for r in t.snapshot().collect()) == before
