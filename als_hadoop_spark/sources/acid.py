@@ -57,6 +57,32 @@ class CommitConflict(Exception):
     stale (overwrite/merge). Re-run the operation on the new state."""
 
 
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] from the parquet footer the writer already
+    produced — no data re-read. Only JSON-comparable scalar types are
+    kept (int/float/str/bool); anything else is simply absent, which
+    the pruner treats conservatively (file kept)."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            mn, mx = st.min, st.max
+            if "." in name or not isinstance(mn, (int, float, str, bool)):
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return {k: [mins[k], maxs[k]] for k in mins}
+
+
 class AcidTable:
     """Handle to a commit-log table rooted at ``path``."""
 
@@ -84,17 +110,23 @@ class AcidTable:
         vs = self._versions()
         return vs[-1] if vs else -1
 
-    def _replay(self, version: int | None = None) -> list[str]:
-        """Live data-file names at ``version`` (default: latest)."""
-        live: set[str] = set()
+    def _live_actions(self, version: int | None = None) -> dict:
+        """Live {file name: stats} at ``version`` (default: latest)."""
+        live: dict = {}
         for v in self._versions():
             if version is not None and v > version:
                 break
             with open(self._log_path(v)) as f:
                 entry = json.load(f)
-            live -= set(entry.get("remove", []))
-            live |= {a["path"] for a in entry.get("add", [])}
-        return sorted(live)
+            for p in entry.get("remove", []):
+                live.pop(p, None)
+            for a in entry.get("add", []):
+                live[a["path"]] = a.get("stats") or {}
+        return live
+
+    def _replay(self, version: int | None = None) -> list[str]:
+        """Live data-file names at ``version`` (default: latest)."""
+        return sorted(self._live_actions(version))
 
     def _try_commit(self, version: int, entry: dict) -> bool:
         """Atomically publish ``entry`` as ``version``. False if a
@@ -115,7 +147,14 @@ class AcidTable:
     def _stage_files(self, df: DataFrame) -> list[dict]:
         """Write ``df`` as parquet part files, move them to
         content-addressed names in the table root, return add-actions.
-        The files are INVISIBLE to readers until a commit names them."""
+        The files are INVISIBLE to readers until a commit names them.
+
+        Each add-action carries per-column min/max harvested from the
+        parquet footer the file already has (no data re-read): the
+        log-level data-skipping stats that let a reader prune FILES
+        before any footer is opened — at 100 TB, the difference
+        between listing/opening a million footers and reading a few
+        KB of log."""
         token = uuid.uuid4().hex[:12]
         stage = os.path.join(self.path, _STAGE_DIR, token)
         df.write.mode("overwrite").parquet(stage)
@@ -124,10 +163,10 @@ class AcidTable:
         for name in sorted(os.listdir(stage)):
             if name.startswith("part-") and name.endswith(".parquet"):
                 final = f"{token}-{i:05d}.parquet"
-                os.rename(
-                    os.path.join(stage, name), os.path.join(self.path, final)
-                )
-                adds.append({"path": final})
+                src = os.path.join(stage, name)
+                stats = _footer_stats(src)
+                os.rename(src, os.path.join(self.path, final))
+                adds.append({"path": final, "stats": stats})
                 i += 1
         import shutil
 
@@ -294,6 +333,49 @@ class AcidTable:
             raise ValueError(f"{self.path}: no data at version {version}")
         return self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in live]
+        )
+
+    def files_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> list[str]:
+        """Live file names whose logged [min, max] for ``col`` can
+        intersect [lo, hi] — log-level data skipping: the decision
+        uses only the commit log, no file is listed or opened. Files
+        without stats for ``col`` are conservatively kept."""
+        out = []
+        for path, stats in sorted(self._live_actions(version).items()):
+            s = stats.get(col)
+            if s is None or s[0] is None or s[1] is None:
+                out.append(path)
+                continue
+            mn, mx = s
+            if lo is not None and mx < lo:
+                continue
+            if hi is not None and mn > hi:
+                continue
+            out.append(path)
+        return out
+
+    def snapshot_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned snapshot read: only files that can hold
+        ``col ∈ [lo, hi]`` are handed to the scan (the caller still
+        applies the exact row predicate — file pruning is
+        conservative, not a filter)."""
+        files = self.files_where(col, lo, hi, version)
+        if not files:
+            return self.snapshot(version).limit(0)
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files]
         )
 
     def history(self) -> list[dict]:

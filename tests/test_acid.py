@@ -206,3 +206,33 @@ def test_optimize_compacts_without_changing_content(spark, tmp_path):
     assert t.optimize(target_files=2) == v
     t.vacuum()
     assert sorted((r["k"], r["v"]) for r in t.snapshot().collect()) == before
+
+
+def test_log_stats_prune_files_before_any_scan(spark, tmp_path):
+    """Add-actions carry parquet-footer min/max; files_where prunes by
+    the LOG alone, and the pruned snapshot still returns exactly the
+    rows the full-scan filter would."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    # three disjoint key-range files, committed separately
+    for lo in (0, 100, 200):
+        t.append(
+            _df(spark, [(lo + j, f"v{lo + j}") for j in range(10)]).coalesce(1)
+        )
+    assert len(t._replay()) == 3
+    # stats landed in the log for both columns
+    stats = list(t._live_actions().values())
+    assert all("k" in s and "v" in s for s in stats), stats
+
+    hit = t.files_where("k", lo=100, hi=109)
+    assert len(hit) == 1, hit
+    assert t.files_where("k", lo=500) == []
+
+    got = sorted(
+        r["k"]
+        for r in t.snapshot_where("k", 100, 109)
+        .filter(F.col("k").between(100, 109))
+        .collect()
+    )
+    assert got == list(range(100, 110))
+    # empty prune still yields a well-typed empty frame
+    assert t.snapshot_where("k", lo=500).count() == 0
