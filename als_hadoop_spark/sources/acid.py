@@ -224,6 +224,7 @@ class AcidTable:
         changes: DataFrame,
         key: str,
         apply_fn,
+        txn: dict | None = None,
     ) -> int:
         """Copy-on-write MERGE: rewrite ONLY the data files containing
         keys present in ``changes``; carry every other file over by
@@ -265,10 +266,10 @@ class AcidTable:
             touched_rows = self.spark.createDataFrame([], changes.schema)
         merged = apply_fn(touched_rows, changes)
         adds = self._stage_files(merged)
-        if not self._try_commit(
-            base + 1,
-            {"operation": "merge", "add": adds, "remove": touched},
-        ):
+        entry = {"operation": "merge", "add": adds, "remove": touched}
+        if txn is not None:
+            entry["txn"] = txn
+        if not self._try_commit(base + 1, entry):
             raise CommitConflict("table changed during merge")
         return base + 1
 

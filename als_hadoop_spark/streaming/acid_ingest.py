@@ -48,3 +48,27 @@ def acid_append_sink(stream: DataFrame, table_path: str, app_id: str):
         )
 
     return stream.writeStream.foreachBatch(process_batch).outputMode("append")
+
+
+def acid_merge_sink(
+    stream: DataFrame, table_path: str, key: str, apply_fn, app_id: str
+):
+    """Continuous CDC apply: every micro-batch of changes MERGEs into
+    the ACID table as one transaction — copy-on-write touches only the
+    files holding the batch's keys, the commit carries the txn stamp,
+    and a replayed batch is skipped from the log. This is the
+    streaming form of q_acid_merge: a changelog stream keeps a queryable
+    upserted table current, with every intermediate state time-
+    travelable. ``apply_fn(touched_rows, changes)`` owns the WHEN
+    MATCHED/NOT MATCHED semantics, same contract as ``AcidTable.merge``."""
+    spark = stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tbl = AcidTable(spark, table_path)
+        if batch_id <= tbl.last_txn(app_id):
+            return  # replay: this batch's merge is already committed
+        tbl.merge(
+            batch_df, key, apply_fn, txn={"app": app_id, "batch": batch_id}
+        )
+
+    return stream.writeStream.foreachBatch(process_batch).outputMode("update")
