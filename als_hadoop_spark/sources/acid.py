@@ -328,11 +328,17 @@ class AcidTable:
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table at ``version`` (default latest) — a consistent,
-        immutable view assembled purely from the log."""
+        immutable view assembled purely from the log.
+
+        ``mergeSchema`` gives additive schema evolution for free: an
+        append with new columns widens the table and pre-evolution
+        files read the new columns as NULL (the lakehouse ADD COLUMN
+        semantics; incompatible type changes still fail loudly at
+        read, which is the safe default)."""
         live = self._replay(version)
         if not live:
             raise ValueError(f"{self.path}: no data at version {version}")
-        return self.spark.read.parquet(
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, f) for f in live]
         )
 

@@ -291,3 +291,19 @@ def test_streaming_merge_sink_applies_cdc_transactionally(spark, tmp_path):
         t.merge(b1, "k", upsert, txn={"app": "cdc-1", "batch": 1})
     assert t.latest_version() == before
     assert {r["k"]: r["v"] for r in t.snapshot().collect()} == final
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """An append with a new column widens the snapshot; rows written
+    before the evolution read the new column as NULL (ADD COLUMN
+    semantics) — and time travel to the pre-evolution version still
+    shows the original schema."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    wide = spark.createDataFrame([(2, "b", 0.5)], "k LONG, v STRING, score DOUBLE")
+    t.append(wide)
+    snap = t.snapshot()
+    assert set(snap.columns) == {"k", "v", "score"}
+    got = {r["k"]: r["score"] for r in snap.collect()}
+    assert got[1] is None and got[2] == 0.5
+    assert set(t.snapshot(version=0).columns) == {"k", "v"}
