@@ -57,6 +57,11 @@ class CommitConflict(Exception):
     stale (overwrite/merge). Re-run the operation on the new state."""
 
 
+class ConstraintViolation(Exception):
+    """A write contained rows failing an active CHECK constraint; the
+    commit was aborted and nothing was published."""
+
+
 def _footer_stats(path: str) -> dict:
     """Per-column [min, max] from the parquet footer the writer already
     produced — no data re-read. Only JSON-comparable scalar types are
@@ -142,6 +147,64 @@ class AcidTable:
             json.dump({"version": version, **entry}, f)
         return True
 
+    # --------------------------------------------------- constraints
+
+    def set_constraint(self, name: str, expr: str, max_retries: int = 10) -> int:
+        """Register a CHECK constraint (a SQL boolean expression every
+        row of every FUTURE write must satisfy — the Delta CHECK
+        semantics). The constraint lives in the log like any other
+        action, so readers/writers at any version agree on what was
+        active. Existing data is not re-validated (ALTER TABLE ADD
+        CONSTRAINT on history is the caller's audit to run)."""
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if self._try_commit(
+                v,
+                {
+                    "operation": "set_constraint",
+                    "constraint": {"name": name, "expr": expr},
+                },
+            ):
+                return v
+        raise CommitConflict(f"set_constraint lost {max_retries} commit races")
+
+    def constraints(self, version: int | None = None) -> dict:
+        """Active {name: expr} CHECK constraints at ``version``."""
+        out: dict = {}
+        for v in self._versions():
+            if version is not None and v > version:
+                break
+            with open(self._log_path(v)) as f:
+                entry = json.load(f)
+            c = entry.get("constraint")
+            if c:
+                out[c["name"]] = c["expr"]
+        return out
+
+    def _validate(self, adds: list[dict]) -> None:
+        """CHECK the staged (not yet published) files against active
+        constraints; on violation delete them and raise — one cheap
+        re-read of the just-written files, no recompute of the plan
+        that produced them."""
+        cons = self.constraints()
+        if not cons or not adds:
+            return
+        staged = self.spark.read.parquet(
+            *[os.path.join(self.path, a["path"]) for a in adds]
+        )
+        pred = " AND ".join(f"({e})" for e in cons.values())
+        bad = staged.filter(f"NOT ({pred})").count()
+        if bad:
+            for a in adds:
+                try:
+                    os.remove(os.path.join(self.path, a["path"]))
+                except OSError:
+                    pass
+            raise ConstraintViolation(
+                f"{bad} row(s) violate CHECK constraints {sorted(cons)}; "
+                "commit aborted"
+            )
+
     # -------------------------------------------------------- writes
 
     def _stage_files(self, df: DataFrame) -> list[dict]:
@@ -188,6 +251,7 @@ class AcidTable:
         ONE writer per app id is the contract (a Spark streaming query
         is single-driver by construction)."""
         adds = self._stage_files(df)
+        self._validate(adds)
         entry = {"operation": "append", "add": adds}
         if txn is not None:
             entry["txn"] = txn
@@ -212,6 +276,7 @@ class AcidTable:
         base = self.latest_version()
         removed = self._replay(base)
         adds = self._stage_files(df)
+        self._validate(adds)
         if not self._try_commit(
             base + 1,
             {"operation": "overwrite", "add": adds, "remove": removed},
@@ -266,6 +331,7 @@ class AcidTable:
             touched_rows = self.spark.createDataFrame([], changes.schema)
         merged = apply_fn(touched_rows, changes)
         adds = self._stage_files(merged)
+        self._validate(adds)
         entry = {"operation": "merge", "add": adds, "remove": touched}
         if txn is not None:
             entry["txn"] = txn

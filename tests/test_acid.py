@@ -307,3 +307,41 @@ def test_additive_schema_evolution(spark, tmp_path):
     got = {r["k"]: r["score"] for r in snap.collect()}
     assert got[1] is None and got[2] == 0.5
     assert set(t.snapshot(version=0).columns) == {"k", "v"}
+
+
+def test_check_constraints_gate_commits(spark, tmp_path):
+    """CHECK constraints live in the log and gate every future write:
+    a violating append/merge aborts WITHOUT publishing (no version
+    bump, no orphan visible), a clean write passes, and the violating
+    files are cleaned off disk."""
+    from als_hadoop_spark.sources.acid import ConstraintViolation
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_constraint("k_positive", "k > 0")
+    t.set_constraint("v_nonempty", "length(v) > 0")
+    assert set(t.constraints()) == {"k_positive", "v_nonempty"}
+
+    v_before = t.latest_version()
+    with pytest.raises(ConstraintViolation, match="k_positive|violate"):
+        t.append(_df(spark, [(-5, "bad")]))
+    assert t.latest_version() == v_before
+    assert [r["k"] for r in t.snapshot().collect()] == [1]
+    # aborted files are not left on disk
+    live = set(t._replay())
+    on_disk = {n for n in os.listdir(t.path) if n.endswith(".parquet")}
+    assert on_disk == live
+
+    # clean write passes; violating merge aborts too
+    t.append(_df(spark, [(2, "ok")]))
+
+    def upsert(touched, chg):
+        c = chg.select("k", F.col("v").alias("_nv"))
+        return (
+            touched.join(c, "k", "full_outer")
+            .select("k", F.coalesce("_nv", "v").alias("v"))
+        )
+
+    with pytest.raises(ConstraintViolation):
+        t.merge(_df(spark, [(3, "")]), "k", upsert)
+    assert sorted(r["k"] for r in t.snapshot().collect()) == [1, 2]
