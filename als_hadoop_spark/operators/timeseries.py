@@ -356,21 +356,31 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per event_type: Σ value·Δt / Σ Δt with Δt = µs to the NEXT
     observation (the last observation in a span carries no weight —
-    its holding interval is unobserved). ONE window exchange on the
-    bounded event_type key (ties on ts break on event_id — total order
-    in both engines), then one bounded aggregate. Exact integer µs
-    weights; the single division rounds at 4dp after aggregation."""
-    from pyspark.sql import Window
+    its holding interval is unobserved). Ties on ts break on event_id
+    — total order in both engines. Exact integer µs weights; the
+    single division rounds at 4dp after aggregation.
 
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    steps = ev.select(
+    Scale shape (round-4): a lead window partitioned by event_type
+    alone sorts EACH TYPE IN ONE TASK — 5 types over 10¹¹ rows is 5
+    impossible sorts. ``functions.ids.distributed_lead`` computes the
+    identical per-type successor via range partitioning + a boundary
+    exchange, so every task stays O(rows/partitions); the final
+    aggregate is the same bounded per-type fold."""
+    from als_hadoop_spark.functions.ids import distributed_lead
+
+    ev = load(spark, sf_dir, "events").select(
         "event_type",
         "value",
-        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias(
-            "dt_us"
-        ),
+        "event_id",
         F.unix_micros("ts").alias("t_us"),
+    )
+    steps = distributed_lead(
+        ev, "event_type", ["t_us", "event_id"], ["t_us"]
+    ).select(
+        "event_type",
+        "value",
+        (F.col("t_us_next") - F.col("t_us")).alias("dt_us"),
+        "t_us",
     )
     return (
         steps.groupBy("event_type")

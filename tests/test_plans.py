@@ -280,11 +280,27 @@ def test_zipf_rank_is_distributed(spark, sf_dir):
     round-4 global_ranks rewrite the only Window in the plan is the
     offsets cumsum over the ≤num_partitions-row per-partition counts
     (ordered by _pid); a vocabulary-wide rank window (ordered by
-    freq/tok) must never reappear."""
+    freq/tok) must never reappear.
+
+    Two layers: (a) the helper's pre-pin plan (pin=False) exposes the
+    range exchange that replaces the global sort; (b) the production
+    query pins its enumerated frame in a localCheckpoint (both
+    consumers read ONE materialization — the layout-consistency
+    guarantee), so its plan shows shared ExistingRDD scans instead."""
+    from als_hadoop_spark.functions.ids import global_ranks
     from als_hadoop_spark.operators import text
+    from pyspark.sql import functions as F
+
+    vocab = spark.createDataFrame(
+        [("a", 3), ("b", 2), ("c", 2)], "tok STRING, freq LONG"
+    )
+    helper_plan = explain_str(
+        global_ranks(vocab, [F.col("freq").desc(), F.col("tok")], pin=False)
+    )
+    assert "rangepartitioning" in helper_plan.lower(), "distributed sort missing"
 
     plan = explain_str(text.q_zipf_fit(spark, sf_dir))
-    assert "rangepartitioning" in plan.lower(), "distributed sort missing"
+    assert "localCheckpoint" in plan, "layout pin missing from zipf plan"
     window_lines = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
     assert window_lines, "offsets window vanished — check global_ranks"
     for ln in window_lines:

@@ -340,3 +340,45 @@ def test_global_ranks_matches_row_number(spark, toks):
         for i, (tok, _) in enumerate(sorted(toks, key=lambda t: (-t[1], t[0])))
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),          # low-card group
+            st.integers(0, 50),                         # order key
+            st.one_of(st.none(), st.integers(0, 9)),    # lead value (nullable!)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_distributed_lead_matches_window_lead(spark, rows):
+    """distributed_lead == F.lead over partitionBy(group) for any
+    frame — including NULL lead values (which must NOT be confused
+    with 'no next row'), groups spanning partition boundaries, and
+    single-row groups."""
+    from als_hadoop_spark.functions.ids import distributed_lead
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # make the order a total order per group (dedupe ties)
+    uniq = {}
+    for g, t, v in rows:
+        uniq[(g, t)] = v
+    data = [(g, t, v) for (g, t), v in uniq.items()]
+    df = spark.createDataFrame(data, "g STRING, t LONG, v LONG").repartition(7)
+
+    got = {
+        (r["g"], r["t"]): r["v_next"]
+        for r in distributed_lead(
+            df, "g", ["t"], ["v"], num_partitions=3
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("t")
+    want = {
+        (r["g"], r["t"]): r["v_next"]
+        for r in df.withColumn("v_next", F.lead("v").over(w)).collect()
+    }
+    assert got == want
