@@ -339,6 +339,69 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: temperature for q_mixture_temperature — the α of p_l ∝ share_l^α
+#: (α<1 flattens the language distribution; 0.7 is the published
+#: multilingual-LM convention, e.g. XLM-R's sampling exponent)
+MIX_ALPHA = 0.7
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture resampling — the α-exponent corpus
+    reweighting of multilingual LM pipelines (public recipe: sample
+    language l with probability p_l ∝ q_l^α where q_l is its corpus
+    share; α<1 upsamples rare languages relative to their share).
+    Realized here as per-doc acceptance rates
+    ``rate_l = q_l^(α−1) / max_l' q_l'^(α−1)`` — the rarest language
+    keeps EVERYTHING (rate 1.0) and over-represented ones downsample
+    toward the target shares, the data-maximal way to hit p_l.
+
+    Determinism/auditability: same Knuth-hash acceptance predicate as
+    q_sample_mixture — layout-independent, reproducible given
+    (doc_id, rates); the rates themselves derive from corpus counts in
+    the same query (no config drift possible), rounded to 6dp on both
+    engines before the comparison so the accept/reject boundary is
+    identical cross-engine.
+
+    Scale shape: one count pass (bounded lang key), two 1-row/L-row
+    broadcast normalizations, then the acceptance predicate fuses into
+    the fact scan — no shuffle touches raw documents beyond the final
+    bounded per-lang aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = counts.agg(F.sum("n_l").alias("n_tot"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.pow(F.col("n_l") / F.col("n_tot"), F.lit(MIX_ALPHA) - F.lit(1.0)).alias(
+            "w_rate"
+        ),
+        F.pow(F.col("n_l") / F.col("n_tot"), F.lit(MIX_ALPHA)).alias("w_share"),
+    )
+    norms = w.agg(F.max("w_rate").alias("w_max"), F.sum("w_share").alias("w_sum"))
+    rates = w.crossJoin(F.broadcast(norms)).select(
+        "lang",
+        F.round(F.col("w_rate") / F.col("w_max"), 6).alias("samp_rate"),
+        F.round(F.col("w_share") / F.col("w_sum"), 6).alias("target_share"),
+    )
+    u = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_MOD31)) * F.lit(_KNUTH), F.lit(_MOD31)
+    ) / F.lit(float(_MOD31))
+    kept = docs.join(F.broadcast(rates), "lang").select(
+        "lang",
+        "samp_rate",
+        "target_share",
+        (u < F.col("samp_rate")).cast("int").alias("kept"),
+    )
+    return (
+        kept.groupBy("lang", "samp_rate", "target_share")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .select("lang", "n_total", "n_kept", "samp_rate", "target_share")
+        .orderBy("lang")
+    )
+
+
 #: exactly this many docs kept per language by q_stratified_k
 STRATA_K = 25
 
@@ -622,6 +685,7 @@ QUERIES = {
     "q_curation": q_curation,
     "q_curation_neardup": q_curation_neardup,
     "q_sample_mixture": q_sample_mixture,
+    "q_mixture_temperature": q_mixture_temperature,
     "q_quality_sample": q_quality_sample,
     "q_token_topk": q_token_topk,
     "q_lang_id": q_lang_id,
@@ -784,6 +848,36 @@ ORACLES = {
             FROM documents
         )
         GROUP BY lang
+    """,
+    "q_mixture_temperature": f"""
+        WITH c AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+            FROM documents GROUP BY lang
+        ), t AS (
+            SELECT lang, n_l, SUM(n_l) OVER () AS n_tot FROM c
+        ), w AS (
+            SELECT lang,
+                   POW(CAST(n_l AS DOUBLE) / n_tot, {MIX_ALPHA} - 1.0)
+                       AS w_rate,
+                   POW(CAST(n_l AS DOUBLE) / n_tot, {MIX_ALPHA}) AS w_share
+            FROM t
+        ), r AS (
+            SELECT lang,
+                   ROUND(w_rate / MAX(w_rate) OVER (), 6) AS samp_rate,
+                   ROUND(w_share / SUM(w_share) OVER (), 6) AS target_share
+            FROM w
+        ), k AS (
+            SELECT d.lang, r.samp_rate, r.target_share,
+                   CASE WHEN CAST(((d.doc_id % {_MOD31}) * {_KNUTH})
+                                 % {_MOD31} AS DOUBLE) / {_MOD31}.0
+                        < r.samp_rate THEN 1 ELSE 0 END AS kept
+            FROM documents d JOIN r USING (lang)
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(kept) AS BIGINT) AS n_kept,
+               samp_rate, target_share
+        FROM k GROUP BY lang, samp_rate, target_share
+        ORDER BY lang
     """,
     "q_curation": """
         WITH scored AS (

@@ -49,3 +49,29 @@ def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
     assert a == b
     # the compacted scan plans far fewer input splits
     assert spark.read.parquet(dst).rdd.getNumPartitions() <= 2
+
+
+def test_mixture_temperature_flattens_toward_target(spark, sf_dir):
+    """α-temperature resampling: the rarest language keeps everything
+    (rate 1.0 — the data-maximal normalization), target shares sum to
+    1, and the realized kept-distribution is strictly FLATTER than the
+    raw corpus distribution (that is the whole point of α<1)."""
+    from als_hadoop_spark.operators.text import q_mixture_temperature
+
+    rows = q_mixture_temperature(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    by_lang = {r["lang"]: r for r in rows}
+    rarest = min(rows, key=lambda r: r["n_total"])
+    assert rarest["samp_rate"] == 1.0
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-4
+    # flatter: max/min share ratio shrinks vs the raw corpus
+    tot_all = sum(r["n_total"] for r in rows)
+    kept_all = sum(r["n_kept"] for r in rows)
+    raw = [r["n_total"] / tot_all for r in rows]
+    new = [r["n_kept"] / kept_all for r in rows]
+    assert max(new) / min(new) < max(raw) / min(raw)
+    # every kept count within the acceptance rate's sampling noise
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_total"]
+        expect = r["samp_rate"] * r["n_total"]
+        assert abs(r["n_kept"] - expect) < 6 * (expect ** 0.5) + 3
