@@ -472,8 +472,83 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+#: winnowing (Schleimer–Wilkerson–Aiken, SIGMOD'03): k-gram size,
+#: window of consecutive k-gram hashes, min shared fingerprints for a
+#: candidate pair, and a posting-list cap on ubiquitous fingerprints.
+#: Detection guarantee: any shared substring of ≥ K+W−1 = 27 chars
+#: shares at least one selected fingerprint. Tuned on the fixture: the
+#: templated synthetic text makes 12-char grams near-universal (17k
+#: pairs at K=12); 16-char grams restore selectivity, and W=12 keeps
+#: the same pair set as W=8 at ~2/3 the cost (fewer fingerprints
+#: survive the window minimum).
+WINNOW_K = 16
+WINNOW_W = 12
+WINNOW_SHARED_T = 4
+WINNOW_DF_CAP = 20
+
+
+def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage detection via winnowing fingerprints — the
+    published MOSS algorithm (Schleimer, Wilkerson, Aiken: "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD 2003). The
+    shingle-Jaccard family asks "are these documents mostly the same?";
+    winnowing asks the complementary curation question "does this
+    document CONTAIN a passage copied from another?" — boilerplate,
+    quotations, license blocks — which low global Jaccard hides.
+
+    Per document: hash every K-char gram (xxhash64), slide a window of
+    W consecutive gram hashes, keep each window's MINIMUM — the
+    classic guarantee that any shared substring of length ≥ K+W−1
+    shares a selected fingerprint, with only ~2/(W+1) of grams kept.
+    Pairs sharing ≥ WINNOW_SHARED_T fingerprints are reported with
+    their shared count.
+
+    Scale shape: fingerprinting is pure JVM higher-order functions
+    (sequence → transform(substr+xxhash64) → sliding array_min —
+    whole-stage codegen, no Python); the pair generator is an
+    equi-join on fingerprint postings with ubiquitous fingerprints
+    dropped at WINNOW_DF_CAP (same linearization as q_dedup_ngram's
+    DF_CAP — pair output stays linear in corpus, never all-pairs).
+    rows-only: DuckDB has no xxhash64 twin; the planted-passage pytest
+    in tests/test_dedup.py is the correctness gate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_grams = F.length("text") - F.lit(WINNOW_K)
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams),
+        lambda i: F.xxhash64(F.col("text").substr(i + 1, F.lit(WINNOW_K))),
+    )
+    with_grams = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1).select(
+        "doc_id", grams.alias("g")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size("g") - F.lit(WINNOW_W)),
+        lambda j: F.array_min(F.slice(F.col("g"), j + 1, WINNOW_W)),
+    )
+    fps = (
+        with_grams.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+        .distinct()
+    )
+    # drop boilerplate fingerprints shared by too many docs — bounds
+    # the posting-list join exactly like q_dedup_ngram's DF_CAP
+    df_ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= WINNOW_DF_CAP
+    )
+    posts = fps.join(df_ok.select("fp"), "fp")
+    a = posts.select(F.col("doc_id").alias("id_a"), "fp")
+    b = posts.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_SHARED_T)
+        .orderBy("id_a", "id_b")
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
+    "q_winnow_dup": q_winnow_dup,
     "q_dedup_minhash": q_dedup_minhash,
     "q_source_overlap": q_source_overlap,
     "q_dedup_simhash": q_dedup_simhash,

@@ -327,3 +327,39 @@ def test_kmeans_partitions_corpus_and_beats_random_purity(spark):
         assert 0.0 < r["purity"] <= 1.0
     weighted = sum(r["purity"] * r["n_vectors"] for r in rows) / n
     assert weighted > 1.2 / KMEANS_K, weighted  # ≥20% above random
+
+
+def test_winnow_detects_planted_copied_passage(spark, tmp_path):
+    """Winnowing must flag a pair sharing ONE copied 80-char passage
+    inside otherwise-unrelated documents (global jaccard low — the
+    case the shingle family misses), and must not pair unrelated
+    docs. Drives the registered query through a scratch documents
+    table so the planted structure is exact."""
+    from als_hadoop_spark.operators.dedup import q_winnow_dup
+
+    passage = "the quick brown fox jumps over the lazy dog near the riverbank at dawn today"
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4 + passage
+    b = passage + " iota kappa lambda mu nu xi omicron pi rho sigma " * 4
+    c = "one two three four five six seven eight nine ten eleven twelve " * 5
+    d = "unrelated entirely different content with no overlap whatsoever here " * 5
+    docs = spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b)),
+         (3, c, "en", "s", len(c)), (4, d, "en", "s", len(d))],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in q_winnow_dup(spark, sf).collect()}
+    assert (1, 2) in pairs, pairs
+    assert pairs[(1, 2)] >= 3
+    assert all(p == (1, 2) for p in pairs), pairs
+
+
+def test_winnow_runs_on_fixture_and_is_deterministic(spark, sf_dir):
+    from als_hadoop_spark.operators.dedup import q_winnow_dup
+
+    r1 = sorted(tuple(r) for r in q_winnow_dup(spark, sf_dir).collect())
+    r2 = sorted(tuple(r) for r in q_winnow_dup(spark, sf_dir).collect())
+    assert r1 == r2
+    for _, _, n in r1:
+        assert n >= 3
