@@ -363,9 +363,11 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cross-engine.
 
     Scale shape: one count pass (bounded lang key), two 1-row/L-row
-    broadcast normalizations, then the acceptance predicate fuses into
-    the fact scan — no shuffle touches raw documents beyond the final
-    bounded per-lang aggregate."""
+    broadcast normalizations, then the acceptance predicate evaluates
+    inside the scan stage right after the broadcast rate join (it
+    depends on the computed rates, so it cannot reach PushedFilters) —
+    no shuffle touches raw documents beyond the two bounded per-lang
+    aggregates."""
     docs = load(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
     tot = counts.agg(F.sum("n_l").alias("n_tot"))
