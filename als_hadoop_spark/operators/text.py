@@ -369,7 +369,16 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle touches raw documents beyond the two bounded per-lang
     aggregates."""
     docs = load(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    # pin the L-row count table: four downstream consumers (tot, w,
+    # norms, rates) would otherwise each re-derive it — FIVE fact
+    # scans in the physical plan; with the pin the corpus is read
+    # exactly twice (count pass + acceptance pass), gated in
+    # tests/test_plans.py
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .localCheckpoint(eager=False)
+    )
     tot = counts.agg(F.sum("n_l").alias("n_tot"))
     w = counts.crossJoin(F.broadcast(tot)).select(
         "lang",

@@ -306,3 +306,20 @@ def test_zipf_rank_is_distributed(spark, sf_dir):
     for ln in window_lines:
         assert "_pid" in ln, f"unbounded window not over partition counts: {ln}"
         assert "freq" not in ln and "tok" not in ln, f"vocab-wide window: {ln}"
+
+
+def test_mixture_temperature_reads_corpus_twice(spark, sf_dir):
+    """q_mixture_temperature's rate derivation must not multiply fact
+    scans: the pinned L-row count table leaves exactly ONE parquet scan
+    in the final plan (the acceptance pass — the count pass lives
+    inside the checkpointed lineage), the rates join is a broadcast,
+    and no SortMergeJoin appears anywhere."""
+    import re
+
+    from als_hadoop_spark.operators import text
+
+    plan = explain_str(text.q_mixture_temperature(spark, sf_dir))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE))
+    assert n_scans == 1, f"fact scan fan-out: {n_scans}"
+    assert "localCheckpoint" in plan, "count-table pin missing"
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
