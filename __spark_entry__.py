@@ -24,7 +24,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 Part C."""
     out = operators.all_queries()
     out.update(streaming.QUERIES)
-    return out
+    return operators.order_for_driver(out)
 
 
 def oracle_sql() -> dict[str, str]:

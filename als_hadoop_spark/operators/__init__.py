@@ -51,6 +51,94 @@ _MODULES = (
 )
 
 
+# Registration order doubles as the external correctness harness's sample
+# order (it checks a prefix of the registry).  Lead with the queries that
+# have not yet appeared in any recorded correctness sample (rounds 1-4
+# covered 75 of 135; see CORRECTNESS_r0*.json) so the remaining surface
+# gets independent verification first: oracle-backed queries lead,
+# rows-only follow, previously-sampled queries close the list in their
+# module order.  Pure ordering — the dict contents are unchanged.
+DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
+    # round-4 additions, never sampled
+    "q_acid_merge",
+    "q_winnow_dup",
+    "q_mixture_temperature",
+    # TPC-H shapes (tpch.py / market.py), oracle-backed
+    "q_agg_of_agg",
+    "q_having_semijoin",
+    "q_exists_chain",
+    "q_scalar_threshold_anti",
+    "q_forecast_revenue",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_returned_items",
+    "q_promo_revenue",
+    # fuzzy / similarity / sketches, oracle-backed
+    "q_fuzzy_join",
+    "q_embed_centroid",
+    "q_nearest_centroid",
+    "q_bitmap_overlap",
+    # text family, oracle-backed
+    "q_lm_score",
+    "q_zipf_fit",
+    "q_stratified_k",
+    "q_sequence_pack",
+    "q_sample_mixture",
+    "q_quality_sample",
+    "q_tfidf",
+    "q_pii_scrub",
+    # ngrams family, oracle-backed
+    "q_ngram_lm",
+    "q_contamination",
+    "q_doc_repetition",
+    "q_token_entropy",
+    "q_pmi_bigrams",
+    # multimodal / timeseries / udf, oracle-backed
+    "q_multimodal_dedup",
+    "q_latest_by_key",
+    "q_merge_upsert",
+    "q_scd2_history",
+    "q_gap_fill",
+    "q_forward_fill",
+    "q_time_weighted_avg",
+    "q_interval_merge",
+    "q_udf_groupfit",
+    "q_udf_arrow",
+    # streaming batch-twins, oracle-backed
+    "q_stream_outer_join",
+    "q_stream_sliding",
+    "q_stream_enrich",
+    # never-sampled rows-only queries (weaker rows-only driver check)
+    "q_source_overlap",
+    "q_dedup_cluster",
+    "q_hll_rollup",
+    "q_kll_quantiles",
+    "q_cms_heavy_hitters",
+    "q_bpe_merges",
+    "q_bpe_tokenize",
+    "q_embed_pca",
+    "q_hll_overlap",
+    "q_curation_neardup",
+    "q_als_rank_sweep",
+    "q_als_recommend",
+    "q_als_item_sim",
+    "q_als_ranking",
+    "q_sim_search_pq",
+    "q_sim_search_ivfpq",
+    "q_multimodal_frames",
+    "q_embed_kmeans",
+)
+
+
+def order_for_driver(
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Reorder a merged query registry so DRIVER_SAMPLE_PRIORITY leads."""
+    head = {k: qs[k] for k in DRIVER_SAMPLE_PRIORITY if k in qs}
+    head.update((k, v) for k, v in qs.items() if k not in head)
+    return head
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
