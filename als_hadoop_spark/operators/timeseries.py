@@ -464,6 +464,7 @@ def q_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per key before the full-outer join) plus file-granular
     copy-on-write — at 100 TB the rewrite cost is proportional to the
     files the change keys actually live in, not the table."""
+    import os
     import tempfile
 
     from ..sources.acid import AcidTable
@@ -507,7 +508,28 @@ def q_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("value", "snap_value").alias("value"),
         )
 
-    tbl = AcidTable(spark, tempfile.mkdtemp(prefix="q_acid_merge_"))
+    # Per-session scratch table, rebuilt on every invocation: keyed by
+    # applicationId so concurrent sessions can't collide, reaped after
+    # a day so repeated harness runs don't accumulate tables in /tmp.
+    import shutil
+    import time as _time
+
+    scratch_root = os.path.join(tempfile.gettempdir(), "spark_graft_acid")
+    os.makedirs(scratch_root, exist_ok=True)
+    now = _time.time()
+    for name in os.listdir(scratch_root):
+        stale = os.path.join(scratch_root, name)
+        try:
+            if now - os.path.getmtime(stale) > 86400:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
+    table_dir = os.path.join(
+        scratch_root,
+        f"{spark.sparkContext.applicationId}-{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    tbl = AcidTable(spark, table_dir)
     # key-bounded frames (one row per user): a handful of files keeps
     # the commit's file count — and every later probe's task count —
     # proportional to data, not to shuffle.partitions

@@ -28,14 +28,34 @@ implemented from the published protocol descriptions, no library):
   the part files to content-addressed names in the table root. The
   moves are invisible to readers (not yet in the log); the commit
   publishes them. MERGE is copy-on-write at FILE granularity: only
-  files that actually contain matched keys are rewritten (found by
-  semi-joining ``input_file_name()`` against the change keys — at
-  100 TB this is the difference between rewriting a partition and
-  rewriting the table); untouched files carry over by reference.
+  files that actually contain matched keys are rewritten; candidate
+  files are pruned FIRST by the commit log's per-file [min, max] key
+  stats (no footer opened for files whose range can't intersect the
+  change keys), then the survivors are semi-joined against the change
+  keys — at 100 TB this is the difference between rewriting (or even
+  scanning) the table and touching one partition's worth of files.
+
+- Every CHECKPOINT_INTERVAL commits the winner also writes
+  ``_acid_log/<version>.checkpoint.json`` — the fully-replayed state
+  (live files + stats, schema ops, constraints, txn watermarks) — and
+  repoints ``_acid_log/_last_checkpoint`` at it (Delta's
+  ``_last_checkpoint`` protocol). Readers load the newest checkpoint
+  at-or-below their target version and replay only the log suffix, so
+  snapshot assembly is O(interval) instead of O(commits); time travel
+  below the checkpoint falls back to full replay (logs are retained).
+
+- Schema evolution: additive widening is free (``mergeSchema`` at
+  read); RENAME and DROP COLUMN are log actions (``rename_column`` /
+  ``drop_column``), applied at read time per file according to the
+  ops committed AFTER the file was added — the Iceberg idea of
+  metadata-only evolution (no data rewritten), realized with a
+  name-mapping replay instead of field ids (parquet written by Spark
+  carries names, not ids). Old files read through the current schema;
+  stats pruning reverse-translates a current column name to each
+  file's physical name before consulting its logged min/max.
 
 Scale posture: the log holds file NAMES (KBs per commit), never data;
-snapshot assembly is a driver-side replay of small JSONs (Delta ships
-parquet checkpoints for 10⁵-commit logs — out of scope, noted);
+snapshot assembly is a checkpointed driver-side replay of small JSONs;
 all data movement is executor-side parquet IO.
 """
 
@@ -43,6 +63,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +71,12 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_acid_log"
 _STAGE_DIR = "_acid_stage"
+_LAST_CHECKPOINT = "_last_checkpoint"
+
+#: A checkpoint is written by the committer of every version divisible
+#: by this (Delta defaults to 10); raising it trades reader replay
+#: length for fewer checkpoint writes.
+CHECKPOINT_INTERVAL = 10
 
 
 class CommitConflict(Exception):
@@ -88,6 +115,10 @@ def _footer_stats(path: str) -> dict:
     return {k: [mins[k], maxs[k]] for k in mins}
 
 
+def _empty_state() -> dict:
+    return {"live": {}, "schema_ops": [], "constraints": {}, "txns": {}}
+
+
 class AcidTable:
     """Handle to a commit-log table rooted at ``path``."""
 
@@ -100,6 +131,11 @@ class AcidTable:
     def _log_path(self, version: int) -> str:
         return os.path.join(self.path, _LOG_DIR, f"{version:010d}.json")
 
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(
+            self.path, _LOG_DIR, f"{version:010d}.checkpoint.json"
+        )
+
     def _versions(self) -> list[int]:
         log_dir = os.path.join(self.path, _LOG_DIR)
         if not os.path.isdir(log_dir):
@@ -107,7 +143,9 @@ class AcidTable:
         return sorted(
             int(n[:-5])
             for n in os.listdir(log_dir)
-            if n.endswith(".json") and n[:-5].isdigit()
+            if n.endswith(".json")
+            and not n.endswith(".checkpoint.json")
+            and n[:-5].isdigit()
         )
 
     def latest_version(self) -> int:
@@ -115,23 +153,91 @@ class AcidTable:
         vs = self._versions()
         return vs[-1] if vs else -1
 
-    def _live_actions(self, version: int | None = None) -> dict:
-        """Live {file name: stats} at ``version`` (default: latest)."""
-        live: dict = {}
+    def _apply_entry(self, state: dict, v: int, entry: dict) -> None:
+        for p in entry.get("remove", []):
+            state["live"].pop(p, None)
+        for a in entry.get("add", []):
+            state["live"][a["path"]] = {
+                "stats": a.get("stats") or {},
+                "added": v,
+            }
+        c = entry.get("constraint")
+        if c:
+            state["constraints"][c["name"]] = c["expr"]
+        op = entry.get("schema_op")
+        if op:
+            state["schema_ops"].append({"v": v, **op})
+        txn = entry.get("txn")
+        if txn and "app" in txn:
+            app = txn["app"]
+            state["txns"][app] = max(
+                int(state["txns"].get(app, -1)), int(txn.get("batch", -1))
+            )
+
+    def _read_last_checkpoint(self) -> int | None:
+        try:
+            with open(os.path.join(self.path, _LOG_DIR, _LAST_CHECKPOINT)) as f:
+                return int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+
+    def _state(self, version: int | None = None) -> dict:
+        """Fully-replayed table state at ``version`` (default latest):
+        checkpoint (if one exists at-or-below the target) + log suffix.
+        Time travel below the newest checkpoint replays from scratch —
+        log JSONs are never deleted."""
+        state = _empty_state()
+        start = 0
+        cp = self._read_last_checkpoint()
+        target = version if version is not None else self.latest_version()
+        if cp is not None and cp <= target:
+            try:
+                with open(self._checkpoint_path(cp)) as f:
+                    state = json.load(f)["state"]
+                start = cp + 1
+            except (OSError, KeyError, json.JSONDecodeError):
+                state, start = _empty_state(), 0  # corrupt/missing: replay
         for v in self._versions():
+            if v < start:
+                continue
             if version is not None and v > version:
                 break
             with open(self._log_path(v)) as f:
                 entry = json.load(f)
-            for p in entry.get("remove", []):
-                live.pop(p, None)
-            for a in entry.get("add", []):
-                live[a["path"]] = a.get("stats") or {}
-        return live
+            self._apply_entry(state, v, entry)
+        return state
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Called by the writer that just committed ``version``; writes
+        the checkpoint + pointer when the version hits the interval.
+        Both writes are tmp+rename (atomic, idempotent — state at a
+        fixed version is immutable, so two racers write identical
+        bytes); the pointer is only moved forward."""
+        if version <= 0 or version % CHECKPOINT_INTERVAL != 0:
+            return
+        state = self._state(version)
+        cp_path = self._checkpoint_path(version)
+        tmp = cp_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "state": state}, f)
+        os.replace(tmp, cp_path)
+        prev = self._read_last_checkpoint()
+        if prev is None or prev < version:
+            ptr = os.path.join(self.path, _LOG_DIR, _LAST_CHECKPOINT)
+            tmp = ptr + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump({"version": version}, f)
+            os.replace(tmp, ptr)
+
+    def _live_actions(self, version: int | None = None) -> dict:
+        """Live {file name: stats} at ``version`` (default: latest)."""
+        return {
+            p: a["stats"] for p, a in self._state(version)["live"].items()
+        }
 
     def _replay(self, version: int | None = None) -> list[str]:
         """Live data-file names at ``version`` (default: latest)."""
-        return sorted(self._live_actions(version))
+        return sorted(self._state(version)["live"])
 
     def _try_commit(self, version: int, entry: dict) -> bool:
         """Atomically publish ``entry`` as ``version``. False if a
@@ -145,6 +251,7 @@ class AcidTable:
             return False
         with os.fdopen(fd, "w") as f:
             json.dump({"version": version, **entry}, f)
+        self._maybe_checkpoint(version)
         return True
 
     # --------------------------------------------------- constraints
@@ -170,16 +277,7 @@ class AcidTable:
 
     def constraints(self, version: int | None = None) -> dict:
         """Active {name: expr} CHECK constraints at ``version``."""
-        out: dict = {}
-        for v in self._versions():
-            if version is not None and v > version:
-                break
-            with open(self._log_path(v)) as f:
-                entry = json.load(f)
-            c = entry.get("constraint")
-            if c:
-                out[c["name"]] = c["expr"]
-        return out
+        return dict(self._state(version)["constraints"])
 
     def _validate(self, adds: list[dict]) -> None:
         """CHECK the staged (not yet published) files against active
@@ -189,7 +287,7 @@ class AcidTable:
         cons = self.constraints()
         if not cons or not adds:
             return
-        staged = self.spark.read.parquet(
+        staged = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, a["path"]) for a in adds]
         )
         pred = " AND ".join(f"({e})" for e in cons.values())
@@ -241,7 +339,11 @@ class AcidTable:
     ) -> int:
         """Blind append — conflicts with nothing, so a lost commit race
         REBASES onto the new head (same files, next version) instead of
-        failing. Returns the committed version.
+        failing; if the race winner changed the active CONSTRAINT set,
+        the staged files are re-validated against it before the rebased
+        commit (Delta's metadata-conflict rule — a constraint committed
+        concurrently must gate this write too). Returns the committed
+        version.
 
         ``txn={"app": id, "batch": n}`` stamps the commit with a
         writer-transaction identity (the Delta txnAppId/txnVersion
@@ -251,6 +353,7 @@ class AcidTable:
         ONE writer per app id is the contract (a Spark streaming query
         is single-driver by construction)."""
         adds = self._stage_files(df)
+        cons_seen = self.constraints()
         self._validate(adds)
         entry = {"operation": "append", "add": adds}
         if txn is not None:
@@ -259,16 +362,15 @@ class AcidTable:
             v = self.latest_version() + 1
             if self._try_commit(v, entry):
                 return v
+            cons_now = self.constraints()
+            if cons_now != cons_seen:
+                cons_seen = cons_now
+                self._validate(adds)  # aborts (and cleans up) on violation
         raise CommitConflict(f"append lost {max_retries} commit races")
 
     def last_txn(self, app: str) -> int:
         """Highest committed txn batch number for ``app``, or -1."""
-        hi = -1
-        for entry in self.history():
-            txn = entry.get("txn")
-            if txn and txn.get("app") == app:
-                hi = max(hi, int(txn.get("batch", -1)))
-        return hi
+        return int(self._state()["txns"].get(app, -1))
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table's content. Read-modify-write: if anyone
@@ -298,34 +400,47 @@ class AcidTable:
         caller owns the WHEN MATCHED/NOT MATCHED semantics — e.g. the
         q_merge_upsert fold); rows of untouched files never move.
 
+        Touched-file discovery is two-stage: (1) the change keys'
+        [min, max] (one tiny agg) prunes candidate files through the
+        commit log's per-file stats — files whose key range can't
+        intersect are never opened; (2) only the candidates are scanned
+        and semi-joined against the distinct change keys (no forced
+        broadcast — AQE picks the join strategy from the actual change
+        size, so a backfill-sized change set doesn't OOM a broadcast).
+        A selective MERGE on a range-clustered table therefore reads
+        O(matching files), not O(table).
+
         Snapshot-isolated: raises CommitConflict if the table head
         moved between the snapshot read and the commit."""
         base = self.latest_version()
-        live = self._replay(base)
+        state = self._state(base)
+        live = sorted(state["live"])
+        touched: list[str] = []
         if live:
-            snap = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in live]
-            ).withColumn("_file", F.input_file_name())
-            touched = [
-                os.path.basename(r["_file"])
-                for r in (
-                    snap.join(
-                        F.broadcast(changes.select(key).distinct()), key, "semi"
-                    )
-                    .select("_file")
-                    .distinct()
-                    .collect()
-                )
-            ]
-        else:
-            snap, touched = None, []
-        if touched:
-            touched_rows = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in touched]
+            bounds = changes.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).first()
+            candidates = self._files_where(
+                state, key, bounds["lo"], bounds["hi"]
             )
-        elif snap is not None:
+            if candidates:
+                cand = self._assemble(state, files=candidates).withColumn(
+                    "_file", F.input_file_name()
+                )
+                touched = [
+                    os.path.basename(r["_file"])
+                    for r in (
+                        cand.join(changes.select(key).distinct(), key, "semi")
+                        .select("_file")
+                        .distinct()
+                        .collect()
+                    )
+                ]
+        if touched:
+            touched_rows = self._assemble(state, files=touched)
+        elif live:
             touched_rows = self.spark.createDataFrame(
-                [], snap.drop("_file").schema
+                [], self._assemble(state).schema
             )
         else:  # empty table: apply_fn sees an empty frame of the change shape
             touched_rows = self.spark.createDataFrame([], changes.schema)
@@ -341,26 +456,22 @@ class AcidTable:
 
     def delete(self, predicate) -> int:
         """Copy-on-write DELETE: rewrite only files holding matching
-        rows (footer-stats row-group pruning applies to the find)."""
+        rows (footer-stats row-group pruning applies to the find).
+        ``predicate`` is a Column or a SQL string."""
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
         base = self.latest_version()
-        live = self._replay(base)
-        if not live:
+        state = self._state(base)
+        if not state["live"]:
             return base
-        snap = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in live]
-        ).withColumn("_file", F.input_file_name())
+        snap = self._assemble(state).withColumn("_file", F.input_file_name())
         touched = [
             os.path.basename(r["_file"])
             for r in snap.filter(predicate).select("_file").distinct().collect()
         ]
         if not touched:
             return base
-        kept = (
-            self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in touched]
-            )
-            .filter(~predicate)
-        )
+        kept = self._assemble(state, files=touched).filter(~predicate)
         adds = self._stage_files(kept)
         if not self._try_commit(
             base + 1, {"operation": "delete", "add": adds, "remove": touched}
@@ -377,12 +488,11 @@ class AcidTable:
         read. Raises CommitConflict if the head moves mid-compaction;
         data files are immutable so retrying is always safe."""
         base = self.latest_version()
-        live = self._replay(base)
+        state = self._state(base)
+        live = sorted(state["live"])
         if len(live) <= target_files:
             return base
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in live]
-        ).coalesce(target_files)
+        df = self._assemble(state).coalesce(target_files)
         adds = self._stage_files(df)
         if not self._try_commit(
             base + 1, {"operation": "optimize", "add": adds, "remove": live}
@@ -390,38 +500,117 @@ class AcidTable:
             raise CommitConflict("table changed during optimize")
         return base + 1
 
+    # --------------------------------------- schema evolution (log-only)
+
+    def rename_column(self, old: str, new: str, max_retries: int = 10) -> int:
+        """RENAME COLUMN as a metadata-only commit: no data file moves.
+        Files written before this version are read through the mapping
+        (their physical column ``old`` surfaces as ``new``); files
+        written after carry ``new`` natively. Iceberg semantics via
+        name-mapping replay (see module docstring)."""
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if self._try_commit(
+                v,
+                {
+                    "operation": "rename_column",
+                    "schema_op": {"op": "rename", "old": old, "new": new},
+                },
+            ):
+                return v
+        raise CommitConflict(f"rename_column lost {max_retries} commit races")
+
+    def drop_column(self, col: str, max_retries: int = 10) -> int:
+        """DROP COLUMN as a metadata-only commit: the column vanishes
+        from every subsequent snapshot (all epochs) without rewriting
+        any file; time travel before this version still shows it."""
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if self._try_commit(
+                v,
+                {
+                    "operation": "drop_column",
+                    "schema_op": {"op": "drop", "col": col},
+                },
+            ):
+                return v
+        raise CommitConflict(f"drop_column lost {max_retries} commit races")
+
+    def _assemble(self, state: dict, files: list[str] | None = None) -> DataFrame:
+        """Read live files through the schema ops committed after each
+        file was added. Files group by their schema EPOCH (the suffix
+        of ops that applies to them) — one scan per epoch, renames/
+        drops applied per group, groups aligned with unionByName
+        (missing columns NULL, the ADD COLUMN semantics). A table with
+        no schema ops is exactly one mergeSchema scan — the common
+        case costs nothing extra."""
+        live = state["live"]
+        names = sorted(live) if files is None else sorted(files)
+        if not names:
+            raise ValueError(f"{self.path}: no data files to read")
+        ops = state["schema_ops"]
+        groups: dict[tuple, list[str]] = {}
+        for f in names:
+            added = live[f]["added"] if f in live else -1
+            key = tuple(i for i, op in enumerate(ops) if op["v"] > added)
+            groups.setdefault(key, []).append(f)
+        parts = []
+        for key, fs in sorted(groups.items()):
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, f) for f in fs]
+            )
+            for i in key:
+                op = ops[i]
+                if op["op"] == "rename" and op["old"] in df.columns:
+                    df = df.withColumnRenamed(op["old"], op["new"])
+                elif op["op"] == "drop" and op["col"] in df.columns:
+                    df = df.drop(op["col"])
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    @staticmethod
+    def _physical_name(col: str, added: int, ops: list[dict]) -> str:
+        """Reverse-translate a CURRENT logical column name to the name
+        physically stored in a file added at version ``added`` (walk
+        the applicable renames newest-to-oldest backwards)."""
+        name = col
+        for op in reversed(ops):
+            if op["v"] > added and op["op"] == "rename" and op["new"] == name:
+                name = op["old"]
+        return name
+
     # --------------------------------------------------------- reads
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table at ``version`` (default latest) — a consistent,
-        immutable view assembled purely from the log.
-
-        ``mergeSchema`` gives additive schema evolution for free: an
-        append with new columns widens the table and pre-evolution
-        files read the new columns as NULL (the lakehouse ADD COLUMN
-        semantics; incompatible type changes still fail loudly at
-        read, which is the safe default)."""
-        live = self._replay(version)
-        if not live:
+        immutable view assembled purely from the log, with the schema
+        ops (additive widening, renames, drops) active at that version
+        applied. Raises if a needed data file was vacuumed away."""
+        state = self._state(version)
+        if not state["live"]:
             raise ValueError(f"{self.path}: no data at version {version}")
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, f) for f in live]
-        )
+        missing = [
+            f
+            for f in state["live"]
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise ValueError(
+                f"{self.path}: version {version} references vacuumed "
+                f"file(s) {missing[:3]}{'...' if len(missing) > 3 else ''} — "
+                "time travel below the vacuum horizon is gone"
+            )
+        return self._assemble(state)
 
-    def files_where(
-        self,
-        col: str,
-        lo=None,
-        hi=None,
-        version: int | None = None,
-    ) -> list[str]:
-        """Live file names whose logged [min, max] for ``col`` can
-        intersect [lo, hi] — log-level data skipping: the decision
-        uses only the commit log, no file is listed or opened. Files
-        without stats for ``col`` are conservatively kept."""
+    def _files_where(self, state: dict, col: str, lo=None, hi=None) -> list[str]:
         out = []
-        for path, stats in sorted(self._live_actions(version).items()):
-            s = stats.get(col)
+        ops = state["schema_ops"]
+        for path, action in sorted(state["live"].items()):
+            phys = self._physical_name(col, action["added"], ops)
+            s = action["stats"].get(phys)
             if s is None or s[0] is None or s[1] is None:
                 out.append(path)
                 continue
@@ -433,6 +622,20 @@ class AcidTable:
             out.append(path)
         return out
 
+    def files_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> list[str]:
+        """Live file names whose logged [min, max] for ``col`` can
+        intersect [lo, hi] — log-level data skipping: the decision
+        uses only the commit log, no file is listed or opened. Files
+        without stats for ``col`` are conservatively kept; renamed
+        columns are translated to each file's physical name first."""
+        return self._files_where(self._state(version), col, lo, hi)
+
     def snapshot_where(
         self,
         col: str,
@@ -443,12 +646,20 @@ class AcidTable:
         """Stats-pruned snapshot read: only files that can hold
         ``col ∈ [lo, hi]`` are handed to the scan (the caller still
         applies the exact row predicate — file pruning is
-        conservative, not a filter)."""
-        files = self.files_where(col, lo, hi, version)
+        conservative, not a filter). The result carries the FULL
+        snapshot schema (columns living only in pruned-out files come
+        back as NULL), so pruning never narrows the shape."""
+        state = self._state(version)
+        files = self._files_where(state, col, lo, hi)
+        full = self._assemble(state)  # lazy: used for schema alignment
         if not files:
-            return self.snapshot(version).limit(0)
-        return self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in files]
+            return full.limit(0)
+        pruned = self._assemble(state, files=files)
+        if set(pruned.columns) == set(full.columns):
+            return pruned.select(*full.columns)
+        empty = self.spark.createDataFrame([], full.schema)
+        return pruned.unionByName(empty, allowMissingColumns=True).select(
+            *full.columns
         )
 
     def history(self) -> list[dict]:
@@ -459,16 +670,29 @@ class AcidTable:
                 out.append(json.load(f))
         return out
 
-    def vacuum(self) -> list[str]:
-        """Delete data files referenced by NO retained version (i.e.
-        files both added and later removed, once time travel to the
-        in-between versions is given up — this implementation retains
-        nothing on vacuum, matching VACUUM RETAIN 0 HOURS). Returns
-        the deleted names."""
+    def vacuum(self, retention_hours: float = 24.0) -> list[str]:
+        """Delete data files referenced by NO retained version AND
+        older than ``retention_hours`` (mtime) — the Delta VACUUM
+        retention guard: a concurrent writer's staged-but-uncommitted
+        files (parked in the table root before its commit) and files a
+        pinned reader mid-scan still needs are young, so the default
+        window protects both. ``retention_hours=0`` reproduces VACUUM
+        RETAIN 0 HOURS and requires all writers quiesced (a racing
+        writer's staged files WOULD be swept). Gives up time travel to
+        versions whose files are removed — snapshot() raises a clear
+        error for those. Returns the deleted names."""
         referenced = set(self._replay())
+        horizon = time.time() - retention_hours * 3600.0
         deleted = []
         for name in os.listdir(self.path):
-            if name.endswith(".parquet") and name not in referenced:
-                os.remove(os.path.join(self.path, name))
-                deleted.append(name)
+            if not name.endswith(".parquet") or name in referenced:
+                continue
+            full = os.path.join(self.path, name)
+            try:
+                if os.path.getmtime(full) > horizon:
+                    continue
+                os.remove(full)
+            except OSError:
+                continue
+            deleted.append(name)
         return sorted(deleted)

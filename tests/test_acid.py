@@ -111,7 +111,7 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     t.append(_df(spark, [(1, "a")]))
     t.overwrite(_df(spark, [(2, "b")]))
     live_before = set(t._replay())
-    deleted = t.vacuum()
+    deleted = t.vacuum(retention_hours=0)  # writers quiesced: RETAIN 0 HOURS
     assert deleted and set(deleted).isdisjoint(live_before)
     # current snapshot unharmed; time travel to v0 is now gone
     assert [r["k"] for r in t.snapshot().collect()] == [2]
@@ -204,7 +204,7 @@ def test_optimize_compacts_without_changing_content(spark, tmp_path):
     assert sorted(r["k"] for r in t.snapshot(version=v - 1).collect()) == list(range(6))
     # already-compact table is a no-op commit-wise
     assert t.optimize(target_files=2) == v
-    t.vacuum()
+    t.vacuum(retention_hours=0)
     assert sorted((r["k"], r["v"]) for r in t.snapshot().collect()) == before
 
 
@@ -348,13 +348,18 @@ def test_check_constraints_gate_commits(spark, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_random_operation_sequences_match_model(spark, tmp_path, seed):
+def test_random_operation_sequences_match_model(spark, tmp_path, seed, monkeypatch):
     """Model-based fuzz: a random sequence of append/overwrite/merge/
     delete/optimize/vacuum against the ACID table must always agree
     with a plain in-memory dict model — and every historical version
-    must stay readable (except those vacuumed away)."""
+    must stay readable (except those vacuumed away). Checkpoints are
+    forced every 3 commits so the fuzz drives the checkpointed replay
+    path, not just the full-replay path."""
     import random
 
+    from als_hadoop_spark.sources import acid as acid_mod
+
+    monkeypatch.setattr(acid_mod, "CHECKPOINT_INTERVAL", 3)
     rng = random.Random(seed)
     t = AcidTable(spark, str(tmp_path / f"t{seed}"))
     model: dict[int, str] = {}
@@ -399,7 +404,7 @@ def test_random_operation_sequences_match_model(spark, tmp_path, seed):
         elif op == "optimize":
             t.optimize(target_files=2)
         elif op == "vacuum":
-            t.vacuum()
+            t.vacuum(retention_hours=0)
         elif op == "overwrite":
             rows = fresh_rows(4)
             t.overwrite(_df(spark, rows))
@@ -409,3 +414,185 @@ def test_random_operation_sequences_match_model(spark, tmp_path, seed):
     # history is intact and monotone
     vs = [h["version"] for h in t.history()]
     assert vs == sorted(vs) == list(range(len(vs)))
+
+
+def test_merge_prunes_discovery_by_log_stats(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #3: a MERGE whose change keys fall inside ONE file's
+    logged [min, max] range must scan only that file to discover
+    touched files — the other file is pruned from the discovery read
+    by the commit log alone (no footer opened, no data scanned)."""
+    from als_hadoop_spark.sources import acid as acid_mod
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"v{i}") for i in range(10)]).coalesce(1))
+    t.append(_df(spark, [(100 + i, f"v{100 + i}") for i in range(10)]).coalesce(1))
+    hi_file = t.files_where("k", lo=100, hi=109)
+    assert len(hi_file) == 1
+
+    reads: list[list[str] | None] = []
+    orig = acid_mod.AcidTable._assemble
+
+    def spy(self, state, files=None):
+        reads.append(sorted(files) if files is not None else None)
+        return orig(self, state, files=files)
+
+    monkeypatch.setattr(acid_mod.AcidTable, "_assemble", spy)
+
+    def upsert(touched, chg):
+        c = chg.select("k", F.col("v").alias("_nv"))
+        return touched.join(c, "k", "full_outer").select(
+            "k", F.coalesce("_nv", "v").alias("v")
+        )
+
+    t.merge(spark.createDataFrame([(105, "X")], "k LONG, v STRING"), "k", upsert)
+    # discovery (the first _assemble with an explicit file list) saw
+    # ONLY the key-range-matching file; so did the touched-rows read
+    explicit = [r for r in reads if r is not None]
+    assert explicit and all(r == hi_file for r in explicit), reads
+    assert t.history()[-1]["remove"] == hi_file
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got[105] == "X" and got[5] == "v5" and len(got) == 20
+
+
+def test_checkpoint_accelerated_replay_matches_full_replay(spark, tmp_path):
+    """VERDICT r4 #4 (Delta's _last_checkpoint protocol): a 100-commit
+    table must read IDENTICAL state through the checkpoint path and
+    through full log replay; time travel below the newest checkpoint
+    still works (falls back to replay); the pointer and checkpoint
+    files actually exist."""
+    from als_hadoop_spark.sources.acid import _LOG_DIR, CHECKPOINT_INTERVAL
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    # 100 commits: appends carry data; constraint/rename churn exercises
+    # the non-file state in the checkpoint too
+    t.append(_df(spark, [(i, f"v{i}") for i in range(5)]).coalesce(1))
+    for i in range(1, 100):
+        if i == 37:
+            t.set_constraint("k_nonneg", "k >= 0")
+        elif i == 61:
+            t.rename_column("v", "label")
+        else:
+            df = spark.createDataFrame([(100 + i, f"v{100 + i}")], "k LONG, label STRING") \
+                if i > 61 else _df(spark, [(100 + i, f"v{100 + i}")])
+            t.append(df.coalesce(1))
+    assert t.latest_version() == 99
+
+    log_dir = tmp_path / "t" / _LOG_DIR
+    cps = sorted(p.name for p in log_dir.glob("*.checkpoint.json"))
+    assert cps, "no checkpoint written across 100 commits"
+    assert (log_dir / "_last_checkpoint").exists()
+    newest = t._read_last_checkpoint()
+    assert newest is not None and newest >= 90 and newest % CHECKPOINT_INTERVAL == 0
+
+    via_checkpoint = t._state()
+    (log_dir / "_last_checkpoint").unlink()  # force full replay
+    via_replay = t._state()
+    assert via_checkpoint == via_replay
+
+    # restore pointer path irrelevant — reads keep working either way
+    snap = {r["k"]: r["label"] for r in t.snapshot().collect()}
+    assert len(snap) == 5 + 97 and snap[150] == "v150"
+    # time travel below the checkpoint horizon (version 5 < 90)
+    assert t.snapshot(version=0).count() == 5
+    assert set(t.snapshot(version=0).columns) == {"k", "v"}
+
+
+def test_rename_and_drop_are_metadata_only(spark, tmp_path):
+    """VERDICT r4 #6 (Iceberg-style evolution, name-mapping replay):
+    RENAME/DROP COLUMN rewrite no data file; pre-rename files read
+    through the post-rename schema; chained renames compose; stats
+    pruning translates the current name back to each file's physical
+    column; time travel shows the historical schema."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]).coalesce(1))
+    files_before = set(t._replay())
+
+    t.rename_column("v", "label")
+    t.append(
+        spark.createDataFrame([(2, "b")], "k LONG, label STRING").coalesce(1)
+    )
+    t.rename_column("label", "tag")  # chained: epoch-0 file goes v->label->tag
+    assert set(t.snapshot().columns) == {"k", "tag"}
+    got = {r["k"]: r["tag"] for r in t.snapshot().collect()}
+    assert got == {1: "a", 2: "b"}
+    # no data file was rewritten by either rename
+    assert files_before <= set(t._replay())
+    # stats pruning on the CURRENT name still prunes the old file
+    assert len(t.files_where("tag", lo="a", hi="a")) >= 1
+    only_b = t.files_where("tag", lo="b", hi="b")
+    assert len(only_b) == 1
+    pruned = {r["k"] for r in t.snapshot_where("tag", "b", "b").collect()}
+    assert pruned == {2}
+    # time travel: pre-rename schema intact
+    assert set(t.snapshot(version=0).columns) == {"k", "v"}
+
+    # DROP: column vanishes from the snapshot, files untouched
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 0.5)], "k LONG, tag STRING, score DOUBLE"
+        ).coalesce(1)
+    )
+    v_drop = t.drop_column("score")
+    assert set(t.snapshot().columns) == {"k", "tag"}
+    assert t.snapshot().count() == 3
+    assert set(t.snapshot(version=v_drop - 1).columns) == {"k", "tag", "score"}
+
+
+def test_concurrent_writers_across_processes_serialize(spark, tmp_path):
+    """VERDICT r4 #9: REAL processes racing appends against one table.
+    The O_EXCL log-create must serialize them: contiguous versions,
+    every commit exactly one add-action, no file published twice, and
+    the final snapshot holds every row every writer committed."""
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "t")
+    n_writers, n_commits = 3, 12
+    child = """
+import json, os, random, sys, time
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+import pyarrow.parquet as pq
+from als_hadoop_spark.sources.acid import AcidTable, _footer_stats
+
+wid, n, path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+t = AcidTable(None, path)  # log protocol only — no Spark in children
+os.makedirs(path, exist_ok=True)
+rng = random.Random(wid)
+for i in range(n):
+    name = f"w{{wid}}-{{i:04d}}.parquet"
+    pq.write_table(
+        pa.table({{"k": [wid * 1000 + i], "v": [f"w{{wid}}b{{i}}"]}}),
+        os.path.join(path, name),
+    )
+    add = [{{"path": name, "stats": _footer_stats(os.path.join(path, name))}}]
+    while True:
+        v = t.latest_version() + 1
+        if t._try_commit(v, {{"operation": "append", "add": add}}):
+            break
+        time.sleep(rng.random() * 0.01)
+print("done", wid)
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child, str(w), str(n_commits), path],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for w in range(n_writers)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    t = AcidTable(spark, path)
+    hist = t.history()
+    versions = [h["version"] for h in hist]
+    assert versions == list(range(n_writers * n_commits))
+    adds = [a["path"] for h in hist for a in h.get("add", [])]
+    assert len(adds) == len(set(adds)) == n_writers * n_commits
+    # checkpoints were written concurrently and the state agrees
+    assert t._read_last_checkpoint() is not None
+    via_cp = t._state()
+    assert sorted(via_cp["live"]) == sorted(adds)
+    assert t.snapshot().count() == n_writers * n_commits
