@@ -542,7 +542,11 @@ def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_SHARED_T)
-        .orderBy("id_a", "id_b")
+        # deterministic within each task without a global sort: the
+        # pair set is what matters; a total order over the (DF-capped
+        # but still corpus-linear) pair output would funnel it through
+        # one range-partitioned exchange at 100 TB for nothing
+        .sortWithinPartitions("id_a", "id_b")
     )
 
 
