@@ -63,6 +63,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "q_acid_merge",
     "q_winnow_dup",
     "q_mixture_temperature",
+    # round-5 addition (oracle-backed)
+    "q_hash_split",
     # TPC-H shapes (tpch.py / market.py), oracle-backed
     "q_agg_of_agg",
     "q_having_semijoin",

@@ -198,27 +198,28 @@ SOURCE_OVERLAP_MAX_DIST = 0.8
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source leakage matrix — which sources near-duplicate each
-    other: minhash-banded candidate pairs, exact-jaccard verified,
-    rolled up to (source_a, source_b) with pair counts and the
-    tightest observed distance. The provenance audit a training-data
-    pipeline runs before mixing corpora (is src3 scraping src7?).
+    other: EXACT n-gram-Jaccard near-dup pairs (the df-capped
+    inverted-index engine shared with q_dedup_ngram — its threshold
+    jaccard ≥ 0.2 is precisely dist ≤ SOURCE_OVERLAP_MAX_DIST) rolled
+    up to (source_a, source_b) with pair counts and the tightest
+    observed distance. The provenance audit a training-data pipeline
+    runs before mixing corpora (is src3 scraping src7?). Switched from
+    banded-minhash candidates in round 5: the exact path costs the
+    same shuffle shape, misses nothing a banding pass could, and is
+    deterministic → fully oracle-checked (VERDICT r4 #8).
 
-    Scale shape: identical to q_dedup_minhash through verification
-    (equi-join candidates only), then two broadcast joins attach each
+    Scale shape: ngram_jaccard_pairs' (equi-join on df-capped postings,
+    pair output linear in corpus), then two broadcast joins attach each
     side's source label (doc_id → source is a projection of the
     corpus; at 100 TB this side is still only (doc_id, source) — if
     that outgrows broadcast, it shuffle-joins on the id) and a
-    bounded-key (#sources²) aggregate. Rows-only (banding), same as
-    its parent; gated by a planted cross-source pair pytest."""
+    bounded-key (#sources²) aggregate."""
     docs = load(spark, sf_dir, "documents", spread=True)
-    cands = minhash_candidates(_doc_shingles(docs))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    pairs = cands.select(
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select(
         "id_a",
         "id_b",
-        F.round(F.lit(1.0) - inter / union, 4).alias("jaccard_dist"),
-    ).filter(F.col("jaccard_dist") <= SOURCE_OVERLAP_MAX_DIST)
+        F.round(F.lit(1.0) - F.col("jaccard"), 4).alias("jaccard_dist"),
+    )
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
     b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
@@ -238,42 +239,52 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash bit source: the 64 bits of a token are the 16 leading hex
+# digits of md5(token), 4 bits per digit. md5 is bit-identical across
+# Spark and DuckDB (unlike r4's xxhash64, whose bits are Spark-
+# specific), so the ENTIRE fingerprint — votes, sign bits, hex
+# re-packing — is expressible in both dialects and the query is fully
+# oracle-hash-checked (VERDICT r4 #8). The shared SQL fragments below
+# are generated once and used verbatim by the Spark engine (F.expr)
+# and the DuckDB oracle, so the two sides cannot drift.
+_SIMHASH_DIGITS = [
+    f"instr('0123456789abcdef', substring(md5(tok), {j + 1}, 1)) - 1"
+    for j in range(16)
+]
+_SIMHASH_VOTES = [
+    f"SUM(CASE WHEN CAST(floor(g{b // 4} / {1 << (b % 4)}.0) AS BIGINT) % 2 = 1 "
+    f"THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(64)
+]
+_SIMHASH_HEX = "concat(" + ", ".join(
+    "substring('0123456789abcdef', ("
+    + " + ".join(f"(CASE WHEN b{4 * j + p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(4))
+    + ") + 1, 1)"
+    for j in range(16)
+) + ")"
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash hex string): per-token 64-bit hash, per-bit ±1
-    votes summed per doc, fingerprint = sign bits. One explode + one
-    hash aggregate with 64 sum expressions; no Python in the row
-    path."""
+    """(doc_id, simhash hex string): per-token 64-bit md5-derived bit
+    pattern, per-bit ±1 votes summed per doc, fingerprint = sign bits
+    re-packed as 16 hex chars. One explode + one projection (16 md5
+    digit extracts) + one hash aggregate with 64 sum expressions — all
+    built-in JVM expressions, no Python in the row path."""
     toks = docs.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("tok"))
-    h = F.xxhash64("tok")
-    # Bit b is tested via shiftright+mask — a literal (1 << 63) would
-    # overflow Java long at the py4j boundary (NumberFormatException).
-    votes = [
-        F.sum(
-            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
-    one = F.lit(1).cast("long")
-    hi = sum(
-        (F.when(F.col(f"b{b + 32}") > 0, F.shiftleft(one, b)).otherwise(0) for b in range(32)),
-        start=F.lit(0),
+    g = toks.selectExpr(
+        "doc_id", *[f"{d} AS g{j}" for j, d in enumerate(_SIMHASH_DIGITS)]
     )
-    lo = sum(
-        (F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(0) for b in range(32)),
-        start=F.lit(0),
+    agg = g.groupBy("doc_id").agg(
+        F.expr(_SIMHASH_VOTES[0]), *[F.expr(v) for v in _SIMHASH_VOTES[1:]]
     )
-    return agg.select(
-        "doc_id",
-        F.format_string("%08x%08x", hi.cast("long"), lo.cast("long")).alias("simhash"),
-    )
+    return agg.selectExpr("doc_id", f"{_SIMHASH_HEX} AS simhash")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash dedup: group docs by identical 64-bit fingerprint (near-
     dups share fingerprints or land at low Hamming distance — gated in
-    tests/test_dedup.py with planted near-dups). xxhash64 bits are
-    impl-specific → rows-only."""
+    tests/test_dedup.py with planted near-dups). md5-sourced bits →
+    deterministic cross-engine → fully oracle-checked."""
     docs = load(spark, sf_dir, "documents", spread=True)
     fp = simhash_fingerprints(docs)
     return fp.groupBy("simhash").agg(
@@ -286,8 +297,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_T = 0.2
 
 
-def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup: inverted-index pair mining on a
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup PAIRS (jaccard >= NGRAM_JACCARD_T)
+    — the shared exact-candidate engine behind q_dedup_ngram and
+    q_source_overlap: inverted-index pair mining on a
     128-bit shingle hash, shared-shingle counts aggregated, Jaccard
     computed exactly from counts — deterministic, fully oracle-checked.
 
@@ -396,6 +409,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= F.lit(NGRAM_JACCARD_T))
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pair report (see
+    ngram_jaccard_pairs for the plan discussion)."""
+    return ngram_jaccard_pairs(spark, sf_dir)
 
 
 #: minhash-candidate pairs at jaccard distance ≤ this form cluster
@@ -568,6 +587,64 @@ ORACLES = {
                COUNT(*) AS n_copies
         FROM documents
         GROUP BY sha256(text)
+    """,
+    "q_dedup_simhash": f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+        ), g AS (
+            SELECT doc_id,
+                   {", ".join(f"{d} AS g{j}" for j, d in enumerate(_SIMHASH_DIGITS))}
+            FROM toks
+        ), v AS (
+            SELECT doc_id, {", ".join(_SIMHASH_VOTES)}
+            FROM g GROUP BY doc_id
+        )
+        SELECT simhash, MIN(doc_id) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (SELECT doc_id, {_SIMHASH_HEX} AS simhash FROM v)
+        GROUP BY simhash
+    """,
+    "q_source_overlap": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, s
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(0, greatest(len(t) - 3, 0) + 1),
+                           i -> array_to_string(t[i + 1 : i + 3], ' ')
+                       )) AS s
+                FROM toks
+            )
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), jac AS (
+            SELECT id_a, id_b,
+                   ROUND(CAST(n_shared AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+        ), pairs AS (
+            SELECT id_a, id_b, ROUND(1.0 - jaccard, 4) AS jaccard_dist
+            FROM jac WHERE jaccard >= 0.2
+        )
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               MIN(jaccard_dist) AS closest_dist
+        FROM pairs
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+        GROUP BY 1, 2
     """,
     "q_dedup_ngram": """
         WITH toks AS (

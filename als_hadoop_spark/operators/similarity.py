@@ -325,9 +325,10 @@ def _pq_codebooks(spark, sample, d: int, m: int | None = None,
         sub = s.select(
             array_to_vector(F.slice(F.col("u"), i * ds + 1, ds)).alias("features")
         )
-        model = KMeans(
-            k=min(k, n_s), seed=seed + i, maxIter=10, initMode="random"
-        ).fit(sub)
+        # k-means|| init (default): random init measured recall@k 0.72
+        # on the 4-bit subquantizers — below the 0.8 gate; the || init
+        # costs little here (2048-row sample) and restores 0.8+
+        model = KMeans(k=min(k, n_s), seed=seed + i, maxIter=10).fit(sub)
         return np.stack([np.asarray(c) for c in model.clusterCenters()])
 
     from concurrent.futures import ThreadPoolExecutor

@@ -19,8 +19,6 @@ ROWS_ONLY = {
     "q_als_ranking",            # factor-derived NDCG (beats-random pytest gate)
     "q_als_rank_sweep",         # factor-derived RMSE grid (structure gated in pytest)
     "q_dedup_minhash",          # banding recall < 1 (gated in pytest)
-    "q_source_overlap",         # minhash banding rollup (planted-pair pytest)
-    "q_dedup_simhash",          # xxhash64 bits are impl-specific
     "q_winnow_dup",             # xxhash64 fingerprints — planted-passage pytest
     "q_sim_search_lsh",         # ANN recall < 1 (gated in pytest)
     "q_sim_search_ivf",         # ANN recall < 1 (gated in pytest)
