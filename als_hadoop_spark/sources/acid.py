@@ -197,6 +197,17 @@ class AcidTable:
                 start = cp + 1
             except (OSError, KeyError, json.JSONDecodeError):
                 state, start = _empty_state(), 0  # corrupt/missing: replay
+        if start == 0:
+            vs = self._versions()
+            if vs and vs[0] != 0:
+                # cleanup_log removed the prefix; replay-from-scratch
+                # would silently return partial state — refuse loudly
+                raise ValueError(
+                    f"{self.path}: version {target} predates the retained "
+                    f"log (earliest commit JSON is {vs[0]}; the prefix was "
+                    "checkpoint-cleaned) — time travel below the "
+                    "checkpoint horizon is gone"
+                )
         for v in self._versions():
             if v < start:
                 continue
@@ -669,6 +680,28 @@ class AcidTable:
             with open(self._log_path(v)) as f:
                 out.append(json.load(f))
         return out
+
+    def cleanup_log(self) -> list[str]:
+        """Delete commit JSONs strictly below the newest checkpoint —
+        the Delta log-retention recipe: the checkpoint IS the replayed
+        state of those commits, so current readers lose nothing; time
+        travel below the checkpoint horizon is given up (same trade as
+        vacuum, for the log instead of data). ``history()`` afterwards
+        shows only the retained suffix. No-op without a checkpoint.
+        Returns the deleted log file names."""
+        cp = self._read_last_checkpoint()
+        if cp is None:
+            return []
+        deleted = []
+        for v in self._versions():
+            if v >= cp:
+                break
+            try:
+                os.remove(self._log_path(v))
+            except OSError:
+                continue
+            deleted.append(f"{v:010d}.json")
+        return deleted
 
     def vacuum(self, retention_hours: float = 24.0) -> list[str]:
         """Delete data files referenced by NO retained version AND

@@ -146,11 +146,41 @@ ANNOTATED = {
     "q_acid_merge": (
         "Transactional MERGE (commit-log table): the relational fold is "
         "q_merge_upsert's key-compacted full-outer join; around it, the "
-        "copy-on-write finds touched files via a broadcast semi-join on "
-        "input_file_name (rewrite cost ∝ files holding changed keys, "
-        "not table size) and the O_EXCL log commit publishes the swap "
-        "atomically — the snapshot read is a plain multi-file parquet "
-        "scan of log-listed files."
+        "copy-on-write prunes candidate files by the change keys' "
+        "[min,max] against the commit log's per-file stats BEFORE any "
+        "scan, then an AQE-sized semi-join on input_file_name finds the "
+        "touched files (rewrite AND discovery cost ∝ files holding "
+        "changed keys, not table size) and the O_EXCL log commit "
+        "publishes the swap atomically — the snapshot read is a plain "
+        "multi-file parquet scan of log-listed files."
+    ),
+    "q_hash_split": (
+        "Deterministic 80/20 split: one scan, a per-row md5-bucket "
+        "projection (pure JVM string/arithmetic expressions shared "
+        "verbatim with the DuckDB oracle), one 2-key hash aggregate "
+        "with map-side combine. Reproducible on any engine, retry, or "
+        "partition layout — the property randomSplit lacks."
+    ),
+    "q_dedup_simhash": (
+        "SimHash fingerprints from md5 hex digits: explode distinct "
+        "tokens, one 16-column digit projection, ONE hash aggregate "
+        "carrying 64 integer vote sums (partial→final, bounded key = "
+        "doc_id), then a 443-ish-key fingerprint group-by. No Python, "
+        "no window, two bounded shuffles total."
+    ),
+    "q_source_overlap": (
+        "Cross-source leakage rollup over the EXACT inverted-index "
+        "pair engine (shared with q_dedup_ngram): df-capped posting "
+        "equi-join keeps pair output linear in corpus; two broadcast "
+        "joins attach (doc_id, source); final aggregate key is "
+        "#sources² — tiny at any scale."
+    ),
+    "q_winnow_dup": (
+        "Winnowing fingerprints (MOSS): pure-JVM HOF gram hashing + "
+        "sliding array_min, DF-capped posting equi-join for pairs, and "
+        "ONLY per-partition sorting of the output (r5: the global "
+        "orderBy — a range-exchange funnel over a corpus-linear pair "
+        "set — is gone; no rangepartitioning node in this plan)."
     ),
 }
 

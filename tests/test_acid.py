@@ -596,3 +596,48 @@ print("done", wid)
     via_cp = t._state()
     assert sorted(via_cp["live"]) == sorted(adds)
     assert t.snapshot().count() == n_writers * n_commits
+
+
+def test_snapshot_raises_clearly_for_vacuumed_versions(spark, tmp_path):
+    """Time travel to a version whose files were vacuumed away must be
+    a clear error naming the file, not a Spark FileNotFound deep in a
+    scan (ADVICE r4)."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    t.vacuum(retention_hours=0)
+    assert [r["k"] for r in t.snapshot().collect()] == [2]
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.snapshot(version=0)
+
+
+def test_cleanup_log_retains_checkpointed_state(spark, tmp_path, monkeypatch):
+    """Log retention: commits below the newest checkpoint can be
+    deleted — the current snapshot, constraints, and txn watermarks
+    survive via the checkpoint; time travel below the horizon raises a
+    clear error instead of silently replaying partial state."""
+    from als_hadoop_spark.sources import acid as acid_mod
+
+    monkeypatch.setattr(acid_mod, "CHECKPOINT_INTERVAL", 4)
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]).coalesce(1))
+    t.set_constraint("k_pos", "k > 0")
+    for i in range(2, 8):
+        t.append(_df(spark, [(i, f"v{i}")]).coalesce(1), txn={"app": "w", "batch": i})
+    before = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    cp = t._read_last_checkpoint()
+    assert cp is not None and cp >= 4
+
+    deleted = t.cleanup_log()
+    assert deleted and all(int(n[:10]) < cp for n in deleted)
+    # state intact through the checkpoint
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == before
+    assert t.constraints() == {"k_pos": "k > 0"}
+    assert t.last_txn("w") == 7
+    assert [h["version"] for h in t.history()] == list(range(cp, 8))
+    # appends keep working and versions stay monotone
+    t.append(_df(spark, [(99, "z")]).coalesce(1))
+    assert t.latest_version() == 8
+    # time travel below the horizon: loud, not wrong
+    with pytest.raises(ValueError, match="checkpoint"):
+        t.snapshot(version=1)
