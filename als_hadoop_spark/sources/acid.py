@@ -490,20 +490,46 @@ class AcidTable:
             raise CommitConflict("table changed during delete")
         return base + 1
 
-    def optimize(self, target_files: int = 8) -> int:
+    def optimize(
+        self,
+        target_files: int = 8,
+        cluster_by: str | None = None,
+        zorder_by: tuple[str, str] | None = None,
+    ) -> int:
         """Small-file compaction (the OPTIMIZE of the lakehouse
         formats): rewrite the live file set into ``target_files``
         larger files in ONE commit — content-identical before/after
         (readers see either layout, never a mix), so a long-running
         streaming append's per-batch files stop taxing every snapshot
         read. Raises CommitConflict if the head moves mid-compaction;
-        data files are immutable so retrying is always safe."""
+        data files are immutable so retrying is always safe.
+
+        ``cluster_by=col`` additionally range-sorts the rewrite on one
+        column; ``zorder_by=(x, y)`` Morton-interleaves two (Delta's
+        OPTIMIZE ZORDER BY, via the same ``tables.zorder_layout`` the
+        plain sink uses). Either turns the log's per-file [min, max]
+        stats from decorative into decisive: after clustering, a
+        selective ``snapshot_where``/``merge`` prunes to the minority
+        of files actually holding the range — the mechanism that keeps
+        a 100 TB table's maintenance reads proportional to the query,
+        not the table (file-skip counts measured in tests/test_acid.py)."""
         base = self.latest_version()
         state = self._state(base)
         live = sorted(state["live"])
-        if len(live) <= target_files:
+        relayout = cluster_by is not None or zorder_by is not None
+        if len(live) <= target_files and not relayout:
             return base
-        df = self._assemble(state).coalesce(target_files)
+        df = self._assemble(state)
+        if zorder_by is not None:
+            from .tables import zorder_layout
+
+            df = zorder_layout(df, zorder_by[0], zorder_by[1], target_files)
+        elif cluster_by is not None:
+            df = df.repartitionByRange(target_files, cluster_by).sortWithinPartitions(
+                cluster_by
+            )
+        else:
+            df = df.coalesce(target_files)
         adds = self._stage_files(df)
         if not self._try_commit(
             base + 1, {"operation": "optimize", "add": adds, "remove": live}

@@ -256,6 +256,44 @@ def zvalue(x: Column, y: Column) -> Column:
     return z
 
 
+def zorder_layout(
+    df: DataFrame, col_x: str, col_y: str, n_files: int = 16
+) -> DataFrame:
+    """The z-order TRANSFORM behind ``write_zordered`` (and
+    ``AcidTable.optimize(zorder_by=...)``): returns ``df`` range-
+    partitioned and sorted on the Morton interleave of the two
+    rank-normalized columns, ready for any sink. See write_zordered
+    for the layout rationale."""
+    stats = df.agg(
+        F.min(col_x).alias("_xlo"),
+        F.max(col_x).alias("_xhi"),
+        F.min(col_y).alias("_ylo"),
+        F.max(col_y).alias("_yhi"),
+    )
+    scaled = df.crossJoin(F.broadcast(stats))
+
+    def norm(c: str, lo: str, hi: str) -> Column:
+        # guard ONLY the degenerate constant-column case (span = 0);
+        # clamping every sub-1 span — e.g. a score column in [0, 0.01]
+        # — would collapse that dimension's bits and silently degrade
+        # the curve to linear on the other column
+        raw_span = (F.col(hi) - F.col(lo)).cast("double")
+        span = F.when(raw_span == 0, F.lit(1.0)).otherwise(raw_span)
+        return (
+            ((F.col(c) - F.col(lo)) / span * ((1 << _Z_BITS) - 1))
+            .cast("long")
+        )
+
+    return (
+        scaled.withColumn(
+            "_z", zvalue(norm(col_x, "_xlo", "_xhi"), norm(col_y, "_ylo", "_yhi"))
+        )
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_xlo", "_xhi", "_ylo", "_yhi", "_z")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -278,32 +316,4 @@ def write_zordered(
     range exchange at write time, same as the linear writer.
     ``tests/test_sources.py`` measures the actual file-skip counts on
     both dimensions against the linear layout."""
-    stats = df.agg(
-        F.min(col_x).alias("_xlo"),
-        F.max(col_x).alias("_xhi"),
-        F.min(col_y).alias("_ylo"),
-        F.max(col_y).alias("_yhi"),
-    )
-    scaled = df.crossJoin(F.broadcast(stats))
-
-    def norm(c: str, lo: str, hi: str) -> Column:
-        # guard ONLY the degenerate constant-column case (span = 0);
-        # clamping every sub-1 span — e.g. a score column in [0, 0.01]
-        # — would collapse that dimension's bits and silently degrade
-        # the curve to linear on the other column
-        raw_span = (F.col(hi) - F.col(lo)).cast("double")
-        span = F.when(raw_span == 0, F.lit(1.0)).otherwise(raw_span)
-        return (
-            ((F.col(c) - F.col(lo)) / span * ((1 << _Z_BITS) - 1))
-            .cast("long")
-        )
-
-    out = (
-        scaled.withColumn(
-            "_z", zvalue(norm(col_x, "_xlo", "_xhi"), norm(col_y, "_ylo", "_yhi"))
-        )
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_xlo", "_xhi", "_ylo", "_yhi", "_z")
-    )
-    out.write.mode(mode).parquet(path)
+    zorder_layout(df, col_x, col_y, n_files).write.mode(mode).parquet(path)

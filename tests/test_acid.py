@@ -641,3 +641,45 @@ def test_cleanup_log_retains_checkpointed_state(spark, tmp_path, monkeypatch):
     # time travel below the horizon: loud, not wrong
     with pytest.raises(ValueError, match="checkpoint"):
         t.snapshot(version=1)
+
+
+def test_optimize_zorder_makes_log_stats_decisive(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (Delta's clustered compaction): after a
+    z-ordered rewrite, the commit log's per-file [min,max] stats prune
+    a selective range on EITHER dimension to a minority of files —
+    where the pre-optimize append layout (random row order) prunes
+    nothing. Content must be byte-identical before/after."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(k, rng.randrange(10_000)) for k in range(4_000)]
+    rng.shuffle(rows)
+    t = AcidTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(rows, "k LONG, k2 LONG").repartition(8)
+    t.append(df)
+    n_live = len(t._replay())
+    before = sorted(tuple(r) for r in t.snapshot().collect())
+    # random layout: a narrow k range touches essentially every file
+    assert len(t.files_where("k", 100, 199)) >= max(2, n_live - 1)
+
+    v = t.optimize(target_files=8, zorder_by=("k", "k2"))
+    assert t.history()[-1]["operation"] == "optimize"
+    n_files = len(t._replay())
+    assert n_files == 8
+    after = sorted(tuple(r) for r in t.snapshot().collect())
+    assert after == before
+    # both dimensions now prune to a minority of files via the LOG alone
+    hit_k = len(t.files_where("k", 100, 199))
+    hit_k2 = len(t.files_where("k2", 100, 299))
+    assert hit_k <= n_files // 2, (hit_k, n_files)
+    assert hit_k2 <= n_files // 2, (hit_k2, n_files)
+    # pruned read returns exactly the filtered rows
+    got = sorted(
+        r["k"]
+        for r in t.snapshot_where("k", 100, 199).filter(F.col("k").between(100, 199)).collect()
+    )
+    assert got == list(range(100, 200))
+    # single-column clustering path works too and keeps content
+    t.optimize(target_files=4, cluster_by="k2")
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == before
+    assert len(t.files_where("k2", 0, 999)) <= 2
