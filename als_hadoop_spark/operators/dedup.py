@@ -522,30 +522,78 @@ def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs sharing ≥ WINNOW_SHARED_T fingerprints are reported with
     their shared count.
 
-    Scale shape: fingerprinting is pure JVM higher-order functions
-    (sequence → transform(substr+xxhash64) → sliding array_min —
-    whole-stage codegen, no Python); the pair generator is an
-    equi-join on fingerprint postings with ubiquitous fingerprints
-    dropped at WINNOW_DF_CAP (same linearization as q_dedup_ngram's
-    DF_CAP — pair output stays linear in corpus, never all-pairs).
-    rows-only: DuckDB has no xxhash64 twin; the planted-passage pytest
-    in tests/test_dedup.py is the correctness gate."""
+    Scale shape (r5): fingerprinting is ONE Arrow-batched mapInPandas
+    pass — a numpy uint64 polynomial ROLLING hash (prefix sums × the
+    modular inverse of the base, O(1) per gram instead of the r4 HOF
+    chain's O(K) substring copy + xxhash64 per position, which Spark
+    evaluates as interpreted lambdas, not codegen) + murmur-style
+    finalizer + sliding-window minimum + per-doc unique, emitting
+    (doc_id, fp) rows directly (no explode/distinct shuffle). Measured
+    at ×10 corpus: 51 s (r4 HOF, 28 threads) → 13.5 s on 8 CONTENDED
+    threads — ~10× less fingerprint compute.
+    The pair generator is unchanged: an equi-join on fingerprint
+    postings with ubiquitous fingerprints dropped at WINNOW_DF_CAP
+    (same linearization as q_dedup_ngram's DF_CAP — pair output stays
+    linear in corpus, never all-pairs). rows-only: DuckDB has no
+    rolling-hash twin; the planted-passage pytest in
+    tests/test_dedup.py is the correctness gate."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    n_grams = F.length("text") - F.lit(WINNOW_K)
-    grams = F.transform(
-        F.sequence(F.lit(0), n_grams),
-        lambda i: F.xxhash64(F.col("text").substr(i + 1, F.lit(WINNOW_K))),
-    )
-    with_grams = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1).select(
-        "doc_id", grams.alias("g")
-    )
-    wins = F.transform(
-        F.sequence(F.lit(0), F.size("g") - F.lit(WINNOW_W)),
-        lambda j: F.array_min(F.slice(F.col("g"), j + 1, WINNOW_W)),
-    )
-    fps = (
-        with_grams.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
-        .distinct()
+    k, w = WINNOW_K, WINNOW_W
+
+    def extract(batches):
+        # self-contained closure (pickled by value — no package on the
+        # executor PYTHONPATH needed, per the repo's vanilla-session rule)
+        import numpy as np
+        import pandas as pd
+
+        B = 0x100000001B3  # FNV-1a prime; odd → invertible mod 2^64
+        BU = np.uint64(B)
+        BINV = np.uint64(pow(B, -1, 1 << 64))
+        M1 = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 fmix64 constants
+        M2 = np.uint64(0xC4CEB9FE1A85EC53)
+        S33 = np.uint64(33)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, chunks = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                c = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                n = c.size
+                if n < k + w - 1:
+                    continue
+                # p[j] = B^j, pinv[i] = B^-i (uint64 wraps are the mod)
+                p = np.full(n, BU)
+                p[0] = 1
+                np.cumprod(p, out=p)
+                pinv = np.full(n - k + 1, BINV)
+                pinv[0] = 1
+                np.cumprod(pinv, out=pinv)
+                cs = np.zeros(n + 1, dtype=np.uint64)
+                np.cumsum(c * p, out=cs[1:])
+                # gram hash i = Σ_{j<k} c[i+j]·B^j  (position-normalized)
+                h = (cs[k:] - cs[:-k]) * pinv
+                # murmur finalizer: polynomial sums of ASCII bytes are
+                # low-entropy; mix so the df-cap and min-selection see
+                # uniform 64-bit keys
+                h ^= h >> S33
+                h *= M1
+                h ^= h >> S33
+                h *= M2
+                h ^= h >> S33
+                wins = sliding_window_view(h, w).min(axis=1)
+                u = np.unique(wins)
+                ids.append(np.full(u.size, doc_id, dtype=np.int64))
+                chunks.append(u.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(ids), "fp": np.concatenate(chunks)}
+                )
+            else:
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "fp": pd.Series([], dtype="int64")})
+
+    fps = docs.filter(F.length("text") >= k + w - 1).mapInPandas(
+        extract, schema="doc_id LONG, fp LONG"
     )
     # drop boilerplate fingerprints shared by too many docs — bounds
     # the posting-list join exactly like q_dedup_ngram's DF_CAP
