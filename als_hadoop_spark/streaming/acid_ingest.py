@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..sources.acid import AcidTable
+from ..sources.acid import AcidTable, CommitConflict
 
 
 def acid_txn_append(
@@ -37,15 +37,39 @@ def acid_txn_append(
     return tbl.append(batch_df, txn={"app": app_id, "batch": batch_id})
 
 
-def acid_append_sink(stream: DataFrame, table_path: str, app_id: str):
+def acid_append_sink(
+    stream: DataFrame,
+    table_path: str,
+    app_id: str,
+    optimize_every: int | None = None,
+    target_files: int = 8,
+):
     """Attach a stream to an ACID table. Returns the DataStreamWriter —
-    caller picks trigger/checkpoint and calls ``.start()``."""
+    caller picks trigger/checkpoint and calls ``.start()``.
+
+    ``optimize_every=N`` folds auto-compaction into the sink (the
+    Delta auto-OPTIMIZE pattern): after every N committed batches the
+    writer also runs ``optimize(target_files)``, so a long-running
+    append stream's per-batch small files are bounded at ~N + target
+    instead of growing without limit — snapshot readers never see a
+    mix (OPTIMIZE is one commit), and a compaction losing a commit
+    race is skipped (data files are immutable; the next trigger
+    retries). Replayed batches never trigger compaction (they commit
+    nothing)."""
     spark = stream.sparkSession
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        acid_txn_append(
-            AcidTable(spark, table_path), batch_df, app_id, batch_id
-        )
+        tbl = AcidTable(spark, table_path)
+        v = acid_txn_append(tbl, batch_df, app_id, batch_id)
+        if (
+            v is not None
+            and optimize_every is not None
+            and (batch_id + 1) % optimize_every == 0
+        ):
+            try:
+                tbl.optimize(target_files)
+            except CommitConflict:
+                pass  # another writer moved the head; next trigger retries
 
     return stream.writeStream.foreachBatch(process_batch).outputMode("append")
 

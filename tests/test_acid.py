@@ -683,3 +683,40 @@ def test_optimize_zorder_makes_log_stats_decisive(spark, tmp_path):
     t.optimize(target_files=4, cluster_by="k2")
     assert sorted(tuple(r) for r in t.snapshot().collect()) == before
     assert len(t.files_where("k2", 0, 999)) <= 2
+
+
+def test_streaming_auto_optimize_bounds_file_count(spark, tmp_path):
+    """acid_append_sink(optimize_every=2): a 4-batch stream ends with a
+    compacted live set (auto-OPTIMIZE commits interleave the appends),
+    all rows present, and history showing the optimize commits."""
+    import time
+
+    from als_hadoop_spark.streaming.acid_ingest import acid_append_sink
+
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "t")
+    for i in range(4):
+        _df(spark, [(10 * i + j, f"b{i}") for j in range(3)]).coalesce(2).write.parquet(
+            f"{src}/b{i}"
+        )
+        time.sleep(1.05)
+    stream = (
+        spark.readStream.schema("k LONG, v STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        acid_append_sink(stream, path, app_id="opt-1", optimize_every=2, target_files=2)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    t = AcidTable(spark, path)
+    assert t.snapshot().count() == 12
+    ops = [h["operation"] for h in t.history()]
+    assert ops.count("optimize") >= 1, ops
+    assert len(t._replay()) <= 2 + 2  # target + at most one post-opt batch
