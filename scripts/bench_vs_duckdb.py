@@ -45,6 +45,11 @@ def main(names: list[str]) -> int:
     oracles = entry_mod.oracle_sql()
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
+    # bound DuckDB's out-of-core spill: at x100 an uncapped temp dir
+    # filled the disk mid-suite and killed the whole run; with the cap
+    # an over-budget query raises and is recorded as a failure instead
+    con.execute("SET temp_directory='/tmp/duck_tmp'")
+    con.execute("SET max_temp_directory_size='60GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
@@ -92,7 +97,17 @@ def main(names: list[str]) -> int:
             con.execute(oracles[name]).fetchall()
             return time.perf_counter() - t0
 
-        t_spark, t_duck = steady(spark_once), steady(duck_once)
+        try:
+            t_spark = steady(spark_once)
+        except Exception as ex:  # noqa: BLE001 — record, keep benching
+            print(f"SPARK FAIL {name}: {type(ex).__name__}: {str(ex)[:200]}")
+            continue
+        try:
+            t_duck = steady(duck_once)
+        except Exception as ex:  # noqa: BLE001 — e.g. DuckDB spill cap
+            print(f"DUCK FAIL {name} (spark {t_spark:.2f}s): "
+                  f"{type(ex).__name__}: {str(ex)[:200]}")
+            continue
         rows.append((name, t_spark, t_duck, t_spark / max(t_duck, 1e-9)))
 
     rows.sort(key=lambda r: -r[3])
