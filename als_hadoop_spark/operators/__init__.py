@@ -63,8 +63,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "q_acid_merge",
     "q_winnow_dup",
     "q_mixture_temperature",
-    # round-5 addition (oracle-backed)
+    # round-5 additions (oracle-backed)
     "q_hash_split",
+    "q_acid_evolution",
     # TPC-H shapes (tpch.py / market.py), oracle-backed
     "q_agg_of_agg",
     "q_having_semijoin",

@@ -449,6 +449,35 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _acid_scratch(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Per-session scratch table dir, rebuilt on every invocation:
+    keyed by applicationId so concurrent sessions can't collide,
+    siblings reaped after a day so repeated harness runs don't
+    accumulate tables in /tmp."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    scratch_root = os.path.join(tempfile.gettempdir(), "spark_graft_acid")
+    os.makedirs(scratch_root, exist_ok=True)
+    now = _time.time()
+    for name in os.listdir(scratch_root):
+        stale = os.path.join(scratch_root, name)
+        try:
+            if now - os.path.getmtime(stale) > 86400:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
+    table_dir = os.path.join(
+        scratch_root,
+        f"{spark.sparkContext.applicationId}-{tag}-"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+    return table_dir
+
+
 def q_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC loop CLOSED: q_merge_upsert's changelog fold executed as
     a real transaction against a commit-log table
@@ -464,9 +493,6 @@ def q_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per key before the full-outer join) plus file-granular
     copy-on-write — at 100 TB the rewrite cost is proportional to the
     files the change keys actually live in, not the table."""
-    import os
-    import tempfile
-
     from ..sources.acid import AcidTable
 
     ev = load(spark, sf_dir, "events")
@@ -508,28 +534,7 @@ def q_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("value", "snap_value").alias("value"),
         )
 
-    # Per-session scratch table, rebuilt on every invocation: keyed by
-    # applicationId so concurrent sessions can't collide, reaped after
-    # a day so repeated harness runs don't accumulate tables in /tmp.
-    import shutil
-    import time as _time
-
-    scratch_root = os.path.join(tempfile.gettempdir(), "spark_graft_acid")
-    os.makedirs(scratch_root, exist_ok=True)
-    now = _time.time()
-    for name in os.listdir(scratch_root):
-        stale = os.path.join(scratch_root, name)
-        try:
-            if now - os.path.getmtime(stale) > 86400:
-                shutil.rmtree(stale, ignore_errors=True)
-        except OSError:
-            pass
-    table_dir = os.path.join(
-        scratch_root,
-        f"{spark.sparkContext.applicationId}-{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(table_dir, ignore_errors=True)
-    tbl = AcidTable(spark, table_dir)
+    tbl = AcidTable(spark, _acid_scratch(spark, sf_dir, "merge"))
     # key-bounded frames (one row per user): a handful of files keeps
     # the commit's file count — and every later probe's task count —
     # proportional to data, not to shuffle.partitions
@@ -538,8 +543,50 @@ def q_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.snapshot().orderBy("user_id")
 
 
+def q_acid_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution EXERCISED through the transactional read path,
+    end-to-end under the oracle hash: version 0 appends even-keyed
+    orders with the original column names; RENAME COLUMN
+    o_totalprice→price (metadata-only — no file rewritten); version 2
+    appends odd-keyed orders carrying the new name PLUS a new
+    o_orderpriority column (additive widening); DROP COLUMN
+    o_orderstatus. The returned frame is a snapshot read spanning both
+    schema epochs: pre-rename files surface through the post-rename
+    names, pre-widening rows read the new column as NULL, and the
+    dropped column is gone — byte-equivalent to the plain relational
+    projection the DuckDB oracle runs directly on ``orders``.
+
+    Scale shape: two appends + two metadata commits + one multi-epoch
+    snapshot read (epoch-grouped scans unioned by name,
+    ``sources/acid.py:_assemble``); evolution cost is O(log), never a
+    table rewrite — the Iceberg metadata-only contract."""
+    from ..sources.acid import AcidTable
+
+    o = load(spark, sf_dir, "orders")
+    tbl = AcidTable(spark, _acid_scratch(spark, sf_dir, "evolve"))
+    tbl.append(
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .coalesce(4)
+    )
+    tbl.rename_column("o_totalprice", "price")
+    tbl.append(
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .coalesce(4)
+    )
+    tbl.drop_column("o_orderstatus")
+    return tbl.snapshot().select("o_orderkey", "price", "priority")
+
+
 QUERIES = {
     "q_acid_merge": q_acid_merge,
+    "q_acid_evolution": q_acid_evolution,
     "q_asof_join": q_asof_join,
     "q_time_rollup": q_time_rollup,
     "q_latest_by_key": q_latest_by_key,
@@ -643,6 +690,12 @@ ORACLES = {
     # q_acid_merge must equal the pure-relational MERGE minus the
     # provenance column: the transactional path changes WHERE rows
     # live (commit-log table), never WHAT the merge produces.
+    "q_acid_evolution": """
+        SELECT o_orderkey,
+               o_totalprice AS price,
+               CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority
+        FROM orders
+    """,
     "q_acid_merge": f"""
         WITH snap AS (
             SELECT user_id, event_type AS snap_state, value AS snap_value
