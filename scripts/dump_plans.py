@@ -154,6 +154,15 @@ ANNOTATED = {
         "publishes the swap atomically — the snapshot read is a plain "
         "multi-file parquet scan of log-listed files."
     ),
+    "q_acid_evolution": (
+        "Schema evolution through the transactional read path: RENAME/"
+        "DROP COLUMN are metadata-only commits (no file rewritten — "
+        "evolution cost is O(log), the Iceberg contract); the snapshot "
+        "read groups live files by schema epoch, scans each epoch once "
+        "with mergeSchema, renames physical→logical per epoch, and "
+        "unions by name — pre-rename files surface under the new names, "
+        "pre-widening rows read the added column as NULL."
+    ),
     "q_hash_split": (
         "Deterministic 80/20 split: one scan, a per-row md5-bucket "
         "projection (pure JVM string/arithmetic expressions shared "
