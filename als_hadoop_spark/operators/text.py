@@ -457,10 +457,16 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sklearn's formulation; score = tf · idf).
 
     Shape at scale: tf is one (doc_id, term) hash aggregate with
-    map-side partials; df is one more aggregate over the (already
+    map-side partials, pinned with a lazy localCheckpoint because TWO
+    consumers read it (the df aggregate and the scored join) — without
+    the pin each consumer re-tokenizes the whole corpus, doubling the
+    dominant cost; df is one more aggregate over the (already
     distinct) tf pairs; N arrives via a broadcast one-row cross join
-    (never a driver-side .count()); the scored join shuffles on term
-    (vocabulary-sized, Zipf skew absorbed by AQE). The per-doc top-K
+    (never a driver-side .count()); the scored join keys on term —
+    df is vocabulary-sized, so AQE turns it into a broadcast join
+    when it fits and absorbs the Zipf skew when it must shuffle (no
+    hard-coded broadcast hint: vocabulary size is data-dependent).
+    The per-doc top-K
     window partitions by doc_id — high-cardinality key, so every
     window partition is ~distinct-terms-per-doc rows: safe at any
     corpus size (contrast the low-cardinality windows q_percentiles
@@ -473,6 +479,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(_tokens()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
