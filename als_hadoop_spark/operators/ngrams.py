@@ -253,29 +253,46 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     collocation-mining primitive behind phrase detection and
     tokenizer-merge audits (word2vec-era public methodology).
 
-    Scale shape: unigram and bigram counts are word-count aggregates
-    (map-side partials, shuffles bounded by vocabulary, not corpus);
-    the two count joins key on single tokens — vocabulary-sized build
-    sides that Catalyst broadcasts below threshold and AQE handles
-    above; totals arrive via broadcast one-row cross joins; top-20 is
-    TakeOrderedAndProject. Everything integer-count based + one ln →
-    bit-deterministic across engines."""
+    Scale shape: token adjacency is INTRA-ROW, so bigram pairs come
+    from a per-document arrays_zip(t, slice(t, 2, ..)) — no window, no
+    doc-keyed sort shuffle anywhere; the one exploded (tok, next)
+    frame feeds both count aggregates (map-side partials, shuffles
+    bounded by vocabulary, not corpus — the split+explode re-runs per
+    consumer, deliberately: it pipelines into the partial aggregate
+    and is cheaper than materializing the token stream); the N totals
+    are sums OVER the (pinned, vocabulary-sized) aggregates — never a
+    second corpus scan — arriving via broadcast one-row cross joins;
+    the two count
+    joins key on single tokens — vocabulary-sized build sides that
+    Catalyst broadcasts below threshold and AQE handles above; top-20
+    is TakeOrderedAndProject. Everything integer-count based + one ln
+    → bit-deterministic across engines."""
     return pmi_bigrams(load(spark, sf_dir, "documents", spread=True))
 
 
 def pmi_bigrams(docs: DataFrame) -> DataFrame:
     """Core of q_pmi_bigrams over any (doc_id, text) frame."""
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    t = F.split("text", " ")
+    # one token occurrence per row, paired intra-row with its successor
+    # (tok_b NULL at document end — arrays_zip pads the shorter slice)
+    adj = docs.select(
+        F.explode(
+            F.arrays_zip(
+                t.alias("tok_a"),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("tok_b"),
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    uni = adj.groupBy(F.col("tok_a").alias("tok")).agg(F.count("*").alias("c_tok"))
+    n_uni = uni.agg(F.sum("c_tok").alias("n_uni"))
+    bg_all = (
+        adj.filter(F.col("tok_b").isNotNull())
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_pair"))
+        .localCheckpoint(eager=False)
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = toks.select(
-        F.col("tok").alias("tok_a"), F.lead("tok", 1).over(w).alias("tok_b")
-    ).filter(F.col("tok_b").isNotNull())
-    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
-    n_uni = toks.agg(F.count("*").alias("n_uni"))
-    bg = pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_pair"))
-    n_bg = pairs.agg(F.count("*").alias("n_bg"))
+    bg = bg_all
+    n_bg = bg_all.agg(F.sum("n_pair").alias("n_bg"))
     pmi = F.round(
         F.log(
             (F.col("n_pair") / F.col("n_bg"))
