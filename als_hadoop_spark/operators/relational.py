@@ -311,12 +311,33 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-B gap: UNION / INTERSECT / EXCEPT over key projections,
-    tagged and stacked into one result."""
+    tagged and stacked into one result.
+
+    Scale shape: the three set operators compile naively to three
+    independent distinct/join pipelines — six shuffles of the same two
+    inputs. Instead, ONE side-tagged aggregate (groupBy key, count per
+    side — a single shuffle with map-side partials) computes the
+    presence table every operator is a pure filter of: union = every
+    key, intersect = present in both, except = in customer only
+    (c_custkey is unique, so EXCEPT ALL multiplicity is 1). The
+    presence table is pinned (lazy localCheckpoint) so the three
+    consumers share the one shuffle instead of re-running it."""
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
-    union = c.union(o).distinct().select(F.lit("union").alias("op"), "k")
-    inter = c.intersect(o).select(F.lit("intersect").alias("op"), "k")
-    diff = c.exceptAll(o.distinct()).select(F.lit("except").alias("op"), "k")
+    presence = (
+        c.select("k", F.lit(1).alias("_c"), F.lit(0).alias("_o"))
+        .unionAll(o.select("k", F.lit(0).alias("_c"), F.lit(1).alias("_o")))
+        .groupBy("k")
+        .agg(F.sum("_c").alias("n_c"), F.sum("_o").alias("n_o"))
+        .localCheckpoint(eager=False)
+    )
+    union = presence.select(F.lit("union").alias("op"), "k")
+    inter = presence.filter((F.col("n_c") > 0) & (F.col("n_o") > 0)).select(
+        F.lit("intersect").alias("op"), "k"
+    )
+    diff = presence.filter((F.col("n_c") > 0) & (F.col("n_o") == 0)).select(
+        F.lit("except").alias("op"), "k"
+    )
     return union.unionAll(inter).unionAll(diff)
 
 
