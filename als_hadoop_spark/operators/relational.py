@@ -218,9 +218,22 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-B gap: semi/anti join (EXISTS / NOT EXISTS). The reference's
     only filter is its join-miss drop (ALS-Hadoop/ALS/ALS.java:460-464)
     — a semi-join in disguise. Left-semi/anti never materialize the
-    right side's columns."""
+    right side's columns.
+
+    Scale shape: existence tests are insensitive to right-side
+    duplicates, so orders collapses to its distinct key set FIRST
+    (one aggregate shuffle, ~15× fewer rows at TPC-H multiplicities)
+    and is pinned — the semi and the anti probe share that one pass
+    instead of each re-shuffling the raw fact, and the shrunken key
+    set is small enough for AQE to broadcast both probes (no customer
+    shuffle at all below threshold)."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     semi = (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .select("c_custkey", "c_name", F.lit("with_orders").alias("grp"))
