@@ -124,9 +124,11 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 1/5 (at true scale, customer does not broadcast: Catalyst
     falls back to a shuffle join on o_custkey and the plan is still
     two big exchanges — lineitem⋈orders and orders⋈customer — which
-    is the known optimum for Q7). The fact table pays exactly one
-    shuffle (join to orders on l_orderkey); the final aggregate is
-    bounded by |nations|²·|years|."""
+    is the known optimum for Q7). The customer broadcast lands on
+    orders BEFORE the fact join, so the region filter (1/5) prunes
+    the order side ahead of the one fact shuffle (join on
+    l_orderkey); the final aggregate is bounded by
+    |nations|²·|years|."""
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
 
@@ -161,10 +163,10 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts(Q7_DATE_HI))
     )
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    qualified = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(qualified, li.l_orderkey == qualified.o_orderkey)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )

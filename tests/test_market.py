@@ -42,13 +42,16 @@ def test_forecast_revenue_minimal_plan(spark, sf_dir):
 
 
 def test_volume_shipping_broadcasts_both_dimension_chains(spark, sf_dir):
-    """Q7: both nation chains ride broadcasts; the fact table pays
-    exactly one big shuffle (lineitem ⋈ orders on the order key; the
-    bounded-key aggregate adds one more exchange)."""
+    """Q7: both nation chains ride broadcasts; the fact pays ONE join
+    shuffle (lineitem ⋈ region-pruned orders on the order key — both
+    sides exchange statically; at fixture scale AQE later demotes the
+    tiny order side to a broadcast, but the static plan keeps the
+    exchange because the join-output size estimate exceeds the
+    threshold), plus the bounded-key aggregate and the final sort."""
     df = q_volume_shipping(spark, sf_dir)
     assert_no_quadratic_join(df)
     assert_broadcast_join(df, 2)
-    assert count_shuffles(df) <= 3
+    assert count_shuffles(df) <= 4
 
 
 def test_market_share_single_fact_pass(spark, sf_dir):
