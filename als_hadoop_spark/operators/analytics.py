@@ -83,12 +83,14 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer's and supplier's nation must match) within one region and
     a one-year-ish date window — a 6-way join.
 
-    Plan shape: region→nation→customer prune to one region's
-    customers; region, nation, customer (pruned), and supplier all
-    broadcast; orders⋈lineitem is again the only fact shuffle; the
-    final aggregate has ≤ #nations groups. The c_nationkey =
-    s_nationkey local-supplier condition rides the supplier broadcast
-    join — no extra shuffle."""
+    Plan shape: the region→nation→customer broadcast chain prunes to
+    one region's customers (1/5) and lands on orders BEFORE the fact
+    join — combined with the date window, lineitem probes ~3% of
+    orders (AQE broadcasts the qualified side below threshold; above
+    it the one fact shuffle carries only matching rows); supplier
+    broadcasts with the c_nationkey = s_nationkey local-supplier
+    condition riding the same join — no extra shuffle; the final
+    aggregate has ≤ #nations groups."""
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
     nation = load(spark, sf_dir, "nation")
     cust = load(spark, sf_dir, "customer")
@@ -98,16 +100,22 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit(Q5_YEAR_HI).cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
+    region_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust_pruned = cust.join(
+        F.broadcast(region_nations), cust.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    qualified = orders.join(
+        F.broadcast(cust_pruned), orders.o_custkey == F.col("c_custkey")
+    ).select("o_orderkey", "c_nationkey", "n_name")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(qualified, li.l_orderkey == F.col("o_orderkey"))
         .join(
-            F.broadcast(cust),
-            (orders.o_custkey == cust.c_custkey)
-            & (cust.c_nationkey == supp.s_nationkey),
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
         )
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
     )
