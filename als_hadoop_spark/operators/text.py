@@ -78,25 +78,34 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic token tie-break. Two tokenizations are counted side by
     side: whitespace split and a BPE-ish regex (word pieces + isolated
     non-word marks) — on clean text they agree; on real corpora the
-    regex catches punctuation-glued tokens. TakeOrderedAndProject keeps
-    the top-K per partition → no global sort."""
+    regex catches punctuation-glued tokens. Both tokenizations ride
+    ONE pass over the text: each document emits a tagged union of its
+    two token streams (intra-row concat of transform'd arrays), and a
+    single aggregate sums the per-tokenizer tags — no second corpus
+    scan, no full-outer count join, one vocabulary-bounded shuffle.
+    TakeOrderedAndProject keeps the top-K per partition → no global
+    sort."""
     docs = load(spark, sf_dir, "documents", spread=True)
-    ws = docs.select(F.explode(_tokens()).alias("tok")).groupBy("tok").agg(
-        F.count("*").alias("n_ws")
-    )
-    rx = (
-        docs.select(
-            F.explode(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)).alias("tok")
-        )
-        .groupBy("tok")
-        .agg(F.count("*").alias("n_regex"))
+    tagged = docs.select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    _tokens(), lambda t: F.struct(t.alias("tok"), F.lit(1).alias("w"))
+                ),
+                F.transform(
+                    F.regexp_extract_all(
+                        "text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+                    ),
+                    lambda t: F.struct(t.alias("tok"), F.lit(0).alias("w")),
+                ),
+            )
+        ).alias("p")
     )
     return (
-        ws.join(rx, "tok", "full_outer")
-        .select(
-            "tok",
-            F.coalesce("n_ws", F.lit(0)).alias("n_ws"),
-            F.coalesce("n_regex", F.lit(0)).alias("n_regex"),
+        tagged.groupBy(F.col("p.tok").alias("tok"))
+        .agg(
+            F.sum("p.w").alias("n_ws"),
+            F.sum(F.lit(1) - F.col("p.w")).alias("n_regex"),
         )
         .orderBy(F.col("n_ws").desc(), "tok")
         .limit(TOP_K_TOKENS)
