@@ -339,19 +339,25 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct active users per (cohort_day, days_since_cohort) — the
     standard retention triangle.
 
-    Scale shape: first-seen is one user-keyed min-aggregate; the
-    activity join keys on user_id; the final matrix aggregate has
-    (#days)² bounded keys. Nothing sorts, nothing windows."""
-    ev = load(spark, sf_dir, "events").select("user_id", "ts")
-    first_seen = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cohort_day"))
+    Scale shape: the retention triangle only needs (user, active day)
+    PAIRS, so the raw event stream collapses to distinct user-days in
+    the very first aggregate (one scan, map-side combine — the wire
+    carries ~#users×#days rows, never raw events); the cohort day is
+    then a min over the user's few day rows (user-keyed window on the
+    collapsed frame — maximal-cardinality key, tiny partitions); the
+    final matrix aggregate has (#days)² bounded keys."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    user_days = ev.distinct()
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
     return (
-        ev.join(first_seen, "user_id")
-        .select(
-            "cohort_day",
-            "user_id",
-            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("days_since"),
+        user_days.select(
+            cohort.alias("cohort_day"),
+            F.datediff(F.col("day"), cohort).alias("days_since"),
         )
-        .distinct()
         .groupBy("cohort_day", "days_since")
         .agg(F.count("*").alias("n_users"))
     )
