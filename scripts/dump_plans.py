@@ -24,9 +24,10 @@ ANNOTATED = {
     ),
     "q_order_revenue_topn": (
         "TPC-H Q3 shape. Both date filters reach the scans; the filtered "
-        "customer dimension broadcasts (BroadcastHashJoin); the only real "
-        "shuffle is the orders-lineitem fact join; the top-10 compiles to "
-        "TakeOrderedAndProject (per-partition heaps, no global sort)."
+        "customer dimension broadcasts onto orders BEFORE the fact join, "
+        "so lineitem probes only segment-qualified orders (~10% — AQE "
+        "broadcasts the pruned side below threshold); the top-10 compiles "
+        "to TakeOrderedAndProject (per-partition heaps, no global sort)."
     ),
     "q_dedup_minhash": (
         "Banded-minhash near-dup. Every candidate generator is an "
@@ -80,11 +81,12 @@ ANNOTATED = {
     ),
     "q_exists_chain": (
         "TPC-H Q21 shape. The literal EXISTS/NOT-EXISTS plan probes the "
-        "fact table three times; this compiles the rewrite — one fact "
-        "join + a two-level plain hash aggregation (no Expand, no "
-        "countDistinct, no collect_set) — so lineitem is scanned ONCE "
-        "and qualification is a per-row predicate on bounded rows. The "
-        "DuckDB oracle keeps the literal EXISTS text, proving the "
+        "fact table three times; this compiles the rewrite — the fact "
+        "collapses to (order, supplier, max shipdate) under ONE shuffle, "
+        "the orders join probes the ~4×-smaller pair frame, and "
+        "qualification is a per-row predicate after a plain two-level "
+        "hash aggregation (no Expand, no countDistinct, no collect_set). "
+        "The DuckDB oracle keeps the literal EXISTS text, proving the "
         "rewrite on real data."
     ),
     "q_fuzzy_join": (
@@ -113,9 +115,11 @@ ANNOTATED = {
     ),
     "q_volume_shipping": (
         "TPC-H Q7 shape: both region→nation dimension chains collapse to "
-        "BroadcastHashJoins; the fact table pays exactly one shuffle "
-        "(join to orders) plus the bounded (nations² × years) aggregate "
-        "— the known-optimal Q7 plan at any scale."
+        "BroadcastHashJoins, and the customer chain lands on orders "
+        "BEFORE the fact join (1/5 region prune ahead of the shuffle); "
+        "the fact pays exactly one join shuffle plus the bounded "
+        "(nations² × years) aggregate — the known-optimal Q7 plan at "
+        "any scale."
     ),
     "q_merge_upsert": (
         "MERGE INTO changelog apply: both sides compact to one row per "
