@@ -45,8 +45,10 @@ implemented from the published protocol descriptions, no library):
   below the checkpoint falls back to full replay (logs are retained).
 
 - Schema evolution: additive widening is free (``mergeSchema`` at
-  read); RENAME and DROP COLUMN are log actions (``rename_column`` /
-  ``drop_column``), applied at read time per file according to the
+  read); RENAME, DROP COLUMN, and WIDEN COLUMN TYPE (Iceberg type
+  promotion — int→bigint, float→double) are log actions
+  (``rename_column`` / ``drop_column`` / ``widen_column_type``),
+  applied at read time per file according to the
   ops committed AFTER the file was added — the Iceberg idea of
   metadata-only evolution (no data rewritten), realized with a
   name-mapping replay instead of field ids (parquet written by Spark
@@ -557,6 +559,45 @@ class AcidTable:
                 return v
         raise CommitConflict(f"rename_column lost {max_retries} commit races")
 
+    #: lossless widenings (Iceberg's type-promotion set): target type →
+    #: source types it may absorb without rewriting a file
+    _SAFE_WIDENINGS = {
+        "smallint": {"tinyint"},
+        "int": {"tinyint", "smallint"},
+        "bigint": {"tinyint", "smallint", "int"},
+        "double": {"float"},
+    }
+
+    def widen_column_type(
+        self, col: str, new_type: str, max_retries: int = 10
+    ) -> int:
+        """WIDEN COLUMN TYPE as a metadata-only commit (Iceberg type
+        promotion: int→bigint, float→double, …): files written before
+        this version keep their narrow physical type and are cast on
+        read; files written after carry the wide type natively —
+        no file is rewritten, evolution cost stays O(log)."""
+        new_type = new_type.lower()
+        cur = dict(self.snapshot().dtypes).get(col)
+        if cur is None:
+            raise ValueError(f"widen_column_type: no column {col!r}")
+        if cur != new_type and cur not in self._SAFE_WIDENINGS.get(new_type, ()):
+            raise ValueError(
+                f"widen_column_type: {cur} -> {new_type} is not a lossless "
+                f"widening (allowed into {new_type}: "
+                f"{sorted(self._SAFE_WIDENINGS.get(new_type, ()))})"
+            )
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if self._try_commit(
+                v,
+                {
+                    "operation": "widen_column_type",
+                    "schema_op": {"op": "widen", "col": col, "type": new_type},
+                },
+            ):
+                return v
+        raise CommitConflict(f"widen_column_type lost {max_retries} commit races")
+
     def drop_column(self, col: str, max_retries: int = 10) -> int:
         """DROP COLUMN as a metadata-only commit: the column vanishes
         from every subsequent snapshot (all epochs) without rewriting
@@ -602,6 +643,8 @@ class AcidTable:
                     df = df.withColumnRenamed(op["old"], op["new"])
                 elif op["op"] == "drop" and op["col"] in df.columns:
                     df = df.drop(op["col"])
+                elif op["op"] == "widen" and op["col"] in df.columns:
+                    df = df.withColumn(op["col"], df[op["col"]].cast(op["type"]))
             parts.append(df)
         out = parts[0]
         for df in parts[1:]:
