@@ -546,15 +546,18 @@ def q_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_acid_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution EXERCISED through the transactional read path,
     end-to-end under the oracle hash: version 0 appends even-keyed
-    orders with the original column names; RENAME COLUMN
-    o_totalprice→price (metadata-only — no file rewritten); version 2
-    appends odd-keyed orders carrying the new name PLUS a new
-    o_orderpriority column (additive widening); DROP COLUMN
-    o_orderstatus. The returned frame is a snapshot read spanning both
-    schema epochs: pre-rename files surface through the post-rename
-    names, pre-widening rows read the new column as NULL, and the
-    dropped column is gone — byte-equivalent to the plain relational
-    projection the DuckDB oracle runs directly on ``orders``.
+    orders with the original column names and the customer key stored
+    NARROW (int); RENAME COLUMN o_totalprice→price and WIDEN COLUMN
+    TYPE cust int→bigint (both metadata-only — no file rewritten);
+    version 3 appends odd-keyed orders carrying the new name, the wide
+    key natively, PLUS a new o_orderpriority column (additive
+    widening); DROP COLUMN o_orderstatus. The returned frame is a
+    snapshot read spanning both schema epochs: pre-rename files
+    surface through the post-rename names, narrow files cast to the
+    promoted type on read, pre-widening rows read the new column as
+    NULL, and the dropped column is gone — byte-equivalent to the
+    plain relational projection the DuckDB oracle runs directly on
+    ``orders``.
 
     Scale shape: two appends + two metadata commits + one multi-epoch
     snapshot read (epoch-grouped scans unioned by name,
@@ -566,14 +569,21 @@ def q_acid_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = AcidTable(spark, _acid_scratch(spark, sf_dir, "evolve"))
     tbl.append(
         o.filter(F.col("o_orderkey") % 2 == 0)
-        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").cast("int").alias("cust"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
         .coalesce(4)
     )
     tbl.rename_column("o_totalprice", "price")
+    tbl.widen_column_type("cust", "bigint")
     tbl.append(
         o.filter(F.col("o_orderkey") % 2 == 1)
         .select(
             "o_orderkey",
+            F.col("o_custkey").alias("cust"),
             F.col("o_totalprice").alias("price"),
             "o_orderstatus",
             F.col("o_orderpriority").alias("priority"),
@@ -581,7 +591,7 @@ def q_acid_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(4)
     )
     tbl.drop_column("o_orderstatus")
-    return tbl.snapshot().select("o_orderkey", "price", "priority")
+    return tbl.snapshot().select("o_orderkey", "cust", "price", "priority")
 
 
 QUERIES = {
@@ -692,6 +702,7 @@ ORACLES = {
     # live (commit-log table), never WHAT the merge produces.
     "q_acid_evolution": """
         SELECT o_orderkey,
+               o_custkey AS cust,
                o_totalprice AS price,
                CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority
         FROM orders
