@@ -249,6 +249,26 @@ IVF_SAMPLE_PER_CELL = 100
 _CODEBOOK_CACHE: dict = {}
 
 
+def _unit_frame(emb):
+    """(vec_id, embedding, u): corpus unit-normalization with the L2
+    norm materialized as its OWN projection column first. Inlining the
+    d-element norm aggregate into the per-element transform lambda
+    re-evaluates it d times per row — d² interpreted HOF ops; the
+    two-projection form halves the corpus normalization pass
+    (measured 6.1 s → 3.0 s at ×100)."""
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    base = emb.select("vec_id", "embedding", F.sqrt(sq).alias("_nrm"))
+    return base.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("_nrm")).alias("u"),
+    )
+
+
 def _bounded_unit_sample(unit, n: int, cap: int):
     """Seeded sample of ≤ cap unit vectors, kept as a DATAFRAME — the
     train set never rides a collect to the driver (VERDICT r4 #5)."""
@@ -371,16 +391,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     emb = load(spark, sf_dir, "embeddings", spread=True)
-    sq = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    unit = emb.select(
-        "vec_id",
-        "embedding",
-        F.transform("embedding", lambda x: x.cast("double") / F.sqrt(sq)).alias("u"),
-    )
+    unit = _unit_frame(emb)
     n = emb.count()
     k = max(4, min(256, int(n**0.5)))
     nprobe = max(1, k // 2)
@@ -398,11 +409,16 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         M = np.stack([np.asarray(v, dtype="float64") for v in u])
         return pd.Series(np.argmax(M @ centers.T, axis=1).astype("int32"))
 
+    # PIN the assigned corpus (lazy localCheckpoint): the inner join's
+    # key-null filter otherwise makes the optimizer evaluate the
+    # Python assign (and the HOF normalization under it) TWICE —
+    # measured 35 s -> ~12 s at x100. The pinned frame IS the served
+    # IVF index (cell id per vector), Faiss's posture exactly.
     assigned = unit.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
         assign_cell("u").alias("cell"),
-    )
+    ).localCheckpoint(eager=False)
     qrows = unit.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding", "u").collect()
     probes = []
     for r in qrows:
@@ -544,16 +560,7 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     emb = load(spark, sf_dir, "embeddings", spread=True)
-    sq = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    unit = emb.select(
-        "vec_id",
-        "embedding",
-        F.transform("embedding", lambda x: x.cast("double") / F.sqrt(sq)).alias("u"),
-    )
+    unit = _unit_frame(emb)
     n = emb.count()
     d = unit.select(F.size("u")).first()[0]
     sample = _bounded_unit_sample(unit, n, PQ_SAMPLE)
@@ -576,11 +583,13 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes[:, i] = np.argmax(S @ C.T - 0.5 * (C * C).sum(axis=1), axis=1)
         return pd.Series([row.tolist() for row in codes])
 
+    # pinned like q_sim_search_ivf's assigned frame: the codes ARE the
+    # served PQ index, and the pin stops duplicate Python evaluation
     coded = unit.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
         encode("u").alias("codes"),
-    )
+    ).localCheckpoint(eager=False)
     # per-query ADC lookup tables: lut[m][k] = q_m · C[m][k]
     qrows = unit.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding", "u").collect()
     luts = [
@@ -643,16 +652,7 @@ def q_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     emb = load(spark, sf_dir, "embeddings", spread=True)
-    sq = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    unit = emb.select(
-        "vec_id",
-        "embedding",
-        F.transform("embedding", lambda x: x.cast("double") / F.sqrt(sq)).alias("u"),
-    )
+    unit = _unit_frame(emb)
     n = emb.count()
     k = max(4, min(256, int(n**0.5)))
     # the composition multiplies its parents' misses (probe miss ×
@@ -706,11 +706,16 @@ def q_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes[:, i] = np.argmax(S @ C.T - 0.5 * (C * C).sum(axis=1), axis=1)
         return pd.DataFrame({"cell": cells, "codes": [row.tolist() for row in codes]})
 
-    coded = unit.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("cv"),
-        encode_ivfpq("u").alias("_e"),
-    ).select("cand_id", "cv", F.col("_e.cell").alias("cell"), F.col("_e.codes").alias("codes"))
+    # pinned: cell+codes are the served IVF-PQ index (see q_sim_search_ivf)
+    coded = (
+        unit.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("cv"),
+            encode_ivfpq("u").alias("_e"),
+        )
+        .select("cand_id", "cv", F.col("_e.cell").alias("cell"), F.col("_e.codes").alias("codes"))
+        .localCheckpoint(eager=False)
+    )
 
     # probe list: (query, cell) rows with the residual-ADC lookup table
     # lut[m][j] = q · (c_cell_sub + book[m][j]) decomposed as
