@@ -253,7 +253,12 @@ def curate_neardup_docs(docs: DataFrame) -> DataFrame:
         F.sha2("text", 256).alias("h"),
     ).filter(F.col("q") >= 0.5)
     exact_keep = scored.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    survivors = scored.join(exact_keep, ["h", "doc_id"], "left_semi")
+    # pinned: TWO consumers (the shingle/minhash stage and the final
+    # anti-join) would otherwise each re-run the sha256+quality scan
+    # and the exact-dedup semi-join over the whole corpus
+    survivors = scored.join(exact_keep, ["h", "doc_id"], "left_semi").localCheckpoint(
+        eager=False
+    )
     cands = minhash_candidates(_doc_shingles(survivors.select("doc_id", "text")))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
