@@ -78,13 +78,18 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the (ngram → count) aggregate is word-count — map-side
     partial aggregation bounds the shuffle by DISTINCT trigram count,
-    not total occurrences; the global total arrives via a broadcast
-    one-row cross join (no driver collect); top-20 plans as
-    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    not total occurrences; the global total is a sum OVER the pinned
+    vocabulary-sized count table (deriving it from the raw gram stream
+    would re-run the whole posexplode+window generation a second
+    time), arriving via a broadcast one-row cross join (no driver
+    collect); top-20 plans as TakeOrderedAndProject (per-partition
+    heaps, no global sort)."""
     docs = load(spark, sf_dir, "documents", spread=True)
     grams = lead_ngrams(docs, LM_N)
-    counts = grams.groupBy("ngram").agg(F.count("*").alias("n_occurrences"))
-    total = grams.agg(F.count("*").alias("n_total"))
+    counts = grams.groupBy("ngram").agg(
+        F.count("*").alias("n_occurrences")
+    ).localCheckpoint(eager=False)
+    total = counts.agg(F.sum("n_occurrences").alias("n_total"))
     return (
         counts.join(F.broadcast(total))
         .select(

@@ -640,17 +640,19 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the LM "fit" is one vocabulary-bounded hash aggregate
     (token → count) + a 1-row broadcast total; scoring joins tokens to
-    the vocabulary on the token key — Zipf-skewed, which is exactly
-    what AQE skew-join splitting (or functions.scale.salted_join) is
-    for — then one doc-keyed aggregate. Float discipline: ln(c/N) is
-    identical IEEE arithmetic in both engines; the per-doc mean is
-    rounded AFTER aggregation."""
+    the vocabulary via an EXPLICIT broadcast — the unigram model is
+    vocabulary-bounded (the KenLM/CCNet posture: the model ships to
+    every worker), and leaving the choice to AQE measurably fails
+    here: it kept a 27M-row token-stream shuffle onto 3,100
+    Zipf-skewed keys (29 s vs 7.5 s at ×100) — then one doc-keyed
+    aggregate. Float discipline: ln(c/N) is identical IEEE arithmetic
+    in both engines; the per-doc mean is rounded AFTER aggregation."""
     docs = load(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", "lang", F.explode(_tokens()).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = vocab.agg(F.sum("c").alias("n"))
     lp = (
-        toks.join(vocab, "tok")
+        toks.join(F.broadcast(vocab), "tok")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", "lang", F.log(F.col("c") / F.col("n")).alias("lp"))
     )
