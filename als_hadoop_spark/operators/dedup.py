@@ -138,7 +138,15 @@ def minhash_candidates(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         )
 
-    sigs = sh.select(id_col, "shingles", *[_mh(i).alias(f"h{i}") for i in h_idx])
+    # pinned (lazy localCheckpoint): the band self-join below consumes
+    # this frame on BOTH sides — without the pin each side re-evaluates
+    # the 16 interpreted minhash HOFs over every shingle set. The pin
+    # sits HERE (1× shingles + 16 longs per doc), not on the exploded
+    # band frame (4× the shingle payload — measured slower to
+    # materialize than the recompute it saves).
+    sigs = sh.select(
+        id_col, "shingles", *[_mh(i).alias(f"h{i}") for i in h_idx]
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         id_col,
         "shingles",

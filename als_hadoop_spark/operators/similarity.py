@@ -149,6 +149,9 @@ def lsh_candidates(emb: DataFrame, seed: int = 7) -> DataFrame:
     sig = emb.select(
         F.col("vec_id"), F.col("embedding"), _signature("embedding", N_PLANES, seed).alias("sig")
     )
+    # pinned: the a/b self-join consumes this frame on both sides —
+    # the pin stops each side re-evaluating the 16 interpreted
+    # hyperplane dot products per vector
     bands = sig.select(
         "vec_id",
         "embedding",
@@ -166,7 +169,7 @@ def lsh_candidates(emb: DataFrame, seed: int = 7) -> DataFrame:
                 ]
             )
         ).alias("band", "band_bits"),
-    )
+    ).localCheckpoint(eager=False)
     a = bands.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "band", "band_bits"
     )
