@@ -66,6 +66,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # round-5 additions (oracle-backed)
     "q_hash_split",
     "q_acid_evolution",
+    "q_acid_timetravel",
     # TPC-H shapes (tpch.py / market.py), oracle-backed
     "q_agg_of_agg",
     "q_having_semijoin",

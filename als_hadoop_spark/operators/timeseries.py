@@ -594,9 +594,36 @@ def q_acid_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.snapshot().select("o_orderkey", "cust", "price", "priority")
 
 
+def q_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel EXERCISED under the oracle hash: the table accretes
+    three versions — v0 appends low-keyed orders, v1 appends the rest,
+    v2 DELETEs the high-value rows — and the query reads ``snapshot
+    (version=1)``, i.e. the full pre-delete table. The v2 delete
+    rewrites files, so a correct answer PROVES version pinning reads
+    the log's v1 file set, not the current one — byte-equivalent to
+    the plain projection the DuckDB oracle runs on ``orders``.
+
+    Scale shape: two appends + one copy-on-write delete + one pinned
+    snapshot read; version resolution is a checkpointed log replay
+    (O(interval), ``sources/acid.py:_state``), never a directory
+    listing diff."""
+    from ..sources.acid import AcidTable
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    tbl = AcidTable(spark, _acid_scratch(spark, sf_dir, "travel"))
+    mid = 7500  # fixture keys are dense from 1; any stable split works
+    tbl.append(o.filter(F.col("o_orderkey") % 4 == 0).coalesce(4))
+    v1 = tbl.append(o.filter(F.col("o_orderkey") % 4 != 0).coalesce(4))
+    tbl.delete(F.col("o_totalprice") > mid)
+    return tbl.snapshot(version=v1).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 QUERIES = {
     "q_acid_merge": q_acid_merge,
     "q_acid_evolution": q_acid_evolution,
+    "q_acid_timetravel": q_acid_timetravel,
     "q_asof_join": q_asof_join,
     "q_time_rollup": q_time_rollup,
     "q_latest_by_key": q_latest_by_key,
@@ -700,6 +727,11 @@ ORACLES = {
     # q_acid_merge must equal the pure-relational MERGE minus the
     # provenance column: the transactional path changes WHERE rows
     # live (commit-log table), never WHAT the merge produces.
+    # time travel to the pre-delete version must return ALL orders —
+    # the v2 delete is invisible at version 1
+    "q_acid_timetravel": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
     "q_acid_evolution": """
         SELECT o_orderkey,
                o_custkey AS cust,
