@@ -35,6 +35,19 @@ implemented from the published protocol descriptions, no library):
   keys — at 100 TB this is the difference between rewriting (or even
   scanning) the table and touching one partition's worth of files.
 
+- CHANGE DATA FEED (the Delta CDF / ``_change_data`` recipe): commits
+  that rewrite rows (MERGE, DELETE) also stage a small CDC parquet
+  under ``_acid_cdc/`` holding exactly the rows that changed, tagged
+  ``_change_type`` ∈ {insert, update_preimage, update_postimage,
+  delete}; the commit entry references it. Commits that only add rows
+  (append, overwrite) derive their change rows from the log's own
+  add/remove actions at read time — no extra storage; OPTIMIZE is
+  dataChange=false and emits nothing. ``table_changes(start, end)``
+  replays the range into one frame, which is what turns a 100 TB
+  table into an INCREMENTAL source: a downstream rollup reads the
+  rows that changed since its last refresh, never the table
+  (``incremental_refresh`` below is the signed-delta fold).
+
 - Every CHECKPOINT_INTERVAL commits the winner also writes
   ``_acid_log/<version>.checkpoint.json`` — the fully-replayed state
   (live files + stats, schema ops, constraints, txn watermarks) — and
@@ -73,6 +86,7 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_acid_log"
 _STAGE_DIR = "_acid_stage"
+_CDC_DIR = "_acid_cdc"
 _LAST_CHECKPOINT = "_last_checkpoint"
 
 #: A checkpoint is written by the committer of every version divisible
@@ -318,29 +332,34 @@ class AcidTable:
 
     # -------------------------------------------------------- writes
 
-    def _stage_files(self, df: DataFrame) -> list[dict]:
+    def _stage_files(self, df: DataFrame, subdir: str | None = None) -> list[dict]:
         """Write ``df`` as parquet part files, move them to
-        content-addressed names in the table root, return add-actions.
-        The files are INVISIBLE to readers until a commit names them.
+        content-addressed names in the table root (or ``subdir`` of it
+        — the CDC sidecar path), return add-actions. The files are
+        INVISIBLE to readers until a commit names them.
 
         Each add-action carries per-column min/max harvested from the
         parquet footer the file already has (no data re-read): the
         log-level data-skipping stats that let a reader prune FILES
         before any footer is opened — at 100 TB, the difference
         between listing/opening a million footers and reading a few
-        KB of log."""
+        KB of log. CDC sidecars skip the stats harvest (they are read
+        whole by version, never pruned by value)."""
         token = uuid.uuid4().hex[:12]
         stage = os.path.join(self.path, _STAGE_DIR, token)
         df.write.mode("overwrite").parquet(stage)
+        dest_dir = self.path if subdir is None else os.path.join(self.path, subdir)
+        os.makedirs(dest_dir, exist_ok=True)
         adds = []
         i = 0
         for name in sorted(os.listdir(stage)):
             if name.startswith("part-") and name.endswith(".parquet"):
                 final = f"{token}-{i:05d}.parquet"
                 src = os.path.join(stage, name)
-                stats = _footer_stats(src)
-                os.rename(src, os.path.join(self.path, final))
-                adds.append({"path": final, "stats": stats})
+                stats = {} if subdir is not None else _footer_stats(src)
+                os.rename(src, os.path.join(dest_dir, final))
+                rel = final if subdir is None else f"{subdir}/{final}"
+                adds.append({"path": rel, "stats": stats})
                 i += 1
         import shutil
 
@@ -399,12 +418,50 @@ class AcidTable:
             raise CommitConflict("table changed during overwrite")
         return base + 1
 
+    def _cdc_diff(self, before: DataFrame, after: DataFrame, key: str) -> DataFrame:
+        """Row-level change set between a commit's rewritten files:
+        multiset diff both ways (rows carried over unchanged cancel
+        out — no change emitted for them), then rows whose ``key``
+        appears on both sides pair up as update_preimage /
+        update_postimage; one-sided rows are delete / insert. Works
+        for ANY apply_fn that preserves (or additively extends) the
+        table schema; cost is one shuffle over the touched rows only —
+        proportional to the rewrite the merge already paid for, never
+        the table."""
+        for c in after.columns:
+            if c not in before.columns:
+                before = before.withColumn(
+                    c, F.lit(None).cast(dict(after.dtypes)[c])
+                )
+        before = before.select(after.columns)
+        gone = before.exceptAll(after)
+        born = after.exceptAll(before)
+        gone_keys = gone.select(key).distinct()
+        born_keys = born.select(key).distinct()
+        tag = "_change_type"
+        return (
+            gone.join(born_keys, key, "semi")
+            .withColumn(tag, F.lit("update_preimage"))
+            .unionByName(
+                gone.join(born_keys, key, "anti").withColumn(tag, F.lit("delete"))
+            )
+            .unionByName(
+                born.join(gone_keys, key, "semi").withColumn(
+                    tag, F.lit("update_postimage")
+                )
+            )
+            .unionByName(
+                born.join(gone_keys, key, "anti").withColumn(tag, F.lit("insert"))
+            )
+        )
+
     def merge(
         self,
         changes: DataFrame,
         key: str,
         apply_fn,
         txn: dict | None = None,
+        cdf: bool = True,
     ) -> int:
         """Copy-on-write MERGE: rewrite ONLY the data files containing
         keys present in ``changes``; carry every other file over by
@@ -461,6 +518,16 @@ class AcidTable:
         adds = self._stage_files(merged)
         self._validate(adds)
         entry = {"operation": "merge", "add": adds, "remove": touched}
+        if cdf and adds:
+            # diff the STAGED files (already on disk — no recompute of
+            # the merge plan) against the rows of the replaced files
+            after = self.spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.path, a["path"]) for a in adds]
+            )
+            cdc = self._cdc_diff(touched_rows, after, key)
+            entry["cdc"] = [
+                a["path"] for a in self._stage_files(cdc, subdir=_CDC_DIR)
+            ]
         if txn is not None:
             entry["txn"] = txn
         if not self._try_commit(base + 1, entry):
