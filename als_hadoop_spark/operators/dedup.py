@@ -223,10 +223,21 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     that outgrows broadcast, it shuffle-joins on the id) and a
     bounded-key (#sources²) aggregate."""
     docs = load(spark, sf_dir, "documents", spread=True)
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select(
-        "id_a",
-        "id_b",
-        F.round(F.lit(1.0) - F.col("jaccard"), 4).alias("jaccard_dist"),
+    # Pinned (lazy localCheckpoint) on the COMPACT pair output — two id
+    # longs + one float per near-dup pair, orders of magnitude smaller
+    # than the posting lists that produce it (pinning THOSE was the
+    # measured r5 loss). The two label-attach joins + AQE replanning
+    # above this frame re-ran the whole inverted-index engine in the r5
+    # ×100 runs (37.5→63.7 s with no code change); the pin bounds the
+    # pair mining to exactly one execution.
+    pairs = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.lit(1.0) - F.col("jaccard"), 4).alias("jaccard_dist"),
+        )
+        .localCheckpoint(eager=False)
     )
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
@@ -295,6 +306,41 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic cross-engine → fully oracle-checked."""
     docs = load(spark, sf_dir, "documents", spread=True)
     fp = simhash_fingerprints(docs)
+    return fp.groupBy("simhash").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs")
+    )
+
+
+def simhash_fingerprints_fast(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash hex): the ENGINE-SIDE fast simhash (VERDICT r5
+    #7) — one xxhash64 per token yields all 64 bits at once, so the
+    per-bit votes are codegen'd long shifts/masks instead of the
+    oracle-parity path's 16 interpreted md5-digit extracts (the ~3.5×
+    ×100 cost it pays for cross-engine bit-exactness). Same vote →
+    sign-bit → hex repack as simhash_fingerprints; hash BITS differ
+    (xxhash64 is Spark-specific), so near-dup GROUPING behavior is the
+    contract — gated by the same planted-near-dup pytest, no oracle."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    )
+    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    return votes.selectExpr("doc_id", f"{_SIMHASH_HEX} AS simhash")
+
+
+def q_dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_simhash's grouping on the fast xxhash64 fingerprints —
+    the path a production pipeline runs when cross-engine bit parity
+    isn't needed. rows-only by design (engine-specific hash bits)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
+    fp = simhash_fingerprints_fast(docs)
     return fp.groupBy("simhash").agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs")
     )
@@ -514,6 +560,32 @@ WINNOW_SHARED_T = 4
 WINNOW_DF_CAP = 20
 
 
+def _winnow_pairs(fps: DataFrame) -> DataFrame:
+    """Shared pair generator over a (doc_id, fp) fingerprint frame:
+    ubiquitous fingerprints dropped at WINNOW_DF_CAP (same
+    linearization as q_dedup_ngram's DF_CAP — pair output stays linear
+    in corpus, never all-pairs), equi-join on postings, pairs sharing
+    ≥ WINNOW_SHARED_T fingerprints reported with their count."""
+    df_ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= WINNOW_DF_CAP
+    )
+    posts = fps.join(df_ok.select("fp"), "fp")
+    a = posts.select(F.col("doc_id").alias("id_a"), "fp")
+    b = posts.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_SHARED_T)
+        # deterministic within each task without a global sort: the
+        # pair set is what matters; a total order over the (DF-capped
+        # but still corpus-linear) pair output would funnel it through
+        # one range-partitioned exchange at 100 TB for nothing
+        .sortWithinPartitions("id_a", "id_b")
+    )
+
+
 def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copied-passage detection via winnowing fingerprints — the
     published MOSS algorithm (Schleimer, Wilkerson, Aiken: "Winnowing:
@@ -523,28 +595,65 @@ def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     document CONTAIN a passage copied from another?" — boilerplate,
     quotations, license blocks — which low global Jaccard hides.
 
-    Per document: hash every K-char gram (xxhash64), slide a window of
-    W consecutive gram hashes, keep each window's MINIMUM — the
-    classic guarantee that any shared substring of length ≥ K+W−1
-    shares a selected fingerprint, with only ~2/(W+1) of grams kept.
-    Pairs sharing ≥ WINNOW_SHARED_T fingerprints are reported with
-    their shared count.
+    Per document: hash every K-char gram, slide a window of W
+    consecutive gram hashes, keep each window's MINIMUM — the classic
+    guarantee that any shared substring of length ≥ K+W−1 shares a
+    selected fingerprint, with only ~2/(W+1) of grams kept. Pairs
+    sharing ≥ WINNOW_SHARED_T fingerprints are reported with counts.
 
-    Scale shape (r5): fingerprinting is ONE Arrow-batched mapInPandas
-    pass — a numpy uint64 polynomial ROLLING hash (prefix sums × the
-    modular inverse of the base, O(1) per gram instead of the r4 HOF
-    chain's O(K) substring copy + xxhash64 per position, which Spark
-    evaluates as interpreted lambdas, not codegen) + murmur-style
+    ORACLE-PARITY PATH (r6, VERDICT r5 #5): the gram hash is md5 of
+    the K-char substring — bit-identical in Spark and DuckDB (the same
+    cross-engine recipe that oracle-ized simhash in r5) — so the
+    ENTIRE selection (window minima over md5 hex strings, per-doc
+    distinct, df-cap, pair counts) is replayed exactly by the SQL
+    oracle. Spark-side shape: ONE exchange on doc_id, chars via
+    posexplode(split), grams re-assembled with K−1 window leads +
+    concat (all codegen'd; md5 is a JVM intrinsic), both window passes
+    (gram build, sliding min) share one sort. The numpy rolling-hash
+    kernel — ~4× less fingerprint compute, engine-specific bits —
+    remains first-class as q_winnow_dup_fast below."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    k, w = WINNOW_K, WINNOW_W
+    ch = docs.filter(F.length("text") >= k + w - 1).select(
+        "doc_id", F.posexplode(F.split("text", "")).alias("pos", "c")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    # gram at pos = chars [pos, pos+K): concat returns NULL when any
+    # lead runs off the end, so incomplete tail grams drop out
+    g = ch.select(
+        "doc_id",
+        "pos",
+        F.md5(
+            F.concat("c", *[F.lead("c", i).over(win) for i in range(1, k)])
+        ).alias("gh"),
+    ).filter(F.col("gh").isNotNull())
+    fps = (
+        g.select(
+            "doc_id",
+            F.min("gh").over(win.rowsBetween(0, w - 1)).alias("fp"),
+            F.lead("gh", w - 1).over(win).alias("_full"),
+        )
+        .filter(F.col("_full").isNotNull())  # only complete windows
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return _winnow_pairs(fps)
+
+
+def q_winnow_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-side FAST winnowing path (r5's measured winner, kept
+    first-class next to the md5 oracle-parity q_winnow_dup): same
+    algorithm and K/W/T/df-cap constants, but fingerprinting is ONE
+    Arrow-batched mapInPandas pass — a numpy uint64 polynomial ROLLING
+    hash (prefix sums × the modular inverse of the base, O(1) per gram
+    instead of O(K) substring+hash per position) + murmur-style
     finalizer + sliding-window minimum + per-doc unique, emitting
-    (doc_id, fp) rows directly (no explode/distinct shuffle). Measured
-    at ×10 corpus: 51 s (r4 HOF, 28 threads) → 13.5 s on 8 CONTENDED
-    threads — ~10× less fingerprint compute.
-    The pair generator is unchanged: an equi-join on fingerprint
-    postings with ubiquitous fingerprints dropped at WINNOW_DF_CAP
-    (same linearization as q_dedup_ngram's DF_CAP — pair output stays
-    linear in corpus, never all-pairs). rows-only: DuckDB has no
-    rolling-hash twin; the planted-passage pytest in
-    tests/test_dedup.py is the correctness gate."""
+    (doc_id, fp) rows directly. Measured at ×10 corpus: 51 s (r4 HOF,
+    28 threads) → 13.5 s on 8 CONTENDED threads. Hash bits are
+    engine-specific → rows-only; the planted-passage pytest in
+    tests/test_dedup.py gates BOTH paths on the same fixture."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     k, w = WINNOW_K, WINNOW_W
 
@@ -603,40 +712,54 @@ def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = docs.filter(F.length("text") >= k + w - 1).mapInPandas(
         extract, schema="doc_id LONG, fp LONG"
     )
-    # drop boilerplate fingerprints shared by too many docs — bounds
-    # the posting-list join exactly like q_dedup_ngram's DF_CAP
-    df_ok = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") <= WINNOW_DF_CAP
-    )
-    posts = fps.join(df_ok.select("fp"), "fp")
-    a = posts.select(F.col("doc_id").alias("id_a"), "fp")
-    b = posts.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= WINNOW_SHARED_T)
-        # deterministic within each task without a global sort: the
-        # pair set is what matters; a total order over the (DF-capped
-        # but still corpus-linear) pair output would funnel it through
-        # one range-partitioned exchange at 100 TB for nothing
-        .sortWithinPartitions("id_a", "id_b")
-    )
+    return _winnow_pairs(fps)
 
 
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_winnow_dup": q_winnow_dup,
+    "q_winnow_dup_fast": q_winnow_dup_fast,
     "q_dedup_minhash": q_dedup_minhash,
     "q_source_overlap": q_source_overlap,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_simhash_fast": q_dedup_simhash_fast,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_cluster": q_dedup_cluster,
     "q_dedup_embed": q_dedup_embed,
 }
 
 ORACLES = {
+    "q_winnow_dup": f"""
+        WITH g AS (
+            SELECT d.doc_id, p.pos,
+                   md5(substring(d.text, CAST(p.pos AS INTEGER), {WINNOW_K}))
+                       AS gh
+            FROM documents d,
+                 unnest(range(1, length(d.text) - {WINNOW_K} + 2)) AS p(pos)
+            WHERE length(d.text) >= {WINNOW_K + WINNOW_W - 1}
+        ), sel AS (
+            SELECT doc_id,
+                   MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND {WINNOW_W - 1} FOLLOWING) AS fp,
+                   LEAD(gh, {WINNOW_W - 1}) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS _full
+            FROM g
+        ), fps AS (
+            SELECT DISTINCT doc_id, fp FROM sel WHERE _full IS NOT NULL
+        ), capped AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING COUNT(*) <= {WINNOW_DF_CAP}
+        ), posts AS (
+            SELECT f.doc_id, f.fp FROM fps f JOIN capped USING (fp)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM posts a JOIN posts b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {WINNOW_SHARED_T}
+    """,
     "q_dedup_exact": """
         SELECT sha256(text) AS text_hash,
                MIN(doc_id) AS keep_id,

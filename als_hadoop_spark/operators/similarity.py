@@ -448,29 +448,44 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean) — the class-prototype computation behind nearest-centroid
     classification, IVF codebook seeding, and drift monitoring.
 
+    Output is the EXPLODED bounded frame (label, dim, mean_value,
+    n_vecs): labels × dims rows (5×64 = 320 here), every column scalar
+    — round 5's ARRAY<DOUBLE> ``centroid`` column broke the driver's
+    canonicalizer (pandas sort_values can't hash lists), so the
+    array-assembled form lives in :func:`embed_centroids` for library
+    users and the query emits only hashable scalars.
+
     Shape at scale: posexplode to (label, dim, value) then ONE hash
-    aggregate on the BOUNDED key (labels × dims, here 5×64) with
-    map-side partials — the shuffle carries one partial sum per task
-    per (label, dim), never the exploded rows; a second tiny aggregate
-    re-assembles the centroid array in dim order. No collect_list over
-    data-sized groups anywhere."""
+    aggregate on the BOUNDED key (labels × dims) with map-side partials
+    — the shuffle carries one partial sum per task per (label, dim),
+    never the exploded rows. No collect over data-sized groups."""
     emb = load(spark, sf_dir, "embeddings", spread=True)
-    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-    per_dim = ex.groupBy("label", "pos").agg(
-        F.sum("v").alias("s"), F.count("*").alias("c")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(F.sum("v") / F.count("*"), 4).alias("mean_value"),
+            F.count("*").alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
     )
+
+
+def embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library form of :func:`q_embed_centroid`: one row per label with
+    the centroid re-assembled as ARRAY<DOUBLE> in dim order — the shape
+    downstream vector ops (nearest-centroid scoring, codebook seeding)
+    consume. Kept OUT of the oracle-checked query surface because
+    top-level ARRAY output defeats the driver's row hasher."""
+    per_dim = q_embed_centroid(spark, sf_dir)
     return (
         per_dim.groupBy("label")
         .agg(
             F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("pos", F.round(F.col("s") / F.col("c"), 4).alias("m"))
-                    )
-                ),
-                lambda st: st["m"],
+                F.array_sort(F.collect_list(F.struct("dim", "mean_value"))),
+                lambda st: st["mean_value"],
             ).alias("centroid"),
-            F.max("c").alias("n_vecs"),
+            F.max("n_vecs").alias("n_vecs"),
         )
         .orderBy("label")
     )
@@ -841,19 +856,16 @@ ORACLES = {
     "q_embed_centroid": """
         WITH ex AS (
             SELECT label,
-                   unnest(range(1, len(embedding) + 1)) AS pos,
+                   unnest(range(len(embedding))) AS dim,
                    unnest(embedding) AS v
             FROM embeddings
-        ), per_dim AS (
-            SELECT label, pos,
-                   ROUND(SUM(v) / COUNT(*), 4) AS m,
-                   COUNT(*) AS c
-            FROM ex GROUP BY label, pos
         )
         SELECT label,
-               list(m ORDER BY pos) AS centroid,
-               CAST(MAX(c) AS BIGINT) AS n_vecs
-        FROM per_dim GROUP BY label ORDER BY label
+               CAST(dim AS INTEGER) AS dim,
+               ROUND(SUM(v) / COUNT(*), 4) AS mean_value,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM ex GROUP BY label, dim
+        ORDER BY label, dim
     """,
     "q_nearest_centroid": """
         WITH ex AS (

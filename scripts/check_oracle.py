@@ -116,6 +116,25 @@ def dtype_problems(sdf, duck_tbl) -> list[str]:
     return out
 
 
+# Harness-parity classes the driver's hasher cannot take. The driver
+# canonicalizes by pandas sort_values over every output column; a list/
+# dict cell raises TypeError: unhashable type (r5's q_embed_centroid red).
+# This is the second such class after r4's HUGEINT — gate it here so it
+# can't ship again.
+UNHASHABLE = {"array", "map", "struct"}
+
+
+def nested_output_problems(sdf) -> list[str]:
+    """FAIL any oracle-backed query whose output schema has a top-level
+    ARRAY/MAP/STRUCT column — the driver harness cannot hash those rows
+    even when values match the oracle exactly."""
+    return [
+        f"driver-unhashable[{f.name}] top-level {spark_type_class(f.dataType)}"
+        for f in sdf.schema.fields
+        if spark_type_class(f.dataType) in UNHASHABLE
+    ]
+
+
 def main(names=None):
     import duckdb
 
@@ -155,7 +174,7 @@ def main(names=None):
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
-        problems = dtype_problems(sdf, duck_tbl)
+        problems = nested_output_problems(sdf) + dtype_problems(sdf, duck_tbl)
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):

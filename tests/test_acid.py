@@ -756,3 +756,232 @@ def test_streaming_auto_optimize_bounds_file_count(spark, tmp_path):
     ops = [h["operation"] for h in t.history()]
     assert ops.count("optimize") >= 1, ops
     assert len(t._replay()) <= 2 + 2  # target + at most one post-opt batch
+
+
+# ----------------------------------------------------- change data feed
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k LONG, v STRING")
+
+
+def _upsert_kv(touched, chg):
+    c = chg.select("k", F.col("v").alias("_nv"))
+    j = touched.join(c, "k", "full_outer")
+    return j.select("k", F.coalesce("_nv", "v").alias("v"))
+
+
+def test_merge_cdf_sidecar_and_table_changes(spark, tmp_path):
+    """MERGE with cdf=True stages a precise sidecar: update rows appear
+    as pre/post image pairs, new keys as inserts, carried-over rows of
+    the rewritten file emit NOTHING."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    v = t.merge(_kv(spark, [(2, "B"), (3, "c")]), "k", _upsert_kv, cdf=True)
+    assert t.history()[-1].get("cdc"), "merge(cdf=True) must commit a sidecar"
+    ch = {
+        (r["k"], r["_change_type"]): r["v"]
+        for r in t.table_changes(v, v).collect()
+    }
+    assert ch == {
+        (2, "update_preimage"): "b",
+        (2, "update_postimage"): "B",
+        (3, "insert"): "c",
+    }
+    assert all(
+        r["_commit_version"] == v for r in t.table_changes(v, v).collect()
+    )
+
+
+def test_delete_cdf_and_derived_changes(spark, tmp_path):
+    """DELETE emits CDC when asked (ADVICE r5: the docstring promised
+    it); committed WITHOUT cdf, table_changes derives the same deleted
+    rows from the commit's remove/add actions."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    v1 = t.delete(F.col("k") == 2, cdf=True)
+    assert t.history()[-1].get("cdc")
+    got = [(r["k"], r["_change_type"]) for r in t.table_changes(v1, v1).collect()]
+    assert got == [(2, "delete")]
+    # no sidecar: derived from files — same change set
+    v2 = t.delete(F.col("k") == 3)
+    assert not t.history()[-1].get("cdc")
+    got = [(r["k"], r["_change_type"]) for r in t.table_changes(v2, v2).collect()]
+    assert got == [(3, "delete")]
+
+
+def test_append_overwrite_optimize_changes(spark, tmp_path):
+    """Pure-add commits derive inserts from the log (no sidecar
+    storage); overwrite emits delete+insert; OPTIMIZE is
+    dataChange=false and emits nothing."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    v0 = t.append(_kv(spark, [(1, "a")]))
+    got = [(r["k"], r["_change_type"]) for r in t.table_changes(v0, v0).collect()]
+    assert got == [(1, "insert")]
+    v1 = t.overwrite(_kv(spark, [(9, "z")]))
+    got = sorted(
+        (r["k"], r["_change_type"]) for r in t.table_changes(v1, v1).collect()
+    )
+    assert got == [(1, "delete"), (9, "insert")]
+    for _ in range(8):  # force many small files, then compact
+        t.append(_kv(spark, [(7, "s")]).coalesce(1))
+    vo = t.optimize(target_files=2)
+    assert t.history()[-1]["operation"] == "optimize"
+    assert t.table_changes(vo, vo).count() == 0
+    # multi-version read spans the whole range with version stamps
+    all_ch = t.table_changes(0, vo)
+    assert all_ch.filter(F.col("_commit_version") == v1).count() == 2
+
+
+def test_merge_without_cdf_derives_coarse_diff(spark, tmp_path):
+    """A merge committed without a sidecar still yields an exact CHANGE
+    SET from the file diff — updates surface as delete+insert (pairing
+    lost), carried-over rows cancel out of the multiset diff."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    v = t.merge(_kv(spark, [(2, "B")]), "k", _upsert_kv)
+    got = sorted(
+        (r["k"], r["_change_type"], r["v"])
+        for r in t.table_changes(v, v).collect()
+    )
+    assert got == [(2, "delete", "b"), (2, "insert", "B")]
+
+
+def test_table_changes_below_retention_raises(spark, tmp_path):
+    from als_hadoop_spark.sources.acid import CHECKPOINT_INTERVAL
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    for i in range(CHECKPOINT_INTERVAL + 1):
+        t.append(_kv(spark, [(i, "x")]).coalesce(1))
+    assert t.cleanup_log()
+    with pytest.raises(ValueError, match="retained-log horizon"):
+        t.table_changes(0)
+    # the retained suffix still reads fine
+    assert t.table_changes(CHECKPOINT_INTERVAL).count() >= 1
+
+
+def test_incremental_refresh_matches_recompute(spark, tmp_path):
+    """The signed-delta fold: a SUM/COUNT rollup maintained purely from
+    table_changes equals the recompute over the final snapshot —
+    including a group deleted down to zero rows dropping out."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    df0 = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g1", 20), (3, "g2", 5), (4, "g3", 7)],
+        "k LONG, grp STRING, x LONG",
+    )
+    t.append(df0.coalesce(1))
+    base_v = t.latest_version()
+    rollup = (
+        t.snapshot()
+        .groupBy("grp")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+    )
+    rollup = spark.createDataFrame(rollup.collect(), rollup.schema)  # freeze
+
+    def upsert(touched, chg):
+        c = chg.select("k", F.col("grp").alias("_g"), F.col("x").alias("_x"))
+        j = touched.join(c, "k", "full_outer")
+        return j.select(
+            "k",
+            F.coalesce("_g", "grp").alias("grp"),
+            F.coalesce("_x", "x").alias("x"),
+        )
+
+    t.merge(
+        spark.createDataFrame([(2, "g1", 25), (5, "g2", 3)], df0.schema),
+        "k",
+        upsert,
+        cdf=True,
+    )
+    t.delete(F.col("grp") == "g3")  # drops g3 entirely
+    refreshed = t.incremental_refresh(
+        rollup, ["grp"], {"sx": "x"}, start=base_v + 1, count_col="n"
+    )
+    expect = (
+        t.snapshot()
+        .groupBy("grp")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    assert refreshed.filter(F.col("grp") == "g3").count() == 0
+
+
+def test_vacuum_sweeps_orphan_cdc(spark, tmp_path):
+    """CDC sidecars referenced by no retained commit are reclaimed;
+    referenced ones survive and table_changes stays readable."""
+    from als_hadoop_spark.sources.acid import _CDC_DIR
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    v = t.merge(_kv(spark, [(2, "B")]), "k", _upsert_kv, cdf=True)
+    cdc_dir = os.path.join(t.path, _CDC_DIR)
+    orphan = os.path.join(cdc_dir, "deadbeef-00000.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    deleted = t.vacuum(retention_hours=0)
+    assert f"{_CDC_DIR}/deadbeef-00000.parquet" in deleted
+    referenced = t.history()[-1]["cdc"]
+    assert all(os.path.exists(os.path.join(t.path, p)) for p in referenced)
+    assert t.table_changes(v, v).count() == 2  # pre+post image of k=2
+
+
+def test_optimize_empty_table_is_noop(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    assert t.optimize(cluster_by="k") == -1
+    assert t.optimize(zorder_by=("k", "v")) == -1
+
+
+def test_checkpoint_failure_does_not_fail_commit(spark, tmp_path):
+    """_maybe_checkpoint is an optimization running AFTER the commit is
+    durably published — its failure must not surface as a failed
+    append (ADVICE r5: a retrying caller would duplicate data)."""
+    from unittest import mock
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    with mock.patch.object(
+        AcidTable, "_maybe_checkpoint", side_effect=OSError("disk full")
+    ):
+        v = t.append(_kv(spark, [(1, "a")]))
+    assert v == 0
+    assert t.snapshot().count() == 1
+
+
+def test_stale_checkpoint_gap_is_loud(spark, tmp_path):
+    """A reader holding a STALE _last_checkpoint whose replay range was
+    cleanup_log'd must get a loud error, not silently partial state
+    (ADVICE r5 on cleanup_log races)."""
+    import json as _json
+
+    from als_hadoop_spark.sources.acid import _LAST_CHECKPOINT, _LOG_DIR
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    for i in range(21):  # checkpoints at v10 and v20
+        t.append(_kv(spark, [(i, "x")]).coalesce(1))
+    # forge the race: pointer rolled back to the OLD checkpoint while
+    # the log prefix below the NEW one is already cleaned
+    ptr = os.path.join(t.path, _LOG_DIR, _LAST_CHECKPOINT)
+    with open(ptr, "w") as f:
+        _json.dump({"version": 10}, f)
+    for v in range(11, 20):
+        os.remove(os.path.join(t.path, _LOG_DIR, f"{v:010d}.json"))
+    AcidTable._STATE_CACHE.clear()  # fresh reader process
+    with pytest.raises(ValueError, match="log gap"):
+        t._state()
+
+
+def test_state_cache_rebuilt_table_not_served_stale(spark, tmp_path):
+    """The per-(path, version) state cache must key on the commit
+    file's identity: wiping a table and rebuilding DIFFERENT content at
+    the same path must not serve the old table's state."""
+    import shutil
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(_kv(spark, [(1, "old")]))
+    assert [r["v"] for r in t.snapshot(version=0).collect()] == ["old"]
+    shutil.rmtree(p)
+    t2 = AcidTable(spark, p)
+    t2.append(_kv(spark, [(1, "new")]))
+    assert [r["v"] for r in t2.snapshot(version=0).collect()] == ["new"]

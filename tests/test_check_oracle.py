@@ -82,3 +82,41 @@ def test_type_class_collapse():
         == arrow_type_class(pa.list_(pa.int64()))
         == "array"
     )
+
+def test_nested_output_is_flagged():
+    """Round-5's q_embed_centroid red: an ARRAY<DOUBLE> output column is
+    value-correct under the local canonicalizer but the DRIVER hashes via
+    pandas sort_values, where list cells raise TypeError.  Any top-level
+    ARRAY/MAP/STRUCT on an oracle-backed query must fail locally first."""
+    from pyspark.sql import types as T
+
+    from check_oracle import nested_output_problems
+
+    sdf = FakeDF(
+        [
+            FakeField("label", T.StringType()),
+            FakeField("centroid", T.ArrayType(T.DoubleType())),
+            FakeField("meta", T.MapType(T.StringType(), T.LongType())),
+            FakeField("pair", T.StructType([T.StructField("a", T.LongType())])),
+        ]
+    )
+    problems = nested_output_problems(sdf)
+    assert len(problems) == 3, problems
+    assert any("centroid" in p and "array" in p for p in problems)
+    assert any("meta" in p and "map" in p for p in problems)
+    assert any("pair" in p and "struct" in p for p in problems)
+
+
+def test_scalar_output_is_clean():
+    from pyspark.sql import types as T
+
+    from check_oracle import nested_output_problems
+
+    sdf = FakeDF(
+        [
+            FakeField("label", T.StringType()),
+            FakeField("mean_value", T.DoubleType()),
+            FakeField("n_vecs", T.LongType()),
+        ]
+    )
+    assert nested_output_problems(sdf) == []

@@ -363,3 +363,46 @@ def test_winnow_runs_on_fixture_and_is_deterministic(spark, sf_dir):
     assert r1 == r2
     for _, _, n in r1:
         assert n >= 3
+
+
+def test_simhash_fast_planted_near_dups(spark):
+    """The xxhash64 fast path must reproduce the simhash CONTRACT on
+    the same planted fixture as the md5 oracle-parity path: near-dups
+    within Hamming 12, unrelated docs beyond 20."""
+    base = " ".join(f"tok{i}" for i in range(80))
+    near = base.replace("tok40", "changed", 1)
+    far = " ".join(f"other{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id LONG, text STRING"
+    )
+    fps = {
+        r["doc_id"]: int(r["simhash"], 16)
+        for r in dedup.simhash_fingerprints_fast(docs).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[0], fps[1]) <= 12, f"near-dup hamming {ham(fps[0], fps[1])}"
+    assert ham(fps[0], fps[2]) > 20, f"unrelated hamming {ham(fps[0], fps[2])}"
+
+
+def test_winnow_fast_detects_planted_copied_passage(spark, tmp_path):
+    """Both winnow paths (md5 oracle-parity q_winnow_dup and the numpy
+    rolling-hash q_winnow_dup_fast) must flag the planted copied
+    passage and nothing else — the SWA guarantee is hash-agnostic."""
+    from als_hadoop_spark.operators.dedup import q_winnow_dup, q_winnow_dup_fast
+
+    passage = "the quick brown fox jumps over the lazy dog near the riverbank at dawn today"
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 4 + passage
+    b = passage + " iota kappa lambda mu nu xi omicron pi rho sigma " * 4
+    c = "one two three four five six seven eight nine ten eleven twelve " * 5
+    d = "unrelated entirely different content with no overlap whatsoever here " * 5
+    docs = spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b)),
+         (3, c, "en", "s", len(c)), (4, d, "en", "s", len(d))],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    for fn in (q_winnow_dup, q_winnow_dup_fast):
+        pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in fn(spark, sf).collect()}
+        assert (1, 2) in pairs, (fn.__name__, pairs)
+        assert all(p == (1, 2) for p in pairs), (fn.__name__, pairs)

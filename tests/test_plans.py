@@ -203,13 +203,20 @@ def test_round3_additions_plan_shapes(spark, sf_dir):
     assert_no_quadratic_join(df)
 
     # centroid: exactly the designed exchanges — deliberate spread
-    # repartition + per-dim agg + per-label agg + 10-row output sort —
-    # and no more (a collect_list over data-sized groups would add none
-    # but is guarded by the bounded-key design; a join would add one)
+    # repartition + ONE per-(label,dim) agg + bounded-output sort — and
+    # no more (r6 dropped the per-label array re-assembly from the query
+    # output; the array form lives in embed_centroids)
     df = similarity.q_embed_centroid(spark, sf_dir)
     n = count_shuffles(df)
-    assert n <= 4, f"centroid plans {n} shuffles"
+    assert n <= 3, f"centroid plans {n} shuffles"
     assert "Join" not in explain_str(df)
+    # the driver hasher can't take nested output — keep the query scalar
+    from pyspark.sql import types as T
+
+    assert not any(
+        isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        for f in df.schema.fields
+    ), "q_embed_centroid output must stay scalar (driver hasher)"
 
     # nearest-centroid: the K-prototype cross join must ride a
     # BROADCAST nested loop (K×dim doubles shipped to every task — the
