@@ -52,85 +52,74 @@ _MODULES = (
 
 
 # Registration order doubles as the external correctness harness's sample
-# order (it checks a prefix of the registry).  Lead with the queries that
-# have not yet appeared in any recorded correctness sample (rounds 1-4
-# covered 75 of 135; see CORRECTNESS_r0*.json) so the remaining surface
-# gets independent verification first: oracle-backed queries lead,
-# rows-only follow, previously-sampled queries close the list in their
-# module order.  Pure ordering — the dict contents are unchanged.
+# order (it checks a prefix of the registry).  Round-6 rotation
+# (VERDICT r5 #2): lead with the round's fixes whose CURRENT form the
+# driver has never hash-verified (q_embed_centroid reshaped after its r5
+# red; q_dedup_simhash's r5 oracle postdates its last sample;
+# q_winnow_dup newly oracle-backed), then the 13 queries never driver-RUN
+# in any round (all rows-only by design), then this round's new/changed
+# queries; previously-green queries close the list in module order.
+# Pure ordering — the dict contents are unchanged.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # round-4 additions, never sampled
-    "q_acid_merge",
+    # fixed/newly-oracled this round — need a driver hash on the new form
+    "q_embed_centroid",
+    "q_dedup_simhash",
     "q_winnow_dup",
-    "q_mixture_temperature",
-    # round-5 additions (oracle-backed)
-    "q_hash_split",
+    # never driver-RUN in rounds 1-5 (rows-only by design)
+    "q_als_recommend",
+    "q_als_item_sim",
+    "q_als_ranking",
+    "q_als_rank_sweep",
+    "q_bpe_merges",
+    "q_bpe_tokenize",
+    "q_curation_neardup",
+    "q_embed_kmeans",
+    "q_embed_pca",
+    "q_hll_overlap",
+    "q_multimodal_frames",
+    "q_sim_search_pq",
+    "q_sim_search_ivfpq",
+    # new this round (never sampled)
+    "q_winnow_dup_fast",
+    "q_dedup_simhash_fast",
+    # changed this round — re-verify under the driver
+    "q_source_overlap",
+    "q_acid_merge",
+    "q_nearest_centroid",
     "q_acid_evolution",
     "q_acid_timetravel",
-    # TPC-H shapes (tpch.py / market.py), oracle-backed
-    "q_agg_of_agg",
-    "q_having_semijoin",
-    "q_exists_chain",
-    "q_scalar_threshold_anti",
-    "q_forecast_revenue",
-    "q_volume_shipping",
-    "q_market_share",
-    "q_returned_items",
-    "q_promo_revenue",
-    # fuzzy / similarity / sketches, oracle-backed
-    "q_fuzzy_join",
-    "q_embed_centroid",
-    "q_nearest_centroid",
-    "q_bitmap_overlap",
-    # text family, oracle-backed
-    "q_lm_score",
-    "q_zipf_fit",
-    "q_stratified_k",
-    "q_sequence_pack",
-    "q_sample_mixture",
-    "q_quality_sample",
-    "q_tfidf",
-    "q_pii_scrub",
-    # ngrams family, oracle-backed
-    "q_ngram_lm",
-    "q_contamination",
-    "q_doc_repetition",
-    "q_token_entropy",
-    "q_pmi_bigrams",
-    # multimodal / timeseries / udf, oracle-backed
-    "q_multimodal_dedup",
-    "q_latest_by_key",
-    "q_merge_upsert",
-    "q_scd2_history",
-    "q_gap_fill",
-    "q_forward_fill",
-    "q_time_weighted_avg",
-    "q_interval_merge",
-    "q_udf_groupfit",
-    "q_udf_arrow",
-    # streaming batch-twins, oracle-backed
-    "q_stream_outer_join",
-    "q_stream_sliding",
-    "q_stream_enrich",
-    # never-sampled rows-only queries (weaker rows-only driver check)
-    "q_source_overlap",
+    # oracle-backed spot-checks of long-stable families (rotate through
+    # queries whose last driver sample is oldest: r2-era)
+    "q_dedup_exact",
+    "q_dedup_ngram",
+    "q_dedup_embed",
+    "q_sim_search",
+    "q_text_stats",
+    "q_curation",
+    "q_token_topk",
+    "q_lang_id",
+    "q_text_quality",
+    "q_doc_fingerprint",
+    "q_multimodal",
+    "q_asof_join",
+    "q_time_rollup",
+    "q_udf_quantize",
+    "q_udf_chunk",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_stream_join",
+    # rows-only spot-checks (weaker rows-only driver check)
+    "q_dedup_minhash",
     "q_dedup_cluster",
     "q_hll_rollup",
     "q_kll_quantiles",
     "q_cms_heavy_hitters",
-    "q_bpe_merges",
-    "q_bpe_tokenize",
-    "q_embed_pca",
-    "q_hll_overlap",
-    "q_curation_neardup",
-    "q_als_rank_sweep",
-    "q_als_recommend",
-    "q_als_item_sim",
-    "q_als_ranking",
-    "q_sim_search_pq",
-    "q_sim_search_ivfpq",
-    "q_multimodal_frames",
-    "q_embed_kmeans",
+    "q_als_fit_predict",
+    "q_als_rmse",
+    "q_sim_search_lsh",
+    "q_sim_search_ivf",
+    "q_multimodal_features",
+    "q_random_split",
 )
 
 

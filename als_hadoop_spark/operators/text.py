@@ -79,33 +79,37 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     side: whitespace split and a BPE-ish regex (word pieces + isolated
     non-word marks) — on clean text they agree; on real corpora the
     regex catches punctuation-glued tokens. Both tokenizations ride
-    ONE pass over the text: each document emits a tagged union of its
-    two token streams (intra-row concat of transform'd arrays), and a
-    single aggregate sums the per-tokenizer tags — no second corpus
-    scan, no full-outer count join, one vocabulary-bounded shuffle.
+    ONE pass over the text: each document emits the concat of its two
+    plain-string token arrays through a single posexplode, and the
+    POSITION tags the tokenizer (pos < |whitespace tokens| ⇔ branch 1)
+    — r6 replaced the r5 transform-into-struct tagged union, whose two
+    per-token HOF lambdas were interpreted, with this all-codegen
+    shape (measured 0.55→0.46 s warm sf0.1; a two-scan unionAll was
+    marginally faster locally but doubles the corpus IO at 100 TB).
+    One aggregate sums the tags; no second corpus scan, no full-outer
+    count join, one vocabulary-bounded shuffle.
     TakeOrderedAndProject keeps the top-K per partition → no global
     sort."""
     docs = load(spark, sf_dir, "documents", spread=True)
-    tagged = docs.select(
-        F.explode(
-            F.concat(
-                F.transform(
-                    _tokens(), lambda t: F.struct(t.alias("tok"), F.lit(1).alias("w"))
-                ),
-                F.transform(
-                    F.regexp_extract_all(
-                        "text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
-                    ),
-                    lambda t: F.struct(t.alias("tok"), F.lit(0).alias("w")),
-                ),
-            )
-        ).alias("p")
+    arrs = docs.select(
+        _tokens().alias("_a1"),
+        F.regexp_extract_all(
+            "text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+        ).alias("_a2"),
+    )
+    tagged = arrs.select(
+        F.size("_a1").alias("_n1"),
+        F.posexplode(F.concat("_a1", "_a2")).alias("pos", "tok"),
     )
     return (
-        tagged.groupBy(F.col("p.tok").alias("tok"))
+        tagged.groupBy("tok")
         .agg(
-            F.sum("p.w").alias("n_ws"),
-            F.sum(F.lit(1) - F.col("p.w")).alias("n_regex"),
+            F.sum(F.when(F.col("pos") < F.col("_n1"), 1).otherwise(0)).alias(
+                "n_ws"
+            ),
+            F.sum(F.when(F.col("pos") >= F.col("_n1"), 1).otherwise(0)).alias(
+                "n_regex"
+            ),
         )
         .orderBy(F.col("n_ws").desc(), "tok")
         .limit(TOP_K_TOKENS)

@@ -195,11 +195,17 @@ def q_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counting plain rows is 3× faster at sf0.1 and carries strictly
     # fewer bytes at any scale. _n_late == 1 makes max(late supplier)
     # THE late supplier — no collect_set.
+    # SHUFFLE_HASH on orders (r6, VERDICT r5 #6): the residual ×100
+    # cost was this join's sort-merge — BOTH sides sorted on orderkey
+    # for a join that feeds a hash AGGREGATE (which doesn't care about
+    # order). Hash-building on orders (1 row/order, the smaller side —
+    # the pair frame carries ~4) drops both sorts; neither side's sort
+    # order was reused downstream, so the plan loses only wasted work.
     per_pair = (
         li.repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("_max_ship"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(orders.hint("SHUFFLE_HASH"), F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "l_orderkey",
             "l_suppkey",

@@ -189,11 +189,21 @@ ANNOTATED = {
         "#sources² — tiny at any scale."
     ),
     "q_winnow_dup": (
-        "Winnowing fingerprints (MOSS): pure-JVM HOF gram hashing + "
-        "sliding array_min, DF-capped posting equi-join for pairs, and "
-        "ONLY per-partition sorting of the output (r5: the global "
-        "orderBy — a range-exchange funnel over a corpus-linear pair "
-        "set — is gone; no rangepartitioning node in this plan)."
+        "Winnowing fingerprints (MOSS), r6 oracle-parity form: chars "
+        "via posexplode(split), K-char grams re-assembled with window "
+        "leads + concat and hashed with md5 (bit-identical in DuckDB), "
+        "sliding-window MIN + per-doc distinct select the fingerprints; "
+        "DF-capped posting equi-join for pairs; ONLY per-partition "
+        "sorting of the output (no rangepartitioning node). The numpy "
+        "rolling-hash kernel lives on as q_winnow_dup_fast (ONE "
+        "Arrow-batched mapInPandas pass, engine-specific bits)."
+    ),
+    "q_winnow_dup_fast": (
+        "Fast winnowing: ONE Arrow-batched mapInPandas pass runs a "
+        "numpy uint64 polynomial rolling hash (prefix sums × modular "
+        "inverse of the base, murmur fmix finalizer), sliding-window "
+        "minimum and per-doc unique, emitting (doc_id, fp) directly; "
+        "same DF-capped pair generator as the oracle-parity path."
     ),
 }
 

@@ -65,3 +65,48 @@ def test_frame_sampling_shape_and_values(spark, sf_dir):
         assert r["n_bytes"] == len(frame)
         assert r["checksum"] == sum(frame) % 65_521
         assert r["resized_checksum"] == sum(frame[::2]) % 65_521
+
+
+def test_pluggable_decoder_features_end_to_end(spark, sf_dir):
+    """A user-supplied decoder flows through the SAME mapInPandas
+    plumbing (schema, batching, partitioning) and its outputs land in
+    the result — the production swap-in point for PIL/librosa is real,
+    not just documented."""
+    from als_hadoop_spark.operators.multimodal import (
+        multimodal_features,
+        q_multimodal_features,
+    )
+
+    def fake_decoder(payload, fmt):
+        # a "decode" with a recognizable signature: mean fixed to the
+        # payload length mod 7, checksum to the first byte (or -1)
+        return float(len(payload) % 7), int(payload[0]) if payload else -1
+
+    rows = multimodal_features(spark, sf_dir, decoder=fake_decoder).collect()
+    assert rows
+    for r in rows:
+        assert r["mean_byte"] == float(r["n_bytes"] % 7)
+    # default path unchanged
+    stub = q_multimodal_features(spark, sf_dir)
+    assert stub.columns == [c.name for c in stub.schema.fields]
+    assert stub.count() == len(rows)
+
+
+def test_pluggable_decoder_frames_end_to_end(spark, sf_dir):
+    """A fake frame sampler controls the 1→N expansion: two fixed
+    frames per asset with known bytes → known checksums."""
+    from als_hadoop_spark.operators.multimodal import multimodal_frames
+
+    def fake_frames(payload, fmt):
+        yield 0, b"\x01\x01", b"\x01"
+        yield 5, b"\x02\x02\x02", b"\x02"
+
+    df = multimodal_frames(spark, sf_dir, decoder=fake_frames)
+    rows = df.collect()
+    n_assets = {r["doc_id"] for r in rows}
+    assert len(rows) == 2 * len(n_assets)
+    for r in rows:
+        if r["frame_idx"] == 0:
+            assert (r["n_bytes"], r["checksum"], r["resized_checksum"]) == (2, 2, 1)
+        else:
+            assert (r["n_bytes"], r["checksum"], r["resized_checksum"]) == (3, 6, 2)
