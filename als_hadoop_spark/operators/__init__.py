@@ -80,6 +80,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "q_sim_search_pq",
     "q_sim_search_ivfpq",
     # new this round (never sampled)
+    "q_acid_cdf",
+    "q_acid_incremental",
     "q_winnow_dup_fast",
     "q_dedup_simhash_fast",
     # changed this round — re-verify under the driver

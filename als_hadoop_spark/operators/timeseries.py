@@ -620,8 +620,143 @@ def q_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.snapshot(version=v1).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def _latest_state(ev: DataFrame) -> DataFrame:
+    """One row per user: the (event_type, value) of the user's latest
+    event (ts, event_id total order) — the shared snapshot/changelog
+    compaction behind the acid queries."""
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_s")
+    )
+    return agg.select(
+        "user_id",
+        F.col("_s.event_type").alias("state"),
+        F.col("_s.value").alias("value"),
+    )
+
+
+def _merge_op(col: str = "user_id") -> F.Column:
+    """The deterministic Knuth-hash D/U tag both engines compute."""
+    return F.when(
+        F.pmod(
+            F.pmod(F.col(col).cast("bigint") * 2654435761, 2**32),
+            MERGE_DELETE_MOD,
+        )
+        == 0,
+        F.lit("D"),
+    ).otherwise(F.lit("U"))
+
+
+def q_acid_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED read under the oracle hash: the q_acid_merge
+    table is built with ``cdf=True`` and the query returns
+    ``table_changes`` for the MERGE commit — update pre/post image
+    pairs for keys whose state actually changed, inserts for new keys,
+    deletes for the op='D' keys, and NOTHING for rows the copy-on-write
+    rewrite carried over unchanged (the multiset-diff cancellation).
+    The DuckDB twin derives the same change set relationally from the
+    raw events, so the hash-match PROVES the CDC sidecar contents —
+    not just the merged table — are right.
+
+    Scale shape: the sidecar is written once by the merge (cost
+    proportional to the touched rows); the read is a plain parquet
+    scan of the sidecar files — never a table diff."""
+    from ..sources.acid import AcidTable
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    snap = _latest_state(ev.filter(F.col("ts") < cutoff))
+    chg = _latest_state(ev.filter(F.col("ts") >= cutoff)).withColumn(
+        "op", _merge_op()
+    )
+
+    def upsert(touched: DataFrame, changes: DataFrame) -> DataFrame:
+        t = touched.select(
+            "user_id",
+            F.col("state").alias("snap_state"),
+            F.col("value").alias("snap_value"),
+        )
+        j = t.join(changes, "user_id", "full_outer")
+        return j.filter(F.col("op").isNull() | (F.col("op") == "U")).select(
+            "user_id",
+            F.coalesce("state", "snap_state").alias("state"),
+            F.coalesce("value", "snap_value").alias("value"),
+        )
+
+    tbl = AcidTable(spark, _acid_scratch(spark, sf_dir, "cdf"))
+    tbl.append(snap.coalesce(4))
+    v = tbl.merge(chg, "user_id", upsert, cdf=True)
+    return tbl.table_changes(v, v).select(
+        "user_id", "state", "value", "_change_type", "_commit_version"
+    ).orderBy("user_id", "_change_type")
+
+
+def q_acid_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE closed over the change feed, under
+    the oracle hash: a per-state SUM/COUNT rollup is materialized at
+    version 0, the table then takes a MERGE (upserts + new keys) and a
+    DELETE (every 'click' row — one whole group vanishes), and the
+    rollup is brought current by ``incremental_refresh`` — the
+    signed-delta fold over ``table_changes`` — NEVER re-reading the
+    table. The DuckDB twin computes the final rollup directly from the
+    raw events; the hash-match proves fold-equals-recompute, including
+    the zero-count group dropping out.
+
+    Values fold in integer CENTS (floor(value·100)) — signed partial
+    sums must be exactly associative for the fold to be
+    order-independent across engines; float accumulation would drift
+    below the hash's 1e-9 canonicalization.
+
+    Scale shape: refresh cost is proportional to the CHANGED rows (the
+    CDF sidecars + per-key deltas), not the table — the pattern that
+    keeps a 100 TB table's downstream rollups affordable."""
+    from ..sources.acid import AcidTable
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+
+    def cents(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            "state",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+
+    snap = cents(_latest_state(ev.filter(F.col("ts") < cutoff)))
+    chg = cents(_latest_state(ev.filter(F.col("ts") >= cutoff))).withColumn(
+        "op", _merge_op()
+    )
+
+    def upsert(touched: DataFrame, changes: DataFrame) -> DataFrame:
+        t = touched.select(
+            "user_id",
+            F.col("state").alias("snap_state"),
+            F.col("cents").alias("snap_cents"),
+        )
+        j = t.join(changes, "user_id", "full_outer")
+        return j.filter(F.col("op").isNull() | (F.col("op") == "U")).select(
+            "user_id",
+            F.coalesce("state", "snap_state").alias("state"),
+            F.coalesce("cents", "snap_cents").alias("cents"),
+        )
+
+    tbl = AcidTable(spark, _acid_scratch(spark, sf_dir, "ivm"))
+    v0 = tbl.append(snap.coalesce(4))
+    rollup0 = (
+        tbl.snapshot(version=v0)
+        .groupBy("state")
+        .agg(F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n"))
+    )
+    tbl.merge(chg, "user_id", upsert, cdf=True)
+    tbl.delete(F.col("state") == "click", cdf=True)
+    return tbl.incremental_refresh(
+        rollup0, ["state"], {"sum_cents": "cents"}, start=v0 + 1, count_col="n"
+    ).orderBy("state")
+
+
 QUERIES = {
     "q_acid_merge": q_acid_merge,
+    "q_acid_cdf": q_acid_cdf,
+    "q_acid_incremental": q_acid_incremental,
     "q_acid_evolution": q_acid_evolution,
     "q_acid_timetravel": q_acid_timetravel,
     "q_asof_join": q_asof_join,
@@ -768,6 +903,96 @@ ORACLES = {
         FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
         WHERE c.op IS NULL OR c.op = 'U'
         ORDER BY user_id
+    """,
+    # the CDC sidecar contents derived relationally: update pairs only
+    # where the merged row actually differs, inserts for new keys,
+    # deletes for op='D' keys present in the snapshot — carried-over
+    # rows emit nothing (the exceptAll cancellation table_changes does)
+    "q_acid_cdf": f"""
+        WITH snap AS (
+            SELECT user_id, event_type AS snap_state, value AS snap_value
+            FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}'
+            ) WHERE rn = 1
+        ), chg AS (
+            SELECT user_id, event_type AS chg_state, value AS chg_value,
+                   CASE WHEN ((user_id * 2654435761) % 4294967296)
+                             % {MERGE_DELETE_MOD} = 0
+                        THEN 'D' ELSE 'U' END AS op
+            FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}'
+            ) WHERE rn = 1
+        ), upd AS (
+            SELECT s.user_id, s.snap_state, s.snap_value,
+                   c.chg_state, c.chg_value
+            FROM snap s JOIN chg c USING (user_id)
+            WHERE c.op = 'U'
+              AND (s.snap_state IS DISTINCT FROM c.chg_state
+                   OR s.snap_value IS DISTINCT FROM c.chg_value)
+        )
+        SELECT user_id, state, value, _change_type,
+               CAST(1 AS BIGINT) AS _commit_version
+        FROM (
+            SELECT user_id, snap_state AS state, snap_value AS value,
+                   'update_preimage' AS _change_type FROM upd
+            UNION ALL
+            SELECT user_id, chg_state, chg_value, 'update_postimage' FROM upd
+            UNION ALL
+            SELECT user_id, chg_state, chg_value, 'insert'
+            FROM chg WHERE op = 'U'
+              AND user_id NOT IN (SELECT user_id FROM snap)
+            UNION ALL
+            SELECT s.user_id, s.snap_state, s.snap_value, 'delete'
+            FROM snap s JOIN chg c USING (user_id) WHERE c.op = 'D'
+        )
+        ORDER BY user_id, _change_type
+    """,
+    # fold-equals-recompute: the incrementally-refreshed rollup must
+    # equal the direct rollup of the final table state (merged, minus
+    # the deleted 'click' group — which must drop out entirely)
+    "q_acid_incremental": f"""
+        WITH snap AS (
+            SELECT user_id, event_type AS snap_state,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS snap_cents
+            FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}'
+            ) WHERE rn = 1
+        ), chg AS (
+            SELECT user_id, event_type AS chg_state,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS chg_cents,
+                   CASE WHEN ((user_id * 2654435761) % 4294967296)
+                             % {MERGE_DELETE_MOD} = 0
+                        THEN 'D' ELSE 'U' END AS op
+            FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}'
+            ) WHERE rn = 1
+        ), merged AS (
+            SELECT COALESCE(c.user_id, s.user_id) AS user_id,
+                   COALESCE(c.chg_state, s.snap_state) AS state,
+                   COALESCE(c.chg_cents, s.snap_cents) AS cents
+            FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+            WHERE c.op IS NULL OR c.op = 'U'
+        )
+        SELECT state, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM merged WHERE state != 'click'
+        GROUP BY state ORDER BY state
     """,
     "q_merge_upsert": f"""
         WITH snap AS (

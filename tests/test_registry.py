@@ -19,7 +19,8 @@ ROWS_ONLY = {
     "q_als_ranking",            # factor-derived NDCG (beats-random pytest gate)
     "q_als_rank_sweep",         # factor-derived RMSE grid (structure gated in pytest)
     "q_dedup_minhash",          # banding recall < 1 (gated in pytest)
-    "q_winnow_dup",             # xxhash64 fingerprints — planted-passage pytest
+    "q_winnow_dup_fast",        # numpy rolling-hash bits — planted-passage pytest
+    "q_dedup_simhash_fast",     # xxhash64 bits — planted-near-dup pytest
     "q_sim_search_lsh",         # ANN recall < 1 (gated in pytest)
     "q_sim_search_ivf",         # ANN recall < 1 (gated in pytest)
     "q_sim_search_pq",          # PQ-compressed ANN (recall gated in pytest)
