@@ -601,41 +601,62 @@ def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected fingerprint, with only ~2/(W+1) of grams kept. Pairs
     sharing ≥ WINNOW_SHARED_T fingerprints are reported with counts.
 
-    ORACLE-PARITY PATH (r6, VERDICT r5 #5): the gram hash is md5 of
-    the K-char substring — bit-identical in Spark and DuckDB (the same
-    cross-engine recipe that oracle-ized simhash in r5) — so the
-    ENTIRE selection (window minima over md5 hex strings, per-doc
-    distinct, df-cap, pair counts) is replayed exactly by the SQL
-    oracle. Spark-side shape: ONE exchange on doc_id, chars via
-    posexplode(split), grams re-assembled with K−1 window leads +
-    concat (all codegen'd; md5 is a JVM intrinsic), both window passes
-    (gram build, sliding min) share one sort. The numpy rolling-hash
-    kernel — ~4× less fingerprint compute, engine-specific bits —
-    remains first-class as q_winnow_dup_fast below."""
+    ORACLE-PARITY PATH (r6, VERDICT r5 #5): the gram hash derives from
+    md5 of the K-char substring — bit-identical in Spark and DuckDB
+    (the same cross-engine recipe that oracle-ized simhash in r5) — so
+    the ENTIRE selection (window minima, per-doc distinct, df-cap,
+    pair counts) is replayed exactly by the SQL oracle. Selection key:
+    the first 15 hex digits of the md5. Spark parses them to a 60-bit
+    BIGINT (conv), DuckDB keeps the 15-char prefix string — fixed-
+    length lowercase hex sorts lexicographically exactly as its
+    numeric value, so window MIN selects the same gram set in both
+    engines while Spark's sliding frame compares longs, not 32-char
+    strings.
+
+    Spark-side shape (r6 rebuild — the first cut of this path exploded
+    per CHARACTER and re-assembled grams with K−1 chained lead()
+    frames, ~16 window passes over ~1e9 rows at ×100, measured in the
+    tens of minutes): gram rows come straight from
+    explode(sequence(1, len−K+1)) + substring + md5 — all codegen'd,
+    zero window functions — then ONE exchange on doc_id feeds a single
+    window pass whose only frame is the sliding BIGINT min. Incomplete
+    tail windows are cut arithmetically (pos ≤ n_grams − W + 1; the
+    gram count is known from length(text)) instead of with a lead()
+    completeness probe. The numpy rolling-hash kernel — ~4× less
+    fingerprint compute, engine-specific bits — remains first-class as
+    q_winnow_dup_fast below."""
     from pyspark.sql.window import Window
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     k, w = WINNOW_K, WINNOW_W
-    ch = docs.filter(F.length("text") >= k + w - 1).select(
-        "doc_id", F.posexplode(F.split("text", "")).alias("pos", "c")
+    # spread: the fixture parquet is one row group → the whole
+    # explode+md5 gram build would fuse into a single scan task
+    docs = (
+        load(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", "text")
+        .filter(F.length("text") >= k + w - 1)
+    )
+    g = docs.select(
+        "doc_id",
+        (F.length("text") - F.lit(k - 1)).alias("n_grams"),
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))).alias("pos"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        F.conv(F.substring(F.md5(F.expr(f"substring(text, pos, {k})")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("gh"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
-    # gram at pos = chars [pos, pos+K): concat returns NULL when any
-    # lead runs off the end, so incomplete tail grams drop out
-    g = ch.select(
-        "doc_id",
-        "pos",
-        F.md5(
-            F.concat("c", *[F.lead("c", i).over(win) for i in range(1, k)])
-        ).alias("gh"),
-    ).filter(F.col("gh").isNotNull())
     fps = (
         g.select(
             "doc_id",
+            "n_grams",
+            "pos",
             F.min("gh").over(win.rowsBetween(0, w - 1)).alias("fp"),
-            F.lead("gh", w - 1).over(win).alias("_full"),
         )
-        .filter(F.col("_full").isNotNull())  # only complete windows
+        .filter(F.col("pos") <= F.col("n_grams") - (w - 1))  # complete windows only
         .select("doc_id", "fp")
         .distinct()
     )
@@ -654,7 +675,7 @@ def q_winnow_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     28 threads) → 13.5 s on 8 CONTENDED threads. Hash bits are
     engine-specific → rows-only; the planted-passage pytest in
     tests/test_dedup.py gates BOTH paths on the same fixture."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     k, w = WINNOW_K, WINNOW_W
 
     def extract(batches):
@@ -732,21 +753,21 @@ ORACLES = {
     "q_winnow_dup": f"""
         WITH g AS (
             SELECT d.doc_id, p.pos,
-                   md5(substring(d.text, CAST(p.pos AS INTEGER), {WINNOW_K}))
-                       AS gh
+                   length(d.text) - {WINNOW_K - 1} AS n_grams,
+                   substring(md5(substring(d.text, CAST(p.pos AS INTEGER),
+                                           {WINNOW_K})), 1, 15) AS gh
             FROM documents d,
                  unnest(range(1, length(d.text) - {WINNOW_K} + 2)) AS p(pos)
             WHERE length(d.text) >= {WINNOW_K + WINNOW_W - 1}
         ), sel AS (
-            SELECT doc_id,
+            SELECT doc_id, pos, n_grams,
                    MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
                                  ROWS BETWEEN CURRENT ROW
-                                 AND {WINNOW_W - 1} FOLLOWING) AS fp,
-                   LEAD(gh, {WINNOW_W - 1}) OVER (
-                       PARTITION BY doc_id ORDER BY pos) AS _full
+                                 AND {WINNOW_W - 1} FOLLOWING) AS fp
             FROM g
         ), fps AS (
-            SELECT DISTINCT doc_id, fp FROM sel WHERE _full IS NOT NULL
+            SELECT DISTINCT doc_id, fp FROM sel
+            WHERE pos <= n_grams - {WINNOW_W - 1}
         ), capped AS (
             SELECT fp FROM fps GROUP BY fp
             HAVING COUNT(*) <= {WINNOW_DF_CAP}
