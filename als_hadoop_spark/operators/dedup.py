@@ -613,53 +613,78 @@ def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines while Spark's sliding frame compares longs, not 32-char
     strings.
 
-    Spark-side shape (r6 rebuild — the first cut of this path exploded
-    per CHARACTER and re-assembled grams with K−1 chained lead()
-    frames, ~16 window passes over ~1e9 rows at ×100, measured in the
-    tens of minutes): gram rows come straight from
-    explode(sequence(1, len−K+1)) + substring + md5 — all codegen'd,
-    zero window functions — then ONE exchange on doc_id feeds a single
-    window pass whose only frame is the sliding BIGINT min. Incomplete
-    tail windows are cut arithmetically (pos ≤ n_grams − W + 1; the
-    gram count is known from length(text)) instead of with a lead()
-    completeness probe. The numpy rolling-hash kernel — ~4× less
-    fingerprint compute, engine-specific bits — remains first-class as
-    q_winnow_dup_fast below."""
-    from pyspark.sql.window import Window
-
+    Spark-side shape (r6, third cut — each predecessor measured at the
+    ×100 corpus): per-character explode + K−1 chained lead() frames
+    (~16 window passes over ~1e9 rows, tens of minutes); then gram-row
+    explode + ONE doc_id window, which moved the cost into a 218M-row
+    exchange+sort whose 32 concurrent ~200 MB sorters thrashed the
+    execution-memory pool (437 s, allocation-blocked at 6/32 cores);
+    then JVM-codegen md5 gram rows piped to a numpy sliding min
+    (120 s — the 218M-row Arrow stream was the new tax). Winnowing is
+    per-doc LOCAL, so the final shape ships ONLY (doc_id, text) rows
+    to ONE Arrow-batched mapInPandas pass — no explode, no exchange,
+    no window — which md5-hashes the K-char grams in Python (~1.3 µs
+    each, measured; hashlib md5 of the same UTF-8 bytes Spark's
+    md5(substring(..)) sees, first 15 hex digits as a 60-bit int =
+    int.from_bytes(digest[:8]) >> 4) and takes the numpy
+    sliding-window minimum + per-doc unique. sliding_window_view
+    yields only COMPLETE windows — exactly the algorithm's tail cut.
+    ×100 measured: 437 s (window) → 120 s (gram-row Arrow) → 59 s
+    here, vs 30 s for the fast path — the md5-vs-rolling-hash tax is
+    the whole residual. The numpy rolling-hash kernel — no md5 at all,
+    O(1)/gram — remains first-class as q_winnow_dup_fast."""
     k, w = WINNOW_K, WINNOW_W
-    # spread: the fixture parquet is one row group → the whole
-    # explode+md5 gram build would fuse into a single scan task
+    # spread: the fixture parquet is one row group → the Arrow kernel
+    # would otherwise run as a single scan task
     docs = (
         load(spark, sf_dir, "documents", spread=True)
         .select("doc_id", "text")
         .filter(F.length("text") >= k + w - 1)
     )
-    g = docs.select(
-        "doc_id",
-        (F.length("text") - F.lit(k - 1)).alias("n_grams"),
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))).alias("pos"),
-    ).select(
-        "doc_id",
-        "n_grams",
-        "pos",
-        F.conv(F.substring(F.md5(F.expr(f"substring(text, pos, {k})")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("gh"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    fps = (
-        g.select(
-            "doc_id",
-            "n_grams",
-            "pos",
-            F.min("gh").over(win.rowsBetween(0, w - 1)).alias("fp"),
-        )
-        .filter(F.col("pos") <= F.col("n_grams") - (w - 1))  # complete windows only
-        .select("doc_id", "fp")
-        .distinct()
-    )
+
+    def winnow_md5(batches):
+        # self-contained closure (pickled by value — no package on the
+        # executor PYTHONPATH needed, per the repo's vanilla-session rule)
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, chunks = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                n = len(t) - k + 1
+                if n < w:
+                    continue
+                # char-slice THEN encode: substring() in both engines is
+                # character-based; md5 runs on the slice's UTF-8 bytes
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(md5(t[i : i + k].encode()).digest()[:8], "big")
+                        >> 4
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                u = np.unique(sliding_window_view(hs, w).min(axis=1))
+                ids.append(np.full(u.size, doc_id, dtype=np.int64))
+                chunks.append(u)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(ids), "fp": np.concatenate(chunks)}
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "fp": pd.Series([], dtype="int64"),
+                    }
+                )
+
+    fps = docs.mapInPandas(winnow_md5, schema="doc_id LONG, fp LONG")
     return _winnow_pairs(fps)
 
 
