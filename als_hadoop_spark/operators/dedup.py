@@ -358,19 +358,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     128-bit shingle hash, shared-shingle counts aggregated, Jaccard
     computed exactly from counts — deterministic, fully oracle-checked.
 
-    Shingle generation is posexplode + window ``lead`` (codegen'd
-    Generate + Window operators) instead of the interpreted
-    sequence/transform/element_at HOF chain used by the banded-minhash
-    path: measured 3× faster at sf0.1 (1.1 s vs 3.8 s warm for the
-    posting list) because every operator stays inside whole-stage
-    codegen. Per-doc distinct shingle sets come from a
-    ``collect_set`` groupBy that reuses the window's doc_id
-    partitioning — no extra exchange.
+    The posting list (doc_id, n_sh, shingle-hash) is built by ONE
+    Arrow-batched mapInPandas kernel — python split/slice/join + md5,
+    per-doc set() distinct — with ZERO shuffles before the posting
+    repartition. Shingling is per-doc LOCAL, and both JVM-side shapes
+    measured at the ×100 corpus collapse on machinery the algorithm
+    never needed: the r5 exploded-token doc_id-window form pays a
+    100M-token-row exchange+sort (170 s for the POSTING LIST alone, 32
+    concurrent ~200 MB sorters thrashing the execution-memory pool —
+    the same pathology found on the r6 winnowing window), and the
+    interpreted HOF chain (transform/concat_ws/array_distinct)
+    re-evaluates under its two consumers (size + explode) for 41 s at
+    ×10. Same r6 lesson as winnowing: a per-doc computation gets a
+    per-doc kernel, not a corpus-wide sort.
 
-    Keys are structs of (xxhash64(s,0), xxhash64(s,1)) — 16 fixed-width
-    bytes instead of a ~20-char UTF8 shingle. Collision odds are 2^-128
-    per shingle pair; the oracle hash-match at every test scale
-    double-checks the claim.
+    Keys are two signed int64s unpacked from md5(shingle)[:16] — 16
+    fixed-width bytes instead of a ~20-char UTF8 shingle. Collision
+    odds are 2^-128 per shingle pair; the key never surfaces in the
+    output (jaccard comes from match COUNTS), so the oracle — which
+    joins on shingle strings — hash-checks the claim at every scale.
 
     Candidate volume bound: shingles with df > DF_CAP are dropped via a
     broadcast anti-join (the hot list is tiny by definition) BEFORE the
@@ -393,44 +399,64 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 self-join design whose three-consumer exchange reuse interacted
     with AQE to produce 6 s ↔ 16 s swings; steady-state is now
     2.2-3.1 s at sf0.1 across consecutive runs."""
-    from pyspark.sql.window import Window
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    n_shingle = SHINGLE_N
 
-    docs = load(spark, sf_dir, "documents", spread=True)
-    toks = docs.select("doc_id", F.posexplode(_tokens()).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    # Full shingles exist where t3 is non-null (pos ≤ len-3); docs with
-    # fewer than SHINGLE_N tokens keep one partial shingle at pos 0
-    # (concat_ws skips the NULL leads), matching _shingles' HOF
-    # semantics and the oracle's greatest(len-3, 0) bound.
-    sh = (
-        toks.select(
-            "doc_id",
-            "pos",
-            "tok",
-            F.lead("tok", 1).over(w).alias("t2"),
-            F.lead("tok", 2).over(w).alias("t3"),
-        )
-        .filter(F.col("t3").isNotNull() | (F.col("pos") == 0))
-        .select("doc_id", F.concat_ws(" ", "tok", "t2", "t3").alias("shingle"))
-    )
-    per_doc = (
-        sh.select(
-            "doc_id",
-            F.struct(
-                F.xxhash64("shingle", F.lit(0)).alias("h1"),
-                F.xxhash64("shingle", F.lit(1)).alias("h2"),
-            ).alias("h"),
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("hs"))
-    )
+    def shingle_posts(batches):
+        # self-contained closure (pickled by value — no package on the
+        # executor PYTHONPATH needed, per the repo's vanilla-session rule)
+        import hashlib
+        import struct as pystruct
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        unpack = pystruct.Struct(">qq").unpack
+        for pdf in batches:
+            out_id, out_n, out_h1, out_h2 = [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                toks = t.split(" ")
+                # one partial shingle for docs shorter than SHINGLE_N
+                # tokens — the oracle's greatest(len-N, 0) bound
+                hs = {
+                    unpack(md5(" ".join(toks[i : i + n_shingle]).encode()).digest())
+                    for i in range(max(len(toks) - n_shingle, 0) + 1)
+                }
+                n_sh = len(hs)
+                out_id.append(np.full(n_sh, doc_id, dtype=np.int64))
+                out_n.append(np.full(n_sh, n_sh, dtype=np.int64))
+                h1, h2 = zip(*hs)
+                out_h1.append(np.fromiter(h1, dtype=np.int64, count=n_sh))
+                out_h2.append(np.fromiter(h2, dtype=np.int64, count=n_sh))
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_id),
+                        "n_sh": np.concatenate(out_n),
+                        "h1": np.concatenate(out_h1),
+                        "h2": np.concatenate(out_h2),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        c: pd.Series([], dtype="int64")
+                        for c in ("doc_id", "n_sh", "h1", "h2")
+                    }
+                )
+
     # Posting list (doc_id, n_sh, h), pinned to an explicit partition
     # COUNT: AQE would size post-shuffle partitions by input bytes
     # (small) and coalesce to ~1, but pair expansion EXPLODES on
     # output, so the fan-out must stay parallel.
-    post = per_doc.select(
-        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("h")
-    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "h")
+    post = (
+        docs.mapInPandas(
+            shingle_posts, schema="doc_id LONG, n_sh LONG, h1 LONG, h2 LONG"
+        )
+        .select("doc_id", "n_sh", F.struct("h1", "h2").alias("h"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "h")
+    )
     hot = (
         post.groupBy("h")
         .agg(F.count("*").alias("df"))
