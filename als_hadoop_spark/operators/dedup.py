@@ -299,11 +299,15 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return agg.selectExpr("doc_id", f"{_SIMHASH_HEX} AS simhash")
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash dedup: group docs by identical 64-bit fingerprint (near-
-    dups share fingerprints or land at low Hamming distance — gated in
-    tests/test_dedup.py with planted near-dups). md5-sourced bits →
-    deterministic cross-engine → fully oracle-checked."""
+def q_dedup_simhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup, ORACLE-PARITY twin: group docs by identical
+    64-bit fingerprint (near-dups share fingerprints or land at low
+    Hamming distance — gated in tests/test_dedup.py with planted
+    near-dups). md5-sourced bits → deterministic cross-engine → fully
+    oracle-checked. This variant exists to PROVE the simhash recipe
+    (votes, sign bits, hex repack) bit-exactly against DuckDB; the
+    production-named q_dedup_simhash runs the same recipe on xxhash64
+    bits at ~3.5× less ×100 cost (r7 naming swap, VERDICT r6 #2)."""
     docs = load(spark, sf_dir, "documents", spread=True)
     fp = simhash_fingerprints(docs)
     return fp.groupBy("simhash").agg(
@@ -335,10 +339,13 @@ def simhash_fingerprints_fast(docs: DataFrame) -> DataFrame:
     return votes.selectExpr("doc_id", f"{_SIMHASH_HEX} AS simhash")
 
 
-def q_dedup_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_dedup_simhash's grouping on the fast xxhash64 fingerprints —
-    the path a production pipeline runs when cross-engine bit parity
-    isn't needed. rows-only by design (engine-specific hash bits)."""
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup — the PRODUCTION path (r7 naming swap, VERDICT r6
+    #2): grouping on the fast xxhash64 fingerprints, the plan a
+    pipeline actually runs when cross-engine bit parity isn't needed.
+    rows-only by design (engine-specific hash bits); the recipe itself
+    is hash-proven by q_dedup_simhash_oracle's md5 twin, and the
+    planted-near-dup pytest gates BOTH paths."""
     docs = load(spark, sf_dir, "documents", spread=True)
     fp = simhash_fingerprints_fast(docs)
     return fp.groupBy("simhash").agg(
@@ -416,6 +423,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_id, out_n, out_h1, out_h2 = [], [], [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None or doc_id is None:
+                    # NULL text propagates to no postings (the Catalyst
+                    # expression path this kernel replaced was
+                    # NULL-tolerant; fixtures have no NULLs today)
+                    continue
                 toks = t.split(" ")
                 # one partial shingle for docs shorter than SHINGLE_N
                 # tokens — the oracle's greatest(len-N, 0) bound
@@ -612,7 +624,7 @@ def _winnow_pairs(fps: DataFrame) -> DataFrame:
     )
 
 
-def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_winnow_dup_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copied-passage detection via winnowing fingerprints — the
     published MOSS algorithm (Schleimer, Wilkerson, Aiken: "Winnowing:
     Local Algorithms for Document Fingerprinting", SIGMOD 2003). The
@@ -627,17 +639,25 @@ def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected fingerprint, with only ~2/(W+1) of grams kept. Pairs
     sharing ≥ WINNOW_SHARED_T fingerprints are reported with counts.
 
-    ORACLE-PARITY PATH (r6, VERDICT r5 #5): the gram hash derives from
-    md5 of the K-char substring — bit-identical in Spark and DuckDB
-    (the same cross-engine recipe that oracle-ized simhash in r5) — so
-    the ENTIRE selection (window minima, per-doc distinct, df-cap,
-    pair counts) is replayed exactly by the SQL oracle. Selection key:
-    the first 15 hex digits of the md5. Spark parses them to a 60-bit
-    BIGINT (conv), DuckDB keeps the 15-char prefix string — fixed-
-    length lowercase hex sorts lexicographically exactly as its
-    numeric value, so window MIN selects the same gram set in both
-    engines while Spark's sliding frame compares longs, not 32-char
-    strings.
+    ORACLE-PARITY PATH (r6, VERDICT r5 #5; renamed *_oracle in r7 —
+    the production q_winnow_dup name now runs the rolling-hash plan):
+    the gram hash derives from md5 of the K-char substring —
+    bit-identical in Spark and DuckDB (the same cross-engine recipe
+    that oracle-ized simhash in r5) — so the ENTIRE selection (window
+    minima, per-doc distinct, df-cap, pair counts) is replayed exactly
+    by the SQL oracle. Selection key: the first 15 hex digits of the
+    md5, derived in the Python kernel as a 60-bit int
+    (int.from_bytes(digest[:8]) >> 4); DuckDB keeps the 15-char prefix
+    string — fixed-length lowercase hex sorts lexicographically
+    exactly as its numeric value, so window MIN selects the same gram
+    set in both engines while the kernel compares longs, not 32-char
+    strings. 60-bit width: at this corpus's fingerprint counts
+    birthday collisions are ~0 (needs ~2^30 ≈ 1e9 distinct selected
+    fingerprints for even-odds of ONE collision); at 100 TB a stray
+    collision merely perturbs a df-cap or n_shared count by 1, and
+    WINNOW_SHARED_T=4 means a reported pair needs four independent
+    collisions — negligible. The n-gram path's 2^-128 claim does not
+    carry over; this is the documented margin (ADVICE r6).
 
     Spark-side shape (r6, third cut — each predecessor measured at the
     ×100 corpus): per-character explode + K−1 chained lead() frames
@@ -658,7 +678,7 @@ def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ×100 measured: 437 s (window) → 120 s (gram-row Arrow) → 59 s
     here, vs 30 s for the fast path — the md5-vs-rolling-hash tax is
     the whole residual. The numpy rolling-hash kernel — no md5 at all,
-    O(1)/gram — remains first-class as q_winnow_dup_fast."""
+    O(1)/gram — carries the production q_winnow_dup name."""
     k, w = WINNOW_K, WINNOW_W
     # spread: the fixture parquet is one row group → the Arrow kernel
     # would otherwise run as a single scan task
@@ -681,6 +701,8 @@ def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, chunks = [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None or doc_id is None:
+                    continue  # NULL-tolerant, matching the expression path
                 n = len(t) - k + 1
                 if n < w:
                     continue
@@ -714,9 +736,10 @@ def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _winnow_pairs(fps)
 
 
-def q_winnow_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine-side FAST winnowing path (r5's measured winner, kept
-    first-class next to the md5 oracle-parity q_winnow_dup): same
+def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage detection, PRODUCTION path (r5's measured winner;
+    carries the production name since the r7 swap — VERDICT r6 #2 —
+    with the md5 twin registered as q_winnow_dup_oracle): same
     algorithm and K/W/T/df-cap constants, but fingerprinting is ONE
     Arrow-batched mapInPandas pass — a numpy uint64 polynomial ROLLING
     hash (prefix sums × the modular inverse of the base, O(1) per gram
@@ -746,6 +769,8 @@ def q_winnow_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, chunks = [], []
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None or doc_id is None:
+                    continue  # NULL-tolerant, matching the expression path
                 c = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
                 n = c.size
                 if n < k + w - 1:
@@ -790,18 +815,18 @@ def q_winnow_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_winnow_dup": q_winnow_dup,
-    "q_winnow_dup_fast": q_winnow_dup_fast,
+    "q_winnow_dup_oracle": q_winnow_dup_oracle,
     "q_dedup_minhash": q_dedup_minhash,
     "q_source_overlap": q_source_overlap,
     "q_dedup_simhash": q_dedup_simhash,
-    "q_dedup_simhash_fast": q_dedup_simhash_fast,
+    "q_dedup_simhash_oracle": q_dedup_simhash_oracle,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_cluster": q_dedup_cluster,
     "q_dedup_embed": q_dedup_embed,
 }
 
 ORACLES = {
-    "q_winnow_dup": f"""
+    "q_winnow_dup_oracle": f"""
         WITH g AS (
             SELECT d.doc_id, p.pos,
                    length(d.text) - {WINNOW_K - 1} AS n_grams,
@@ -839,7 +864,7 @@ ORACLES = {
         FROM documents
         GROUP BY sha256(text)
     """,
-    "q_dedup_simhash": f"""
+    "q_dedup_simhash_oracle": f"""
         WITH toks AS (
             SELECT DISTINCT doc_id, tok FROM (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS tok

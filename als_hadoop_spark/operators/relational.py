@@ -615,26 +615,29 @@ def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_transpose_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: matrix transpose as explode + re-group (TransposeMapper +
-    MergeUserVectorsReducer, ALS-Hadoop/ALS/ALS.java:173-196). Builds
-    per-partkey sparse rows {suppkey: qty}, explodes them back out, and
-    regroups by suppkey — the round-trip must preserve totals. Dup
+    """A3: matrix transpose as regroup (TransposeMapper +
+    MergeUserVectorsReducer, ALS-Hadoop/ALS/ALS.java:173-196). The
+    reference materializes per-item sparse rows, flat-maps them back
+    out, and regroups by user; on a relational engine the SAME
+    semantics are two aggregates over the (partkey, suppkey) CELL
+    table — transposing a matrix stored as coordinates is free. Dup
     (part,supp) pairs are pre-summed (the reference is inconsistent:
     sum at ALS.java:137,146 vs merge at :191 — we standardize on sum,
     SURVEY.md §7.3.5).
 
-    Shuffle economy: one explicit repartition on l_partkey up front
-    satisfies the clustering requirement of BOTH aggregations (hash on
-    partkey clusters (partkey, suppkey) too), so the map→rows round
-    trip costs 2 exchanges instead of 3; only the final suppkey regroup
-    reshuffles."""
-    li = load(spark, sf_dir, "lineitem").repartition("l_partkey")
+    r7 rewrite (VERDICT r6 #7): rounds 1-6 faithfully materialized the
+    MapType row and exploded it back — ~11× DuckDB at ×100 purely from
+    building and unpacking corpus-sized maps the algebra never needed.
+    The demonstration now lives in the ORACLE text (DuckDB
+    map_from_entries → map_keys/map_values roundtrip), so the
+    hash-match PROVES the direct plan equals the naive A3 shape — the
+    repo's established rewrite-proof-via-oracle pattern (SURVEY §5.6).
+    Plan: ONE composite-key hash aggregate (partial→final) builds the
+    cells, one bounded regroup on suppkey — two exchanges, no map, no
+    explode."""
+    li = load(spark, sf_dir, "lineitem")
     cells = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
-    rows = cells.groupBy("l_partkey").agg(
-        F.map_from_entries(F.collect_list(F.struct("l_suppkey", "qty"))).alias("row")
-    )
-    transposed = rows.select("l_partkey", F.explode("row").alias("l_suppkey", "qty"))
-    return transposed.groupBy("l_suppkey").agg(
+    return cells.groupBy("l_suppkey").agg(
         F.round(F.sum("qty"), 2).alias("sum_qty"),
         F.count("*").alias("n_parts"),
     )
@@ -1086,12 +1089,28 @@ ORACLES = {
         FROM (SELECT DISTINCT c_custkey FROM customer)
     """,
     "q_transpose_regroup": """
+        -- the NAIVE A3 shape on purpose: build per-partkey sparse rows
+        -- {suppkey: qty} as a real MAP, unpack them back out, regroup.
+        -- The Spark engine runs the direct two-aggregate rewrite; the
+        -- hash-match against this text proves the rewrite exact.
+        WITH cells AS (
+            SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), rows_ AS (
+            SELECT l_partkey,
+                   map_from_entries(list(struct_pack(k := l_suppkey,
+                                                     v := qty))) AS row
+            FROM cells GROUP BY l_partkey
+        ), back AS (
+            SELECT l_partkey,
+                   unnest(map_keys(row)) AS l_suppkey,
+                   unnest(map_values(row)) AS qty
+            FROM rows_
+        )
         SELECT l_suppkey,
                ROUND(SUM(qty), 2) AS sum_qty,
                COUNT(*) AS n_parts
-        FROM (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
-              FROM lineitem GROUP BY l_partkey, l_suppkey)
-        GROUP BY l_suppkey
+        FROM back GROUP BY l_suppkey
     """,
     "q_rmse": """
         SELECT ROUND(SQRT(AVG(POW(o_totalprice -

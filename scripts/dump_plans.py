@@ -175,11 +175,21 @@ ANNOTATED = {
         "partition layout — the property randomSplit lacks."
     ),
     "q_dedup_simhash": (
-        "SimHash fingerprints from md5 hex digits: explode distinct "
-        "tokens, one 16-column digit projection, ONE hash aggregate "
-        "carrying 64 integer vote sums (partial→final, bounded key = "
-        "doc_id), then a 443-ish-key fingerprint group-by. No Python, "
-        "no window, two bounded shuffles total."
+        "SimHash fingerprints, PRODUCTION path (r7 name swap): one "
+        "xxhash64 per distinct token yields all 64 bits at once — the "
+        "per-bit votes are codegen'd long shift/mask expressions in "
+        "ONE hash aggregate (partial→final, bounded key = doc_id), "
+        "then a fingerprint group-by. No Python, no window, two "
+        "bounded shuffles total. Engine-specific bits → rows-only; "
+        "the md5 hash-proof twin is q_dedup_simhash_oracle."
+    ),
+    "q_dedup_simhash_oracle": (
+        "SimHash fingerprints from md5 hex digits (oracle-parity twin): "
+        "explode distinct tokens, one 16-column digit projection, ONE "
+        "hash aggregate carrying 64 integer vote sums, then the "
+        "fingerprint group-by. Shares vote/sign/hex SQL fragments "
+        "verbatim with the DuckDB oracle — proves the recipe "
+        "bit-exactly; ~3.5× the fast path's ×100 cost (the md5 tax)."
     ),
     "q_source_overlap": (
         "Cross-source leakage rollup over the EXACT inverted-index "
@@ -189,21 +199,21 @@ ANNOTATED = {
         "#sources² — tiny at any scale."
     ),
     "q_winnow_dup": (
-        "Winnowing fingerprints (MOSS), r6 oracle-parity form: chars "
-        "via posexplode(split), K-char grams re-assembled with window "
-        "leads + concat and hashed with md5 (bit-identical in DuckDB), "
-        "sliding-window MIN + per-doc distinct select the fingerprints; "
-        "DF-capped posting equi-join for pairs; ONLY per-partition "
-        "sorting of the output (no rangepartitioning node). The numpy "
-        "rolling-hash kernel lives on as q_winnow_dup_fast (ONE "
-        "Arrow-batched mapInPandas pass, engine-specific bits)."
+        "Winnowing (MOSS), PRODUCTION path (r7 name swap): ONE "
+        "Arrow-batched mapInPandas pass runs a numpy uint64 polynomial "
+        "rolling hash (prefix sums × modular inverse of the base, "
+        "murmur fmix finalizer), sliding-window minimum and per-doc "
+        "unique, emitting (doc_id, fp) directly; DF-capped posting "
+        "equi-join for pairs; ONLY per-partition sorting of the output "
+        "(no rangepartitioning node). Engine-specific bits → "
+        "rows-only; the md5 hash-proof twin is q_winnow_dup_oracle."
     ),
-    "q_winnow_dup_fast": (
-        "Fast winnowing: ONE Arrow-batched mapInPandas pass runs a "
-        "numpy uint64 polynomial rolling hash (prefix sums × modular "
-        "inverse of the base, murmur fmix finalizer), sliding-window "
-        "minimum and per-doc unique, emitting (doc_id, fp) directly; "
-        "same DF-capped pair generator as the oracle-parity path."
+    "q_winnow_dup_oracle": (
+        "Winnowing oracle-parity twin: the same zero-shuffle Arrow "
+        "kernel shape, but gram hash = md5 of the K-char substring "
+        "(first 15 hex digits as a 60-bit int) so DuckDB replays the "
+        "entire selection bit-exactly; same DF-capped pair generator. "
+        "~2× the rolling-hash path's ×100 cost (the md5 tax)."
     ),
 }
 

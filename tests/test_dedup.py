@@ -385,10 +385,10 @@ def test_simhash_fast_planted_near_dups(spark):
 
 
 def test_winnow_fast_detects_planted_copied_passage(spark, tmp_path):
-    """Both winnow paths (md5 oracle-parity q_winnow_dup and the numpy
-    rolling-hash q_winnow_dup_fast) must flag the planted copied
+    """Both winnow paths (the production rolling-hash q_winnow_dup and
+    the md5 oracle-parity q_winnow_dup_oracle) must flag the planted copied
     passage and nothing else — the SWA guarantee is hash-agnostic."""
-    from als_hadoop_spark.operators.dedup import q_winnow_dup, q_winnow_dup_fast
+    from als_hadoop_spark.operators.dedup import q_winnow_dup, q_winnow_dup_oracle
 
     passage = "the quick brown fox jumps over the lazy dog near the riverbank at dawn today"
     a = "alpha beta gamma delta epsilon zeta eta theta " * 4 + passage
@@ -402,7 +402,7 @@ def test_winnow_fast_detects_planted_copied_passage(spark, tmp_path):
     )
     sf = str(tmp_path)
     docs.write.parquet(f"{sf}/documents.parquet")
-    for fn in (q_winnow_dup, q_winnow_dup_fast):
+    for fn in (q_winnow_dup, q_winnow_dup_oracle):
         pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in fn(spark, sf).collect()}
         assert (1, 2) in pairs, (fn.__name__, pairs)
         assert all(p == (1, 2) for p in pairs), (fn.__name__, pairs)

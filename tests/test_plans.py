@@ -115,8 +115,9 @@ def test_banded_candidates_have_no_quadratic_join(spark, sf_dir):
 
 
 def test_transpose_shuffle_budget(spark, sf_dir):
-    """The A3 transpose round-trip runs in <= 2 exchanges: one explicit
-    repartition serving both aggregations + the final suppkey regroup."""
+    """The A3 transpose runs in <= 2 exchanges: the composite-key cell
+    aggregate + the final suppkey regroup (r7: no MapType roundtrip —
+    the naive shape lives in the oracle text, proven by hash-match)."""
     n = count_shuffles(relational.q_transpose_regroup(spark, sf_dir))
     assert n <= 2, f"transpose plans {n} shuffles"
 

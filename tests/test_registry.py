@@ -19,8 +19,10 @@ ROWS_ONLY = {
     "q_als_ranking",            # factor-derived NDCG (beats-random pytest gate)
     "q_als_rank_sweep",         # factor-derived RMSE grid (structure gated in pytest)
     "q_dedup_minhash",          # banding recall < 1 (gated in pytest)
-    "q_winnow_dup_fast",        # numpy rolling-hash bits — planted-passage pytest
-    "q_dedup_simhash_fast",     # xxhash64 bits — planted-near-dup pytest
+    "q_winnow_dup",             # numpy rolling-hash bits — planted-passage pytest
+                                # (md5 hash-proof lives on q_winnow_dup_oracle)
+    "q_dedup_simhash",          # xxhash64 bits — planted-near-dup pytest
+                                # (md5 hash-proof lives on q_dedup_simhash_oracle)
     "q_sim_search_lsh",         # ANN recall < 1 (gated in pytest)
     "q_sim_search_ivf",         # ANN recall < 1 (gated in pytest)
     "q_sim_search_pq",          # PQ-compressed ANN (recall gated in pytest)
