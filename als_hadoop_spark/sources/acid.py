@@ -501,17 +501,22 @@ class AcidTable:
         """Highest committed txn batch number for ``app``, or -1."""
         return int(self._state()["txns"].get(app, -1))
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, txn: dict | None = None) -> int:
         """Replace the table's content. Read-modify-write: if anyone
-        commits between our snapshot and our commit, raise."""
+        commits between our snapshot and our commit, raise.
+        ``txn`` stamps the commit with the same writer-transaction
+        identity as :meth:`append` — the incremental-view maintainer
+        (streaming/cdf_source.py) overwrites its rollup with the
+        consumed source version in the SAME commit, making
+        offset-advance and data atomic."""
         base = self.latest_version()
         removed = self._replay(base)
         adds = self._stage_files(df)
         self._validate(adds)
-        if not self._try_commit(
-            base + 1,
-            {"operation": "overwrite", "add": adds, "remove": removed},
-        ):
+        entry = {"operation": "overwrite", "add": adds, "remove": removed}
+        if txn is not None:
+            entry["txn"] = txn
+        if not self._try_commit(base + 1, entry):
             raise CommitConflict("table changed during overwrite")
         return base + 1
 
@@ -1045,6 +1050,7 @@ class AcidTable:
         start: int,
         end: int | None = None,
         count_col: str | None = None,
+        minmax: dict[str, tuple[str, str]] | None = None,
     ) -> DataFrame:
         """The signed-delta fold: bring a materialized SUM/COUNT rollup
         (grouped on ``keys``; ``sums`` maps each rollup column to the
@@ -1057,7 +1063,22 @@ class AcidTable:
         insert/update_postimage rows weigh +1, delete/update_preimage
         rows -1; the weighted per-key deltas full-outer-join the prior
         rollup and groups whose row count folds to zero drop out (only
-        expressible when ``count_col`` is tracked)."""
+        expressible when ``count_col`` is tracked).
+
+        ``minmax`` (r7, VERDICT r6 #5) extends the fold to the
+        non-invertible aggregates: each entry maps a rollup column to
+        ``(table column, "min"|"max")``. A delete can't be folded out
+        of a MIN/MAX (removing the group's max leaves no way to know
+        the runner-up from the delta alone), so the standard answer is
+        per-key re-aggregation of TOUCHED keys against the base
+        snapshot at ``end``: the change set nominates the touched keys
+        (bounded by changed rows), a broadcast semi-join restricts the
+        base scan's aggregate to exactly those groups, and untouched
+        keys keep their prior values without being read. Cost: one
+        base-table scan (file-stats pruning applies where the key is
+        clustered) whose aggregate state is bounded by touched keys —
+        still never a full re-aggregation of the rollup. A touched key
+        with no surviving rows drops out even without ``count_col``."""
         ch = self.table_changes(start, end)
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
@@ -1068,8 +1089,32 @@ class AcidTable:
         ]
         if count_col is not None:
             aggs.append(F.sum(sign).alias(f"_d_{count_col}"))
-        delta = ch.groupBy(*keys).agg(*aggs)
+        minmax = minmax or {}
+        if not aggs and not minmax:
+            raise ValueError("incremental_refresh: nothing to fold")
+        delta = ch.groupBy(*keys).agg(*aggs) if aggs else ch.select(*keys).distinct()
         joined = rollup.join(delta, keys, "full_outer")
+        if minmax:
+            # touched keys: bounded by the change set, broadcast both
+            # as the semi-join filter and as the is-touched indicator
+            touched = ch.select(*keys).distinct().withColumn(
+                "_touched", F.lit(True)
+            )
+            base = self.snapshot(version=end)
+            magg = (
+                base.join(F.broadcast(touched.select(*keys)), keys, "left_semi")
+                .groupBy(*keys)
+                .agg(
+                    F.lit(True).alias("_has_rows"),
+                    *[
+                        getattr(F, how)(F.col(src)).alias(f"_m_{out}")
+                        for out, (src, how) in minmax.items()
+                    ],
+                )
+            )
+            joined = joined.join(F.broadcast(touched), keys, "left").join(
+                F.broadcast(magg), keys, "left"
+            )
         out_cols = [F.col(k) for k in keys]
         for c in rollup.columns:
             if c in keys:
@@ -1083,9 +1128,26 @@ class AcidTable:
                     .cast(dict(rollup.dtypes)[c])
                     .alias(c)
                 )
+            elif c in minmax:
+                out_cols.append(
+                    F.when(F.col("_touched"), F.col(f"_m_{c}"))
+                    .otherwise(F.col(c))
+                    .cast(dict(rollup.dtypes)[c])
+                    .alias(c)
+                )
             else:
                 out_cols.append(F.col(c))
-        res = joined.select(*out_cols)
+        res = joined.select(
+            *out_cols,
+            *([F.col("_touched"), F.col("_has_rows")] if minmax else []),
+        )
+        if minmax:
+            # a touched group with no surviving base rows is gone —
+            # drop it even when no count column is tracked
+            res = res.filter(
+                ~F.coalesce(F.col("_touched"), F.lit(False))
+                | F.coalesce(F.col("_has_rows"), F.lit(False))
+            ).drop("_touched", "_has_rows")
         if count_col is not None:
             res = res.filter(F.col(count_col) != 0)
         return res

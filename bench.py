@@ -54,6 +54,29 @@ def main(names: list[str]) -> int:
 
     spark.range(1_000).select(_warm("id")).collect()
 
+    # Machine-calibration datum (VERDICT r6 #3): round-over-round
+    # absolute seconds drift with machine state (the r5→r6 "35%
+    # regression" reproduced nowhere — same code measured 96→130→150 s
+    # across sessions on one box). Time a FIXED, data-independent,
+    # CPU-bound reference job and record it in the JSON so BENCH_rN
+    # comparisons can normalize: ratio = (total/calibration) is
+    # machine-state-invariant to first order. min-of-3 on a fixed
+    # 200M-row xxhash64 reduction — pure codegen arithmetic, no IO,
+    # no Python, parallel across all task slots.
+    def _calibrate() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            # avg, not sum: a long sum of 2^63-range hashes overflows
+            # under the session's ANSI mode
+            spark.range(200_000_000).selectExpr(
+                "avg(xxhash64(id))"
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    calibration = _calibrate()
+
     # Each query runs twice and we report the SECOND (warm) time: the first
     # run pays one-time whole-stage-codegen compilation of that query's
     # generated classes (~3-10 s for wide projections), which is a per-query
@@ -137,6 +160,9 @@ def main(names: list[str]) -> int:
         "queries": timings,
         "queries_cold": timings_cold,
         "sf": sf_from_dir(SF_DIR),
+        "calibration_sec": calibration,
+        "cpus": os.cpu_count(),
+        "normalized_total": round(total / calibration, 2) if calibration else -1.0,
     }
     # Full per-query dict goes to a file; the harness that invokes this
     # script captures only a short stdout tail, so the FINAL printed line
@@ -157,6 +183,9 @@ def main(names: list[str]) -> int:
                 "n": len(timings),
                 "failed": sum(1 for t in timings.values() if t < 0),
                 "median": round(ok[len(ok) // 2], 3) if ok else -1.0,
+                "calibration_sec": calibration,
+                "cpus": os.cpu_count(),
+                "normalized_total": round(total / calibration, 2) if calibration else -1.0,
                 "queries": slowest,
                 "full_results": out_path,
             }

@@ -908,6 +908,69 @@ def test_incremental_refresh_matches_recompute(spark, tmp_path):
     assert refreshed.filter(F.col("grp") == "g3").count() == 0
 
 
+def test_incremental_refresh_minmax_delete_of_max(spark, tmp_path):
+    """MIN/MAX maintenance (r7, VERDICT r6 #5): deletes aren't
+    invertible for min/max, so touched keys re-aggregate against the
+    base snapshot. The planted scenario deletes a group's MAX row —
+    the fold must surface the runner-up, leave untouched groups
+    unread, and drop a fully-deleted group even with no count column
+    in play."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    df0 = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g1", 99), (3, "g2", 5), (4, "g2", 2), (5, "g3", 7)],
+        "k LONG, grp STRING, x LONG",
+    )
+    t.append(df0.coalesce(1))
+    base_v = t.latest_version()
+    rollup = (
+        t.snapshot()
+        .groupBy("grp")
+        .agg(
+            F.sum("x").alias("sx"),
+            F.count("*").alias("n"),
+            F.max("x").alias("mx"),
+            F.min("x").alias("mn"),
+        )
+    )
+    rollup = spark.createDataFrame(rollup.collect(), rollup.schema)  # freeze
+    t.delete(F.col("k") == 2)  # removes g1's max (99) → runner-up 10
+    t.delete(F.col("grp") == "g3")  # drops g3 entirely
+    refreshed = t.incremental_refresh(
+        rollup,
+        ["grp"],
+        {"sx": "x"},
+        start=base_v + 1,
+        count_col="n",
+        minmax={"mx": ("x", "max"), "mn": ("x", "min")},
+    )
+    expect = (
+        t.snapshot()
+        .groupBy("grp")
+        .agg(
+            F.sum("x").alias("sx"),
+            F.count("*").alias("n"),
+            F.max("x").alias("mx"),
+            F.min("x").alias("mn"),
+        )
+    )
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    got = {r["grp"]: r for r in refreshed.collect()}
+    assert got["g1"]["mx"] == 10 and "g3" not in got
+    # untouched group keeps its prior values verbatim
+    assert got["g2"]["mx"] == 5 and got["g2"]["mn"] == 2
+
+    # pure min/max rollup (no sums, no count): the fully-deleted group
+    # still drops via the touched-with-no-surviving-rows filter
+    mm_only = rollup.select("grp", "mx")
+    refreshed2 = t.incremental_refresh(
+        mm_only, ["grp"], {}, start=base_v + 1, minmax={"mx": ("x", "max")}
+    )
+    got2 = {r["grp"]: r["mx"] for r in refreshed2.collect()}
+    assert got2 == {"g1": 10, "g2": 5}
+
+
 def test_vacuum_sweeps_orphan_cdc(spark, tmp_path):
     """CDC sidecars referenced by no retained commit are reclaimed;
     referenced ones survive and table_changes stays readable."""

@@ -800,3 +800,81 @@ def test_pca_ingest_rejects_foreign_checkpoint_lineage(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="checkpoint lineage"):
         q.awaitTermination(120)
     q.stop()
+
+
+def test_cdf_follower_and_rollup_maintenance(spark, tmp_path):
+    """The r7 CDC-loop closer (VERDICT r6 #4): a materialized rollup
+    maintained purely from the source table's change feed stays equal
+    to the recompute across appends, merges, deletes — and across a
+    follower RESTART, a lost checkpoint (forced replay), and a
+    duplicated maintenance step. Exactly-once comes from the rollup
+    table's own txn log, not the checkpoint file."""
+    from als_hadoop_spark.sources.acid import AcidTable
+    from als_hadoop_spark.streaming.cdf_source import CdfFollower, maintain_rollup
+
+    src_path = str(tmp_path / "src")
+    roll_path = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    src = AcidTable(spark, src_path)
+    src.append(
+        spark.createDataFrame(
+            [(1, "g1", 10), (2, "g1", 99), (3, "g2", 5)],
+            "k LONG, grp STRING, x LONG",
+        ).coalesce(1)
+    )
+
+    def recompute():
+        return {
+            r["grp"]: (r["sx"], r["n"], r["mx"])
+            for r in src.snapshot()
+            .groupBy("grp")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"), F.max("x").alias("mx"))
+            .collect()
+        }
+
+    def rollup_state():
+        return {
+            r["grp"]: (r["sx"], r["n"], r["mx"])
+            for r in AcidTable(spark, roll_path).snapshot().collect()
+        }
+
+    args = dict(
+        spark=spark, source_path=src_path, rollup_path=roll_path,
+        keys=["grp"], sums={"sx": "x"}, checkpoint_dir=ckpt,
+        count_col="n", minmax={"mx": ("x", "max")},
+    )
+    # bootstrap
+    assert maintain_rollup(**args) > 0
+    assert rollup_state() == recompute()
+    # caught up → no-op
+    assert maintain_rollup(**args) == 0
+
+    # source evolves: append + delete-of-max
+    src.append(
+        spark.createDataFrame([(4, "g3", 7), (5, "g2", 50)],
+                              "k LONG, grp STRING, x LONG").coalesce(1)
+    )
+    src.delete(F.col("k") == 2)  # g1's max goes away
+    assert maintain_rollup(**args) == 2  # two versions consumed
+    assert rollup_state() == recompute()
+    assert rollup_state()["g1"][2] == 10  # runner-up max surfaced
+
+    # RESTART: fresh follower instance, nothing new → no-op
+    assert maintain_rollup(**args) == 0
+
+    # lost checkpoint: offset file gone, authoritative txn offset holds
+    import os
+
+    os.remove(os.path.join(ckpt, "cdf-offset.json"))
+    follower = CdfFollower(spark, src_path, ckpt)
+    assert follower.last_consumed() == -1
+    assert maintain_rollup(**args) == 0  # replay recognized, folds nothing
+    assert rollup_state() == recompute()
+    # and the checkpoint hint was reconciled back
+    assert CdfFollower(spark, src_path, ckpt).last_consumed() == src.latest_version()
+
+    # one more change consumed through the reconciled state
+    src.delete(F.col("grp") == "g3")  # drops g3 entirely
+    assert maintain_rollup(**args) == 1
+    assert rollup_state() == recompute()
+    assert "g3" not in rollup_state()
