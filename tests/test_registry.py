@@ -40,6 +40,9 @@ ROWS_ONLY = {
     "q_bpe_merges",             # iterative argmax rounds — not one SQL stmt (exact pytest gate)
     "q_bpe_tokenize",           # plan embeds learned merge literals (exact pytest gate)
     "q_embed_pca",              # float eigenbasis — gated vs numpy PCA in pytest
+    "q_gen_scan",               # subject is the Python DataSource extension
+                                # API itself — no DuckDB twin; deterministic
+                                # rows pinned in test_sources.py
 }
 
 
