@@ -65,20 +65,39 @@ def main(names: list[str]) -> int:
     # fixed second-run report lands mid-JIT and overstates 3-4×.
     MAX_RUNS, REL_TOL = 4, 0.25
 
+    # Heavy-query single-run rule (r7): a first run ≥ HEAVY_S seconds
+    # IS the measurement — at that magnitude JIT/codegen noise is a
+    # rounding error on the 2× gate, and re-running multi-minute
+    # queries 2-4× made the ×100 sweep wall-clock explode (one r7
+    # DuckDB oracle monopolized 70+ min before this rule).
+    HEAVY_S = 60.0
+
     def converged(runs: list[float]) -> bool:
         best, second = sorted(runs)[:2]
         return best < 1.0 or (second - best) / best <= REL_TOL
 
     def steady(run_once) -> float:
         runs = [run_once()]
+        if runs[0] >= HEAVY_S:
+            return runs[0]
         while len(runs) < MAX_RUNS:
             runs.append(run_once())
             if converged(runs):
                 break
         return min(runs)
 
+    # DuckDB per-run wall-clock budget: con.interrupt() from a watchdog
+    # timer raises in the running query, which the caller records as a
+    # DUCK FAIL (the r5 precedent: DuckDB's pagerank OOM was itself the
+    # datapoint). Without it a single unbounded oracle run can eat the
+    # whole sweep window.
+    import threading
+
+    DUCK_TIMEOUT = 600.0
+
     rows = []
     for name in selected:
+        print(f"-- {name}", flush=True)
 
         def spark_once(name=name):
             t0 = time.perf_counter()
@@ -94,7 +113,12 @@ def main(names: list[str]) -> int:
 
         def duck_once(name=name):
             t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
+            timer = threading.Timer(DUCK_TIMEOUT, con.interrupt)
+            timer.start()
+            try:
+                con.execute(oracles[name]).fetchall()
+            finally:
+                timer.cancel()
             return time.perf_counter() - t0
 
         try:
@@ -109,6 +133,7 @@ def main(names: list[str]) -> int:
                   f"{type(ex).__name__}: {str(ex)[:200]}")
             continue
         rows.append((name, t_spark, t_duck, t_spark / max(t_duck, 1e-9)))
+        print(f"   {name}: spark {t_spark:.2f}s duck {t_duck:.2f}s", flush=True)
 
     rows.sort(key=lambda r: -r[3])
     print(f"{'query':30s} {'spark_s':>8s} {'duck_s':>8s} {'ratio':>7s}")
