@@ -71,6 +71,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "q_transpose_regroup",      # r7: direct plan, naive map moved to oracle
     "q_gen_scan",               # r7: custom Python DataSource surface
     "q_acid_incremental",       # exercised the r7-extended refresh path
+    "q_acid_ivm_loop",          # r7: maintained-rollup loop, new oracle
     # oldest driver hashes (r4 cohort) — re-verify under the driver
     "q_scan_project",
     "q_filter",
