@@ -138,6 +138,11 @@ def maintain_rollup(
     if consumed_v < 0:
         # bootstrap: one full recompute of the current snapshot
         end = src.latest_version()
+        if end < 0:
+            # empty source: committing txn batch=-1 would be
+            # indistinguishable from never-bootstrapped — wait for the
+            # first source commit instead
+            return 0
         seed = src.snapshot().groupBy(*keys).agg(*_aggs())
         rt.overwrite(seed, txn={"app": app_id, "batch": end})
         follower.commit(end)

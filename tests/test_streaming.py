@@ -878,3 +878,32 @@ def test_cdf_follower_and_rollup_maintenance(spark, tmp_path):
     assert maintain_rollup(**args) == 1
     assert rollup_state() == recompute()
     assert "g3" not in rollup_state()
+
+
+def test_cdf_maintain_rollup_empty_source_waits(spark, tmp_path):
+    """A maintainer pointed at a not-yet-written source must be a
+    no-op (bootstrapping at version -1 would alias 'never
+    bootstrapped'), then bootstrap normally on the first commit."""
+    from als_hadoop_spark.sources.acid import AcidTable
+    from als_hadoop_spark.streaming.cdf_source import maintain_rollup
+
+    src_path = str(tmp_path / "src")
+    AcidTable(spark, src_path)  # creates the table dir, no commits
+    args = dict(
+        spark=spark, source_path=src_path,
+        rollup_path=str(tmp_path / "roll"), keys=["grp"],
+        sums={"sx": "x"}, checkpoint_dir=str(tmp_path / "ckpt"),
+        count_col="n",
+    )
+    assert maintain_rollup(**args) == 0
+    assert maintain_rollup(**args) == 0  # still waiting, still no-op
+    AcidTable(spark, src_path).append(
+        spark.createDataFrame([(1, "g1", 5)], "k LONG, grp STRING, x LONG")
+        .coalesce(1)
+    )
+    assert maintain_rollup(**args) > 0  # bootstraps now
+    got = {
+        r["grp"]: (r["sx"], r["n"])
+        for r in AcidTable(spark, str(tmp_path / "roll")).snapshot().collect()
+    }
+    assert got == {"g1": (5, 1)}
