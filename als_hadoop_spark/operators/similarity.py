@@ -468,13 +468,15 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partials → the shuffle carries labels × 65 numbers per
     task), and posexplode runs on the BOUNDED aggregated frame only
     (labels rows → labels × dims). Dim count is pinned to the corpus
-    schema (EMBED_DIM); ragged rows would read NULL past the end and
-    sum() skips NULLs — same semantics as exploding."""
+    schema (EMBED_DIM); ``try_element_at`` reads NULL past the end of
+    a ragged row (plain ``element_at`` THROWS under the session's ANSI
+    mode — post-r7 advice) and sum() skips NULLs — same semantics as
+    the r6 posexplode form."""
     emb = load(spark, sf_dir, "embeddings", spread=True)
     sums = emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         *[
-            F.sum(F.element_at("embedding", d + 1)).alias(f"s{d}")
+            F.sum(F.try_element_at("embedding", F.lit(d + 1))).alias(f"s{d}")
             for d in range(EMBED_DIM)
         ],
     )

@@ -497,19 +497,38 @@ class AcidTable:
                 self._validate(adds)  # aborts (and cleans up) on violation
         raise CommitConflict(f"append lost {max_retries} commit races")
 
-    def last_txn(self, app: str) -> int:
-        """Highest committed txn batch number for ``app``, or -1."""
-        return int(self._state()["txns"].get(app, -1))
+    def last_txn(self, app: str, version: int | None = None) -> int:
+        """Highest committed txn batch number for ``app``, or -1.
+        ``version`` reads the txn map as of that table version — pair
+        it with ``snapshot(version=...)`` for a consistent read."""
+        return int(self._state(version)["txns"].get(app, -1))
 
-    def overwrite(self, df: DataFrame, txn: dict | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn: dict | None = None,
+        expected_version: int | None = None,
+    ) -> int:
         """Replace the table's content. Read-modify-write: if anyone
         commits between our snapshot and our commit, raise.
         ``txn`` stamps the commit with the same writer-transaction
         identity as :meth:`append` — the incremental-view maintainer
         (streaming/cdf_source.py) overwrites its rollup with the
         consumed source version in the SAME commit, making
-        offset-advance and data atomic."""
-        base = self.latest_version()
+        offset-advance and data atomic.
+
+        ``expected_version`` pins the base the caller READ its inputs
+        at: the commit claims exactly ``expected_version + 1``, so any
+        commit that interleaved after the caller's read makes
+        ``_try_commit`` lose and this raises :class:`CommitConflict`
+        — closing the TOCTOU window where ``latest_version()``
+        re-resolved at call time would silently fold a change batch
+        on top of a base the caller never saw (post-r7 advice)."""
+        base = (
+            self.latest_version()
+            if expected_version is None
+            else int(expected_version)
+        )
         removed = self._replay(base)
         adds = self._stage_files(df)
         self._validate(adds)
@@ -1079,6 +1098,14 @@ class AcidTable:
         clustered) whose aggregate state is bounded by touched keys —
         still never a full re-aggregation of the rollup. A touched key
         with no surviving rows drops out even without ``count_col``."""
+        if end is None:
+            # pin ONCE: table_changes(start, None) and
+            # snapshot(version=None) each resolve "latest" at their own
+            # evaluation time — a commit landing between them would
+            # re-aggregate MIN/MAX from a newer version than the folded
+            # sums (post-r7 advice). One resolution keeps the fold and
+            # the touched-key re-agg on the same version.
+            end = self.latest_version()
         ch = self.table_changes(start, end)
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)

@@ -134,7 +134,15 @@ def maintain_rollup(
             aggs.append(getattr(F, how)(F.col(c)).alias(out))
         return aggs
 
-    consumed_v = rt.last_txn(app_id)
+    # Pin the rollup version ONCE: last_txn, snapshot, and the
+    # overwrite's claimed base all use this one version, and overwrite
+    # commits exactly rollup_v + 1 — a concurrent maintainer's commit
+    # landing anywhere after this read makes _try_commit lose and
+    # raises CommitConflict instead of silently folding the batch on
+    # top of a base this step never saw (double-fold TOCTOU, post-r7
+    # advice).
+    rollup_v = rt.latest_version()
+    consumed_v = rt.last_txn(app_id, version=rollup_v if rollup_v >= 0 else None)
     if consumed_v < 0:
         # bootstrap: one full recompute of the current snapshot
         end = src.latest_version()
@@ -144,7 +152,15 @@ def maintain_rollup(
             # first source commit instead
             return 0
         seed = src.snapshot().groupBy(*keys).agg(*_aggs())
-        rt.overwrite(seed, txn={"app": app_id, "batch": end})
+        try:
+            rt.overwrite(
+                seed, txn={"app": app_id, "batch": end},
+                expected_version=rollup_v,
+            )
+        except CommitConflict:
+            # another maintainer bootstrapped first; its commit carries
+            # the offset, so this step simply yields
+            return 0
         follower.commit(end)
         return end + 1
 
@@ -158,14 +174,18 @@ def maintain_rollup(
         return 0
     _, start, end = batch
     refreshed = src.incremental_refresh(
-        rt.snapshot(), keys, sums, start=start, end=end,
+        rt.snapshot(version=rollup_v), keys, sums, start=start, end=end,
         count_col=count_col, minmax=minmax,
     )
     try:
-        rt.overwrite(refreshed, txn={"app": app_id, "batch": end})
+        rt.overwrite(
+            refreshed, txn={"app": app_id, "batch": end},
+            expected_version=rollup_v,
+        )
     except CommitConflict:
-        # another maintainer instance won the race; its commit carries
-        # the offset, so this step simply yields
+        # another maintainer instance interleaved (bumping the rollup
+        # past rollup_v); whatever it committed carries its own offset,
+        # so this step yields rather than double-folding
         return 0
     follower.commit(end)
     return end - start + 1

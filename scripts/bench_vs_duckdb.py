@@ -112,12 +112,37 @@ def main(names: list[str]) -> int:
             return dt
 
         def duck_once(name=name):
+            # Watchdog discipline (post-r7 advice): cancel() can't stop
+            # an already-fired Timer, so a timer firing just as execute
+            # returns would interrupt the SHARED connection with no
+            # query running and abort the NEXT query. The `running`
+            # flag (checked under a lock inside the callback) makes the
+            # interrupt a no-op once execute has returned, and
+            # `timed_out` labels a timeout distinctly from a real
+            # DuckDB failure.
+            state = {"running": True, "timed_out": False}
+            lock = threading.Lock()
+
+            def _watchdog():
+                with lock:
+                    if state["running"]:
+                        state["timed_out"] = True
+                        con.interrupt()
+
             t0 = time.perf_counter()
-            timer = threading.Timer(DUCK_TIMEOUT, con.interrupt)
+            timer = threading.Timer(DUCK_TIMEOUT, _watchdog)
             timer.start()
             try:
                 con.execute(oracles[name]).fetchall()
+            except Exception:
+                if state["timed_out"]:
+                    raise TimeoutError(
+                        f"duckdb watchdog: exceeded {DUCK_TIMEOUT:.0f}s"
+                    ) from None
+                raise
             finally:
+                with lock:
+                    state["running"] = False
                 timer.cancel()
             return time.perf_counter() - t0
 

@@ -907,3 +907,76 @@ def test_cdf_maintain_rollup_empty_source_waits(spark, tmp_path):
         for r in AcidTable(spark, str(tmp_path / "roll")).snapshot().collect()
     }
     assert got == {"g1": (5, 1)}
+
+
+def test_overwrite_expected_version_rejects_interleaved_commit(spark, tmp_path):
+    """The TOCTOU primitive (post-r7 advice): ``overwrite`` pinned to
+    the base the caller read its inputs at must CONFLICT — not
+    silently commit — when any other writer landed in between."""
+    from als_hadoop_spark.sources.acid import AcidTable, CommitConflict
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 10)], "k LONG, x LONG").coalesce(1)
+    t.overwrite(df)
+    v = t.latest_version()
+    t.append(df)  # interleaved commit after the read
+    with pytest.raises(CommitConflict):
+        t.overwrite(df, expected_version=v)
+    # unpinned overwrite (read-at-call-time) still works
+    t.overwrite(df)
+
+
+def test_maintain_rollup_interleaved_maintainer_never_double_folds(
+    spark, tmp_path, monkeypatch
+):
+    """Double-driver TOCTOU (post-r7 advice): a competing maintainer
+    committing BETWEEN this step's pinned read and its overwrite must
+    make this step yield with 0 — the change batch folds exactly once.
+    The race is injected deterministically inside incremental_refresh,
+    i.e. after last_txn/snapshot were read and before the overwrite."""
+    from als_hadoop_spark.sources.acid import AcidTable
+    from als_hadoop_spark.streaming.cdf_source import maintain_rollup
+
+    src_path = str(tmp_path / "src")
+    roll_path = str(tmp_path / "rollup")
+    src = AcidTable(spark, src_path)
+    src.append(
+        spark.createDataFrame(
+            [(1, "g1", 10), (2, "g2", 5)], "k LONG, grp STRING, x LONG"
+        ).coalesce(1)
+    )
+
+    def mk_args(ckpt):
+        return dict(
+            spark=spark, source_path=src_path, rollup_path=roll_path,
+            keys=["grp"], sums={"sx": "x"}, checkpoint_dir=str(tmp_path / ckpt),
+            count_col="n",
+        )
+
+    args_a, args_b = mk_args("ckpt_a"), mk_args("ckpt_b")
+    assert maintain_rollup(**args_a) > 0  # bootstrap
+    src.append(
+        spark.createDataFrame([(3, "g1", 7)], "k LONG, grp STRING, x LONG")
+        .coalesce(1)
+    )
+
+    orig = AcidTable.incremental_refresh
+    state = {"injected": False}
+
+    def interleaving(self, rollup, *a, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            # maintainer B wins the race while A is mid-step
+            assert maintain_rollup(**args_b) == 1
+        return orig(self, rollup, *a, **kw)
+
+    monkeypatch.setattr(AcidTable, "incremental_refresh", interleaving)
+    assert maintain_rollup(**args_a) == 0  # A detects the conflict, yields
+
+    got = {
+        r["grp"]: (r["sx"], r["n"])
+        for r in AcidTable(spark, roll_path).snapshot().collect()
+    }
+    assert got == {"g1": (17, 2), "g2": (5, 1)}  # folded ONCE
+    monkeypatch.setattr(AcidTable, "incremental_refresh", orig)
+    assert maintain_rollup(**args_a) == 0  # caught up
