@@ -846,11 +846,93 @@ def q_acid_ivm_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_acid_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC loop as an IDIOMATIC Structured Streaming pipeline,
+    under the oracle hash (r8, VERDICT r7 #1): identical source
+    mutations to :func:`q_acid_ivm_loop` (snapshot append → MERGE
+    upserts → whole-group DELETE, both with CDF sidecars), but the
+    maintainer is ``spark.readStream.format("acid_cdf")`` → foreachBatch
+    fold (``streaming.cdf_source.stream_maintain_rollup``): Structured
+    Streaming owns triggers, offset checkpointing, and replay; the
+    ``acid_cdf`` source (sources/acid_cdf.py) plans one InputPartition
+    per change file with the log version as the offset.
+
+    Two stream runs (Trigger.AvailableNow): the first replays v0 and
+    BOOTSTRAPS the rollup from the change feed itself (fold into an
+    empty typed rollup — no separate recompute path); the second folds
+    the MERGE + DELETE versions in one micro-batch — multi-version
+    batches fold correctly because the signed deltas aggregate across
+    versions and the MAX re-aggregation pins the batch's final version.
+    The DuckDB twin computes the final rollup directly from raw events;
+    the hash-match proves the streaming loop (source offsets, Arrow
+    file reads, txn-stamped exactly-once fold, zero-count drop, MAX
+    re-agg) lands exactly on recompute.
+
+    Scale shape: change files fan out as executor tasks like any
+    parquet scan; each micro-batch costs ∝ changed rows; the offset is
+    one integer in Spark's offset log AND in the rollup table's txn
+    log (the authoritative one)."""
+    from ..sources.acid import AcidTable
+    from ..streaming.cdf_source import stream_maintain_rollup
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+
+    def cents(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            "state",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+
+    snap = cents(_latest_state(ev.filter(F.col("ts") < cutoff)))
+    chg = cents(_latest_state(ev.filter(F.col("ts") >= cutoff))).withColumn(
+        "op", _merge_op()
+    )
+
+    def upsert(touched: DataFrame, changes: DataFrame) -> DataFrame:
+        t = touched.select(
+            "user_id",
+            F.col("state").alias("snap_state"),
+            F.col("cents").alias("snap_cents"),
+        )
+        j = t.join(changes, "user_id", "full_outer")
+        return j.filter(F.col("op").isNull() | (F.col("op") == "U")).select(
+            "user_id",
+            F.coalesce("state", "snap_state").alias("state"),
+            F.coalesce("cents", "snap_cents").alias("cents"),
+        )
+
+    src = AcidTable(spark, _acid_scratch(spark, sf_dir, "sivm_src"))
+    roll_path = _acid_scratch(spark, sf_dir, "sivm_roll")
+    ckpt = _acid_scratch(spark, sf_dir, "sivm_ckpt")
+    step = dict(
+        spark=spark, source_path=src.path, rollup_path=roll_path,
+        keys=["state"], sums={"sum_cents": "cents"}, checkpoint_dir=ckpt,
+        count_col="n", minmax={"max_cents": ("cents", "max")},
+        app_id="stream_ivm",
+    )
+    src.append(snap.coalesce(4))
+    q = stream_maintain_rollup(**step)  # bootstrap: replay of v0
+    assert q.awaitTermination(300), "acid_cdf bootstrap stream timed out"
+    src.merge(chg, "user_id", upsert, cdf=True)
+    src.delete(F.col("state") == "click", cdf=True)
+    q = stream_maintain_rollup(**step)  # fold MERGE+DELETE in one batch
+    assert q.awaitTermination(300), "acid_cdf fold stream timed out"
+    return (
+        AcidTable(spark, roll_path)
+        .snapshot()
+        .select("state", "sum_cents", "n", "max_cents")
+        .orderBy("state")
+    )
+
+
 QUERIES = {
     "q_acid_merge": q_acid_merge,
     "q_acid_cdf": q_acid_cdf,
     "q_acid_incremental": q_acid_incremental,
     "q_acid_ivm_loop": q_acid_ivm_loop,
+    "q_acid_stream_ivm": q_acid_stream_ivm,
     "q_acid_evolution": q_acid_evolution,
     "q_acid_timetravel": q_acid_timetravel,
     "q_asof_join": q_asof_join,
@@ -1220,3 +1302,9 @@ ORACLES = {
         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 }
+
+# The stream-maintained rollup must land EXACTLY on the batch loop's
+# state — same mutations, same final table — so it shares the ivm_loop
+# oracle text verbatim (recompute from raw events): one hash proves
+# both the batch maintainer and the Structured Streaming pipeline.
+ORACLES["q_acid_stream_ivm"] = ORACLES["q_acid_ivm_loop"]

@@ -14,6 +14,7 @@ All readers take explicit schemas — never ``inferSchema`` (a full extra
 scan at 100 TB).
 """
 
+from .acid_cdf import build_acid_cdf_source, register_acid_cdf
 from .generator import build_ratings_gen_source, register_ratings_gen
 from .tables import (
     TABLES,
@@ -35,7 +36,9 @@ from .tables import (
 
 __all__ = [
     "TABLES",
+    "build_acid_cdf_source",
     "build_ratings_gen_source",
+    "register_acid_cdf",
     "register_ratings_gen",
     "load",
     "load_all",

@@ -1106,7 +1106,41 @@ class AcidTable:
             # sums (post-r7 advice). One resolution keeps the fold and
             # the touched-key re-agg on the same version.
             end = self.latest_version()
-        ch = self.table_changes(start, end)
+        return self.fold_changes(
+            rollup,
+            self.table_changes(start, end),
+            keys,
+            sums,
+            end=end,
+            count_col=count_col,
+            minmax=minmax,
+        )
+
+    def fold_changes(
+        self,
+        rollup: DataFrame,
+        changes: DataFrame,
+        keys: list[str],
+        sums: dict[str, str],
+        end: int | None = None,
+        count_col: str | None = None,
+        minmax: dict[str, tuple[str, str]] | None = None,
+    ) -> DataFrame:
+        """:meth:`incremental_refresh`'s fold, decoupled from WHERE the
+        change rows come from: ``changes`` is any frame shaped like
+        ``table_changes`` output (table columns + ``_change_type``) —
+        a batch CDF read, or a Structured Streaming micro-batch from
+        the ``acid_cdf`` source (r8; streaming/cdf_source.py's
+        ``stream_maintain_rollup`` feeds it foreachBatch frames).
+        ``end`` pins the snapshot version the MIN/MAX touched-key
+        re-aggregation reads — REQUIRED with ``minmax`` so the re-agg
+        sees exactly the state the change rows lead up to."""
+        if minmax and end is None:
+            raise ValueError(
+                "fold_changes: minmax re-aggregation needs an explicit "
+                "end version to pin the base snapshot"
+            )
+        ch = changes
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))

@@ -980,3 +980,201 @@ def test_maintain_rollup_interleaved_maintainer_never_double_folds(
     assert got == {"g1": (17, 2), "g2": (5, 1)}  # folded ONCE
     monkeypatch.setattr(AcidTable, "incremental_refresh", orig)
     assert maintain_rollup(**args_a) == 0  # caught up
+
+
+def _mini_acid(spark, path):
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    t = AcidTable(spark, path)
+    t.append(
+        spark.createDataFrame(
+            [(1, "g1", 10), (2, "g1", 99), (3, "g2", 5)],
+            "k LONG, grp STRING, x LONG",
+        ).coalesce(1)
+    )
+    return t
+
+
+def _upsert_k(matched, changes):
+    return matched.join(changes.select("k"), "k", "anti").unionByName(changes)
+
+
+def test_acid_cdf_stream_equals_batch_table_changes(spark, tmp_path):
+    """The r8 streaming CDF source (VERDICT r7 #1): reading the table
+    through ``spark.readStream.format("acid_cdf")`` with AvailableNow
+    must produce EXACTLY the rows of the batch ``table_changes(0)`` —
+    across append, CDC-sidecar MERGE (update pre/post images),
+    CDC-sidecar DELETE, and a second append."""
+    from als_hadoop_spark.sources import register_acid_cdf
+
+    src = _mini_acid(spark, str(tmp_path / "src"))
+    src.merge(
+        spark.createDataFrame(
+            [(2, "g1", 50), (4, "g3", 7)], "k LONG, grp STRING, x LONG"
+        ).coalesce(1),
+        key="k", apply_fn=_upsert_k, cdf=True,
+    )
+    src.delete(F.col("k") == 1, cdf=True)
+    src.append(
+        spark.createDataFrame([(5, "g2", 20)], "k LONG, grp STRING, x LONG")
+        .coalesce(1)
+    )
+    cols = ["k", "grp", "x", "_change_type", "_commit_version"]
+    want = sorted(map(tuple, src.table_changes(0).select(*cols).collect()))
+
+    register_acid_cdf(spark)
+    stream = (
+        spark.readStream.format("acid_cdf").option("path", src.path).load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_acid_cdf")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("t_acid_cdf").select(*cols).collect()))
+    assert got == want and len(got) == 8
+
+
+def test_acid_cdf_resumes_from_spark_checkpoint(spark, tmp_path):
+    """Spark's own offset log drives resumption: a second AvailableNow
+    run of the SAME checkpoint must deliver only the commits that
+    landed after the first run — no replay, no gap."""
+    from als_hadoop_spark.sources import register_acid_cdf
+
+    src = _mini_acid(spark, str(tmp_path / "src"))
+    register_acid_cdf(spark)
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = (
+            spark.readStream.format("acid_cdf").option("path", src.path).load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(180)
+        finally:
+            q.stop()
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(out).select("k", "_commit_version").collect(),
+            )
+        )
+
+    first = run()
+    assert {v for _, v in first} == {0} and len(first) == 3
+    src.delete(F.col("k") == 2, cdf=True)
+    second = run()  # same checkpoint: only the new commit arrives
+    fresh = [kv for kv in second if kv not in first]
+    assert len(second) == len(first) + len(fresh)  # no replay of v0
+    assert fresh and all(v == 1 for _, v in fresh)
+
+
+def test_acid_cdf_merge_without_sidecar_fails_planning(spark, tmp_path):
+    """A MERGE committed without ``cdf=True`` has no file-local change
+    set; the stream must FAIL LOUDLY at planning and name the fix."""
+    from als_hadoop_spark.sources import register_acid_cdf
+
+    src = _mini_acid(spark, str(tmp_path / "src"))
+    src.merge(
+        spark.createDataFrame([(2, "g1", 50)], "k LONG, grp STRING, x LONG")
+        .coalesce(1),
+        key="k", apply_fn=_upsert_k, cdf=False,
+    )
+    register_acid_cdf(spark)
+    stream = (
+        spark.readStream.format("acid_cdf").option("path", src.path).load()
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="cdf=True"):
+        q.awaitTermination(180)
+    q.stop()
+
+
+def test_stream_maintain_rollup_lifecycle(spark, tmp_path):
+    """stream_maintain_rollup (r8): rollup bootstrapped FROM THE REPLAY
+    itself, folded incrementally across runs (restart), surviving a
+    LOST STREAMING CHECKPOINT (batch ids reset, full replay — the
+    _commit_version watermark in the rollup's txn log filters every
+    already-folded row), then folding new changes normally — equal to
+    recompute at every step, including delete-of-max re-aggregation."""
+    import shutil
+
+    from als_hadoop_spark.sources.acid import AcidTable
+    from als_hadoop_spark.streaming.cdf_source import stream_maintain_rollup
+
+    src = _mini_acid(spark, str(tmp_path / "src"))
+    roll_path = str(tmp_path / "roll")
+    args = dict(
+        spark=spark, source_path=src.path, rollup_path=roll_path,
+        keys=["grp"], sums={"sx": "x"}, checkpoint_dir=str(tmp_path / "ckpt"),
+        count_col="n", minmax={"mx": ("x", "max")},
+    )
+
+    def recompute():
+        return {
+            r["grp"]: (r["sx"], r["n"], r["mx"])
+            for r in src.snapshot()
+            .groupBy("grp")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"),
+                 F.max("x").alias("mx"))
+            .collect()
+        }
+
+    def rollup_state():
+        return {
+            r["grp"]: (r["sx"], r["n"], r["mx"])
+            for r in AcidTable(spark, roll_path).snapshot().collect()
+        }
+
+    def run():
+        q = stream_maintain_rollup(**args)
+        assert q.awaitTermination(180)
+
+    run()  # bootstrap: the replay of v0 folds into an empty rollup
+    assert rollup_state() == recompute()
+
+    # evolve: append + delete-of-max, fold in one multi-version batch
+    src.append(
+        spark.createDataFrame([(4, "g3", 7), (5, "g2", 50)],
+                              "k LONG, grp STRING, x LONG").coalesce(1)
+    )
+    src.delete(F.col("k") == 2, cdf=True)  # g1's max goes away
+    run()
+    assert rollup_state() == recompute()
+    assert rollup_state()["g1"][2] == 10  # runner-up max re-aggregated
+
+    # no new commits → fold is a no-op, state unchanged
+    run()
+    assert rollup_state() == recompute()
+
+    # LOST streaming checkpoint: full replay from version 0; every row
+    # is at-or-below the rollup txn watermark and filters out
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    assert rollup_state() == recompute()
+
+    # a change committed AFTER the lost-checkpoint replay still folds
+    src.delete(F.col("grp") == "g3", cdf=True)  # drops g3 entirely
+    run()
+    assert rollup_state() == recompute()
+    assert "g3" not in rollup_state()
