@@ -94,6 +94,14 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 #: length for fewer checkpoint writes.
 CHECKPOINT_INTERVAL = 10
 
+_COUNT_DISTINCT_REFUSAL = (
+    "COUNT DISTINCT cannot be folded from signed deltas (a delete "
+    "can't tell whether the key's last duplicate left). Maintain a "
+    "mergeable HLL sketch instead (streaming/sketch_rollup.py, "
+    "q_hll_rollup) or re-aggregate touched keys against the snapshot "
+    "(the minmax pattern)."
+)
+
 
 class CommitConflict(Exception):
     """Another writer committed first and the operation's snapshot is
@@ -1070,6 +1078,8 @@ class AcidTable:
         end: int | None = None,
         count_col: str | None = None,
         minmax: dict[str, tuple[str, str]] | None = None,
+        avgs: dict[str, str] | None = None,
+        count_distinct: dict | None = None,
     ) -> DataFrame:
         """The signed-delta fold: bring a materialized SUM/COUNT rollup
         (grouped on ``keys``; ``sums`` maps each rollup column to the
@@ -1078,6 +1088,14 @@ class AcidTable:
         ``end`` using ONLY ``table_changes(start, end)`` — the 100 TB
         maintenance pattern: cost is proportional to the changed rows,
         never the table.
+
+        Foldable aggregates: SUM, COUNT, AVG (``avgs``, r8 — derived
+        from maintained sum+count companions, see
+        :meth:`fold_changes`), MIN/MAX (``minmax``, touched-key
+        re-aggregation). NOT foldable: COUNT DISTINCT — passing
+        ``count_distinct`` raises and names the mergeable-sketch path
+        (q_hll_rollup / streaming.sketch_rollup) a 100 TB deployment
+        uses instead.
 
         insert/update_postimage rows weigh +1, delete/update_preimage
         rows -1; the weighted per-key deltas full-outer-join the prior
@@ -1098,6 +1116,8 @@ class AcidTable:
         clustered) whose aggregate state is bounded by touched keys —
         still never a full re-aggregation of the rollup. A touched key
         with no surviving rows drops out even without ``count_col``."""
+        if count_distinct:
+            raise ValueError(_COUNT_DISTINCT_REFUSAL)
         if end is None:
             # pin ONCE: table_changes(start, None) and
             # snapshot(version=None) each resolve "latest" at their own
@@ -1114,6 +1134,8 @@ class AcidTable:
             end=end,
             count_col=count_col,
             minmax=minmax,
+            avgs=avgs,
+            count_distinct=count_distinct,
         )
 
     def fold_changes(
@@ -1125,6 +1147,8 @@ class AcidTable:
         end: int | None = None,
         count_col: str | None = None,
         minmax: dict[str, tuple[str, str]] | None = None,
+        avgs: dict[str, str] | None = None,
+        count_distinct: dict | None = None,
     ) -> DataFrame:
         """:meth:`incremental_refresh`'s fold, decoupled from WHERE the
         change rows come from: ``changes`` is any frame shaped like
@@ -1134,11 +1158,46 @@ class AcidTable:
         ``stream_maintain_rollup`` feeds it foreachBatch frames).
         ``end`` pins the snapshot version the MIN/MAX touched-key
         re-aggregation reads — REQUIRED with ``minmax`` so the re-agg
-        sees exactly the state the change rows lead up to."""
+        sees exactly the state the change rows lead up to.
+
+        ``avgs`` (r8, VERDICT r7 #4) folds AVG columns: AVG itself is
+        not signed-additive, but its sum and non-null count are, so
+        each entry ``{out: col}`` requires the rollup to carry the two
+        COMPANION columns ``{out}_sum`` and ``{out}_cnt`` (the
+        maintainers bootstrap them automatically); both fold as signed
+        deltas — the count delta weighs only rows where ``col`` is
+        non-NULL, matching AVG's null semantics — and ``out`` is
+        re-derived as sum/cnt on every fold (NULL when the count
+        reaches zero, exactly recompute's empty-AVG).
+
+        ``count_distinct`` is REFUSED by design: a distinct count is
+        not foldable from signed deltas (a delete can't tell whether
+        the key's last duplicate left). The 100 TB answers are (a) a
+        mergeable sketch rollup — approx, see q_hll_rollup /
+        streaming/sketch_rollup.py — or (b) exact touched-key
+        re-aggregation against the snapshot, the ``minmax`` pattern
+        applied to count(distinct); neither is silently substituted
+        here."""
+        if count_distinct:
+            raise ValueError(_COUNT_DISTINCT_REFUSAL)
         if minmax and end is None:
             raise ValueError(
                 "fold_changes: minmax re-aggregation needs an explicit "
                 "end version to pin the base snapshot"
+            )
+        avgs = avgs or {}
+        missing_companions = [
+            c
+            for out in avgs
+            for c in (f"{out}_sum", f"{out}_cnt")
+            if c not in rollup.columns
+        ]
+        if missing_companions:
+            raise ValueError(
+                "fold_changes: avgs needs companion columns "
+                f"{missing_companions} in the rollup (AVG folds through "
+                "its maintained sum+count; the maintainers bootstrap "
+                "them)"
             )
         ch = changes
         sign = F.when(
@@ -1148,6 +1207,13 @@ class AcidTable:
             F.sum(F.col(src) * sign).alias(f"_d_{out}")
             for out, src in sums.items()
         ]
+        for out, src in avgs.items():
+            aggs.append(F.sum(F.col(src) * sign).alias(f"_d_{out}_sum"))
+            aggs.append(
+                F.sum(
+                    F.when(F.col(src).isNotNull(), sign).otherwise(F.lit(0))
+                ).alias(f"_d_{out}_cnt")
+            )
         if count_col is not None:
             aggs.append(F.sum(sign).alias(f"_d_{count_col}"))
         minmax = minmax or {}
@@ -1176,16 +1242,38 @@ class AcidTable:
             joined = joined.join(F.broadcast(touched), keys, "left").join(
                 F.broadcast(magg), keys, "left"
             )
+        avg_sums = {f"{out}_sum": out for out in avgs}
+        avg_cnts = {f"{out}_cnt" for out in avgs}
+
+        def _folded(c):
+            return F.coalesce(F.col(c), F.lit(0)) + F.coalesce(
+                F.col(f"_d_{c}"), F.lit(0)
+            )
+
         out_cols = [F.col(k) for k in keys]
         for c in rollup.columns:
             if c in keys:
                 continue
-            if c in sums or c == count_col:
+            if c in sums or c == count_col or c in avg_cnts:
                 out_cols.append(
-                    (
-                        F.coalesce(F.col(c), F.lit(0))
-                        + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
-                    )
+                    _folded(c).cast(dict(rollup.dtypes)[c]).alias(c)
+                )
+            elif c in avg_sums:
+                # SQL SUM over zero non-null rows is NULL, not 0 — a
+                # surviving group whose values all left must recompute
+                out_cols.append(
+                    F.when(_folded(f"{avg_sums[c]}_cnt") != 0, _folded(c))
+                    .cast(dict(rollup.dtypes)[c])
+                    .alias(c)
+                )
+            elif c in avgs:
+                # derive from the FOLDED companions (same expressions as
+                # their own output columns — Catalyst computes them
+                # once); NULL when the non-null count reaches zero,
+                # never a divide (ANSI mode throws on x/0)
+                cnt = _folded(f"{c}_cnt")
+                out_cols.append(
+                    F.when(cnt != 0, _folded(f"{c}_sum") / cnt)
                     .cast(dict(rollup.dtypes)[c])
                     .alias(c)
                 )

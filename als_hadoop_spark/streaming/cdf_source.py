@@ -104,6 +104,7 @@ def maintain_rollup(
     checkpoint_dir: str,
     count_col: str | None = None,
     minmax: dict[str, tuple[str, str]] | None = None,
+    avgs: dict[str, str] | None = None,
     app_id: str = "cdf_rollup",
     max_versions: int | None = None,
 ) -> int:
@@ -132,6 +133,12 @@ def maintain_rollup(
             aggs.append(F.count(F.lit(1)).alias(count_col))
         for out, (c, how) in (minmax or {}).items():
             aggs.append(getattr(F, how)(F.col(c)).alias(out))
+        for out, c in (avgs or {}).items():
+            # AVG + its fold companions (sum / non-null count) — the
+            # contract fold_changes maintains them under
+            aggs.append(F.avg(F.col(c)).alias(out))
+            aggs.append(F.sum(F.col(c)).alias(f"{out}_sum"))
+            aggs.append(F.count(F.col(c)).alias(f"{out}_cnt"))
         return aggs
 
     # Pin the rollup version ONCE: last_txn, snapshot, and the
@@ -175,7 +182,7 @@ def maintain_rollup(
     _, start, end = batch
     refreshed = src.incremental_refresh(
         rt.snapshot(version=rollup_v), keys, sums, start=start, end=end,
-        count_col=count_col, minmax=minmax,
+        count_col=count_col, minmax=minmax, avgs=avgs,
     )
     try:
         rt.overwrite(
@@ -200,6 +207,7 @@ def stream_maintain_rollup(
     checkpoint_dir: str,
     count_col: str | None = None,
     minmax: dict[str, tuple[str, str]] | None = None,
+    avgs: dict[str, str] | None = None,
     app_id: str = "cdf_rollup_stream",
     starting_version: int = 0,
     trigger: dict | None = None,
@@ -231,7 +239,15 @@ def stream_maintain_rollup(
     rollup — no separate recompute path. For a table with deep history
     point ``starting_version`` at a recent version and seed the rollup
     with one batch recompute stamped ``txn={"app": app_id, "batch":
-    starting_version - 1}`` first."""
+    starting_version - 1}`` first.
+
+    Note: Python data sources don't implement Spark's
+    SupportsTriggerAvailableNow, so ``availableNow`` falls back to
+    single-batch execution (Spark warns). The fallback's documented
+    caveat — a run resuming over an UNCOMMITTED batch processes only
+    that batch — is harmless here: the next run (or the always-on
+    trigger) picks up the rest, and the txn watermark keeps every
+    path exactly-once."""
     from pyspark.sql import functions as F
 
     from ..sources.acid_cdf import register_acid_cdf
@@ -266,6 +282,10 @@ def stream_maintain_rollup(
                 aggs.append(F.count(F.lit(1)).alias(count_col))
             for out, (c, how) in (minmax or {}).items():
                 aggs.append(getattr(F, how)(F.col(c)).alias(out))
+            for out, c in (avgs or {}).items():
+                aggs.append(F.avg(F.col(c)).alias(out))
+                aggs.append(F.sum(F.col(c)).alias(f"{out}_sum"))
+                aggs.append(F.count(F.col(c)).alias(f"{out}_cnt"))
             rollup_df = (
                 src.snapshot(version=hi).limit(0).groupBy(*keys).agg(*aggs)
             )
@@ -273,7 +293,7 @@ def stream_maintain_rollup(
             rollup_df = rt.snapshot(version=rollup_v)
         refreshed = src.fold_changes(
             rollup_df, fresh, keys, sums, end=hi,
-            count_col=count_col, minmax=minmax,
+            count_col=count_col, minmax=minmax, avgs=avgs,
         )
         rt.overwrite(
             refreshed, txn={"app": app_id, "batch": hi},
