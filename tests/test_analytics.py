@@ -534,3 +534,39 @@ def test_graph_triangles_matches_bruteforce(spark, tmp_path):
     assert got["n_edges"] == len(edges) == 7
     assert got["n_triangles"] == tri == 4
     assert got["clustering_coeff"] == round(3.0 * tri / wedges, 6)
+
+
+def test_column_profile_fast_error_bound_and_plan(spark, sf_dir):
+    """The production profiler (r8, VERDICT r7 #3): every approx
+    distinct count within 2% of the exact twin (rsd=0.01 HLL++),
+    nulls/min/max EXACTLY equal, and the plan is ONE pass — a single
+    Expand-free aggregation, no per-column extra scans (the exact
+    twin's N+1-scan residual is the thing this path removes)."""
+    from als_hadoop_spark.operators.analytics import (
+        q_column_profile,
+        q_column_profile_fast,
+    )
+
+    exact = {r["column"]: r for r in q_column_profile(spark, sf_dir).collect()}
+    fast_df = q_column_profile_fast(spark, sf_dir)
+    fast = {r["column"]: r for r in fast_df.collect()}
+    assert set(fast) == set(exact)
+    for c, e in exact.items():
+        f = fast[c]
+        assert (f["n_nulls"], f["min_val"], f["max_val"]) == (
+            e["n_nulls"], e["min_val"], e["max_val"],
+        )
+        assert abs(f["n_distinct"] - e["n_distinct"]) <= max(
+            0.02 * e["n_distinct"], 1
+        ), f"{c}: approx {f['n_distinct']} vs exact {e['n_distinct']}"
+
+    import re
+
+    plan = explain_str(fast_df)
+    assert "Expand" not in plan  # no multi-distinct blow-up
+    final = plan.split("Initial Plan")[0]  # AQE repeats the pre-plan
+    assert final.count("Scan parquet") == 1  # ONE table pass
+    # at most the spread repartition + the 1-row final reduce — never a
+    # data-row shuffle per column like the exact twin's extra passes
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange\b", final, re.M))
+    assert n_exchanges <= 2, final
