@@ -52,77 +52,62 @@ _MODULES = (
 
 
 # Registration order doubles as the external correctness harness's sample
-# order (it checks a prefix of the registry).  Round-7 rotation
-# (VERDICT r6 #8): lead with everything r7 changed or added — the
-# renamed fast/oracle twins (all four need a driver run in their NEW
-# roles), the reshaped q_embed_centroid, the re-planned
-# q_transpose_regroup, and the new q_gen_scan — then the oracle-backed
-# queries whose last driver sample is OLDEST (the r4 cohort:
-# relational/analytics/tpch families, untouched since r4's sweep);
-# previously-green r5/r6 queries close the list in module order.
-# Pure ordering — the dict contents are unchanged.
+# order (it checks a prefix of the registry).  Round-8 rotation
+# (VERDICT r7 #7): lead with everything r8 changed or added — the new
+# Structured-Streaming CDC query and the approx profiler, plus the
+# ACID/IVM queries whose fold path was refactored (fold_changes, AVG,
+# TOCTOU-pinned overwrites) and the ANSI-hardened q_embed_centroid —
+# then the oracle-backed queries whose last driver sample is OLDEST
+# (the r5 cohort: text/ngrams/market/tpch/timeseries families, green
+# since r5's sweep); newer r6/r7 queries close the list in module
+# order.  Pure ordering — the dict contents are unchanged.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # changed/added this round — need a driver run on the new form
-    "q_dedup_simhash",          # now the xxhash64 production plan (rows-only)
-    "q_winnow_dup",             # now the rolling-hash production plan (rows-only)
-    "q_dedup_simhash_oracle",   # md5 hash-proof under its new name
-    "q_winnow_dup_oracle",      # md5 hash-proof under its new name
-    "q_embed_centroid",         # r7: no pre-aggregate explode
-    "q_transpose_regroup",      # r7: direct plan, naive map moved to oracle
-    "q_gen_scan",               # r7: custom Python DataSource surface
-    "q_acid_incremental",       # exercised the r7-extended refresh path
-    "q_acid_ivm_loop",          # r7: maintained-rollup loop, new oracle
-    # oldest driver hashes (r4 cohort) — re-verify under the driver
-    "q_scan_project",
-    "q_filter",
-    "q_groupby_sum",
-    "q_avg_per_key",
-    "q_count_distinct",
-    "q_rollup_cube",
-    "q_broadcast_join",
-    "q_shuffle_join",
-    "q_salted_join",
-    "q_semi_anti_join",
-    "q_range_join",
-    "q_window_rank",
-    "q_window_running",
-    "q_topk",
-    "q_set_ops",
-    "q_listagg",
-    "q_scalar_funcs",
-    "q_array_map_json",
-    "q_variant_json",
-    "q_array_funcs",
-    "q_pivot",
-    "q_percentiles",
-    "q_stats_agg",
-    "q_dense_ids",
-    "q_rmse",
-    "q_correlated_subquery",
-    "q_window_distribution",
-    "q_null_semantics",
-    "q_safe_casts",
-    "q_hash_split",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_funnel_latency",
-    "q_equifreq_bins",
-    "q_event_transitions",
-    "q_order_revenue_topn",
-    "q_column_profile",
-    "q_nation_volume",
-    "q_histogram",
-    "q_outliers",
-    "q_skew_profile",
-    "q_constraint_audit",
-    "q_event_funnel",
-    "q_cohort_retention",
-    "q_trailing_window",
-    "q_regression",
-    "q_outer_join_count",
-    "q_asof_join",
-    "q_time_rollup",
-    "q_multimodal",
+    "q_acid_stream_ivm",        # NEW r8: acid_cdf streaming source + fold
+    "q_column_profile_fast",    # NEW r8: one-pass HLL++ profiler (rows-only)
+    "q_acid_ivm_loop",          # r8: version-pinned maintainer path
+    "q_acid_incremental",       # r8: fold_changes refactor + end pinning
+    "q_embed_centroid",         # r8: try_element_at under ANSI
+    "q_column_profile",         # exact twin re-proved next to the fast path
+    # oldest driver hashes (r5 cohort) — re-verify under the driver
+    "q_tfidf",
+    "q_pii_scrub",
+    "q_lm_score",
+    "q_sequence_pack",
+    "q_quality_sample",
+    "q_sample_mixture",
+    "q_mixture_temperature",
+    "q_stratified_k",
+    "q_volume_shipping",
+    "q_market_share",
+    "q_returned_items",
+    "q_promo_revenue",
+    "q_forecast_revenue",
+    "q_agg_of_agg",
+    "q_having_semijoin",
+    "q_exists_chain",
+    "q_scalar_threshold_anti",
+    "q_contamination",
+    "q_doc_repetition",
+    "q_ngram_lm",
+    "q_pmi_bigrams",
+    "q_token_entropy",
+    "q_zipf_fit",
+    "q_fuzzy_join",
+    "q_forward_fill",
+    "q_gap_fill",
+    "q_interval_merge",
+    "q_latest_by_key",
+    "q_merge_upsert",
+    "q_scd2_history",
+    "q_time_weighted_avg",
+    "q_udf_arrow",
+    "q_udf_groupfit",
+    "q_stream_enrich",
+    "q_stream_outer_join",
+    "q_stream_sliding",
+    "q_bitmap_overlap",
+    "q_multimodal_dedup",
 )
 
 
