@@ -43,6 +43,8 @@ ROWS_ONLY = {
     "q_gen_scan",               # subject is the Python DataSource extension
                                 # API itself — no DuckDB twin; deterministic
                                 # rows pinned in test_sources.py
+    "q_column_profile_fast",    # HLL++ sketch estimates — ≤2%-error pytest
+                                # gate vs the exact oracle twin q_column_profile
 }
 
 
