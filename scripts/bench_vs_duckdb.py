@@ -164,9 +164,15 @@ def main(names: list[str]) -> int:
     print(f"{'query':30s} {'spark_s':>8s} {'duck_s':>8s} {'ratio':>7s}")
     for name, ts, td, ratio in rows:
         print(f"{name:30s} {ts:8.2f} {td:8.2f} {ratio:7.1f}")
-    geo = math.exp(sum(math.log(r[3]) for r in rows) / len(rows))
-    within2x = sum(1 for r in rows if r[3] <= 2.0)
-    print(f"\ngeomean ratio {geo:.2f}x; {within2x}/{len(rows)} within 2x; sf_dir={SF_DIR}")
+    if rows:
+        geo = math.exp(sum(math.log(r[3]) for r in rows) / len(rows))
+        within2x = sum(1 for r in rows if r[3] <= 2.0)
+        print(f"\ngeomean ratio {geo:.2f}x; {within2x}/{len(rows)} within 2x; sf_dir={SF_DIR}")
+    else:
+        # every selected query FAILed on one engine (e.g. a single-query
+        # evidence run whose DuckDB side times out) — the FAIL lines
+        # above ARE the result
+        print(f"\nno ratios (all selected queries failed one engine); sf_dir={SF_DIR}")
     spark.stop()
     return 0
 
