@@ -29,6 +29,15 @@ ANNOTATED = {
         "broadcasts the pruned side below threshold); the top-10 compiles "
         "to TakeOrderedAndProject (per-partition heaps, no global sort)."
     ),
+    "q_column_profile_fast": (
+        "The r8 production profiler. EVERY column's nulls/min/max AND "
+        "HLL++ distinct sketch evaluate in ONE aggregate over ONE scan — "
+        "no Expand (the multi-countDistinct trap), no per-column passes "
+        "(the exact twin's N+1-scan residual); the only exchanges are "
+        "the fixture spread repartition and the 1-row final reduce. "
+        "Sketches are partial-mergeable, so map-side combine carries a "
+        "few KB per column per task at any table size."
+    ),
     "q_dedup_minhash": (
         "Banded-minhash near-dup. Every candidate generator is an "
         "equi-join on (band, band_key) — no BroadcastNestedLoopJoin / "
