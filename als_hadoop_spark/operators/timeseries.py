@@ -490,6 +490,68 @@ def _acid_scratch(spark: SparkSession, sf_dir: str, tag: str) -> str:
     return table_dir
 
 
+def q_acid_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACID table driven ENTIRELY through the registered Spark
+    format (r8): ``df.write.format("acid")`` lays the snapshot down in
+    OVERWRITE mode (range-clustered on user_id so the commit log
+    carries disjoint per-file key ranges), a second slice lands as an
+    APPEND commit, and the readback is ``spark.read.format("acid")``
+    with a user_id range filter — which ``pushFilters`` turns into
+    file-level pruning against the log's per-file stats at PLANNING
+    time (the same skip ``snapshot_where`` gives, now triggered by an
+    ordinary ``.filter()``). The DuckDB twin computes the same
+    filtered rollup from raw events: the hash-match proves the whole
+    format surface — Arrow writer, executor-side stats, O_EXCL log
+    commit, schema-aligned Arrow reads, planning-time pruning —
+    returns exactly the relational answer.
+
+    Scale shape: write tasks stream Arrow batches straight to parquet
+    in the table dir (no staging rename pass, no driver IO — stats
+    ride the commit messages); the filtered read plans only the files
+    whose [min, max] intersect the predicate. Reference ancestry: A15/
+    A16 (persist between jobs, overwrite-before-run,
+    ALS-Hadoop/ALS/ALS.java:75-77,236) re-expressed as a registered
+    transactional Spark format."""
+    from ..sources.acid_format import register_acid_format
+
+    register_acid_format(spark)
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    proj = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("ts") < cutoff).alias("_early"),
+    )
+    path = _acid_scratch(spark, sf_dir, "fmt")
+    (
+        proj.filter("_early").drop("_early")
+        .repartitionByRange(4, "user_id")
+        .write.format("acid").mode("overwrite").save(path)
+    )
+    (
+        proj.filter("NOT _early").drop("_early")
+        .repartitionByRange(4, "user_id")
+        .write.format("acid").mode("append").save(path)
+    )
+    hi = ACID_FMT_USER_CAP
+    return (
+        spark.read.format("acid").load(path)
+        .filter(F.col("user_id") <= hi)  # planning-time file pruning
+        .groupBy("state")
+        .agg(
+            F.sum("cents").alias("sum_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("state")
+    )
+
+
+#: q_acid_format's readback filter bound — low enough that the range-
+#: clustered layout prunes files, high enough to keep thousands of rows
+ACID_FMT_USER_CAP = 2_000
+
+
 def q_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC loop CLOSED: q_merge_upsert's changelog fold executed as
     a real transaction against a commit-log table
@@ -928,6 +990,7 @@ def q_acid_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_acid_format": q_acid_format,
     "q_acid_merge": q_acid_merge,
     "q_acid_cdf": q_acid_cdf,
     "q_acid_incremental": q_acid_incremental,
@@ -1308,3 +1371,14 @@ ORACLES = {
 # oracle text verbatim (recompute from raw events): one hash proves
 # both the batch maintainer and the Structured Streaming pipeline.
 ORACLES["q_acid_stream_ivm"] = ORACLES["q_acid_ivm_loop"]
+
+ORACLES["q_acid_format"] = f"""
+    SELECT event_type AS state,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE user_id <= 2000
+    GROUP BY event_type
+    ORDER BY state
+"""

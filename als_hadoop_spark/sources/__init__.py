@@ -15,6 +15,7 @@ scan at 100 TB).
 """
 
 from .acid_cdf import build_acid_cdf_source, register_acid_cdf
+from .acid_format import build_acid_format_source, register_acid_format
 from .generator import build_ratings_gen_source, register_ratings_gen
 from .tables import (
     TABLES,
@@ -37,8 +38,10 @@ from .tables import (
 __all__ = [
     "TABLES",
     "build_acid_cdf_source",
+    "build_acid_format_source",
     "build_ratings_gen_source",
     "register_acid_cdf",
+    "register_acid_format",
     "register_ratings_gen",
     "load",
     "load_all",

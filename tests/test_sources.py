@@ -3,6 +3,7 @@ SequenceFile-equivalent storage, overwrite semantics)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from als_hadoop_spark.sources import load, read_ratings_csv, write_table
@@ -297,3 +298,155 @@ def test_clustered_layout_enables_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     got = joined.collect()
     assert [r["event_type"] for r in got] == ["purchase"]
+
+
+def test_acid_format_roundtrip_and_interop(spark, tmp_path):
+    """format('acid') r8: append + overwrite + time travel through the
+    idiomatic Spark surface, fully interoperable with the AcidTable
+    API (either writer's commits are the other reader's versions)."""
+    from als_hadoop_spark.sources import register_acid_format
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k LONG, s STRING, x DOUBLE"
+    ).coalesce(1).write.format("acid").mode("append").save(p)
+    spark.createDataFrame(
+        [(3, "c", 30.0)], "k LONG, s STRING, x DOUBLE"
+    ).coalesce(1).write.format("acid").mode("append").save(p)
+
+    back = spark.read.format("acid").load(p)
+    assert sorted(map(tuple, back.collect())) == [
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+    ]
+    # the API reader sees the format writer's commits
+    t = AcidTable(spark, p)
+    assert t.latest_version() == 1
+    assert sorted(map(tuple, t.snapshot().collect())) == sorted(
+        map(tuple, back.collect())
+    )
+    # time travel through the option
+    assert spark.read.format("acid").option("version", 0).load(p).count() == 2
+
+    # overwrite replaces; history stays readable
+    spark.createDataFrame([(9, "z", 90.0)], "k LONG, s STRING, x DOUBLE") \
+        .coalesce(1).write.format("acid").mode("overwrite").save(p)
+    assert [tuple(r) for r in spark.read.format("acid").load(p).collect()] == [
+        (9, "z", 90.0)
+    ]
+    assert spark.read.format("acid").option("version", 1).load(p).count() == 3
+
+    # and the format reader sees API-writer commits (mixed writers)
+    t.append(
+        spark.createDataFrame([(10, "y", 1.0)], "k LONG, s STRING, x DOUBLE")
+        .coalesce(1)
+    )
+    assert spark.read.format("acid").load(p).count() == 2
+
+
+def test_acid_format_txn_idempotent_replay(spark, tmp_path):
+    """txnAppId/txnVersion on the format writer: a replayed write with
+    an already-committed (app, batch) publishes NOTHING and leaves no
+    orphan files behind."""
+    import os
+
+    from als_hadoop_spark.sources import register_acid_format
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    w = spark.createDataFrame([(1, 2.0)], "k LONG, x DOUBLE").coalesce(1)
+    for _ in range(3):
+        (w.write.format("acid").mode("append")
+         .option("txnAppId", "ingest").option("txnVersion", 7).save(p))
+    t = AcidTable(spark, p)
+    assert t.latest_version() == 0  # ONE commit
+    assert t.snapshot().count() == 1
+    assert t.last_txn("ingest") == 7
+    # replays removed their staged-but-unpublished files
+    data_files = [
+        n for n in os.listdir(p) if n.endswith(".parquet")
+    ]
+    assert len(data_files) == 1
+
+
+def test_acid_format_refuses_constraint_tables(spark, tmp_path):
+    """The format writer cannot validate CHECK constraints at commit
+    time, so it must refuse (pointing at AcidTable.append) and leave
+    nothing behind — never publish unvalidated rows."""
+    import os
+
+    from als_hadoop_spark.sources import register_acid_format
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame([(1, 5.0)], "k LONG, x DOUBLE").coalesce(1)
+    )
+    t.set_constraint("x_positive", "x > 0")
+    df = spark.createDataFrame([(2, -1.0)], "k LONG, x DOUBLE").coalesce(1)
+    with pytest.raises(Exception, match="AcidTable.append"):
+        df.write.format("acid").mode("append").save(p)
+    assert t.snapshot().count() == 1  # nothing published
+    live = set(t._replay())
+    stray = [
+        n for n in os.listdir(p)
+        if n.endswith(".parquet") and n not in live
+    ]
+    assert stray == []  # refusal cleaned its staged files
+
+
+def test_acid_format_pushdown_prunes_files(spark, tmp_path):
+    """A .filter() on the format reader prunes ENTIRE FILES at planning
+    time from the commit log's per-file stats (range-clustered table:
+    point and range predicates both plan a minority of files), while
+    Spark still re-checks rows (exact results)."""
+    from als_hadoop_spark.sources import register_acid_format
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    big = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 200)], "k LONG, x DOUBLE"
+    )
+    big.repartitionByRange(4, "k").write.format("acid").mode("append").save(p)
+    rd = spark.read.format("acid").load(p)
+    assert rd.rdd.getNumPartitions() == 4
+    one = rd.filter("k = 150")
+    assert one.rdd.getNumPartitions() == 1  # three files never planned
+    assert one.count() == 1
+    rng = rd.filter("k >= 180")
+    assert rng.rdd.getNumPartitions() == 1
+    assert rng.count() == 20
+
+
+def test_acid_format_reads_schema_evolved_table(spark, tmp_path):
+    """The format reader applies the log's metadata-only schema ops
+    per file epoch exactly like AcidTable._assemble: old files read
+    through renames and NULL-fill added columns."""
+    from als_hadoop_spark.sources import register_acid_format
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame([(1, 10.0)], "k LONG, old_x DOUBLE").coalesce(1)
+    )
+    t.rename_column("old_x", "x")
+    t.append(
+        spark.createDataFrame(
+            [(2, 20.0, "n")], "k LONG, x DOUBLE, note STRING"
+        ).coalesce(1)
+    )
+    got = sorted(
+        map(tuple, spark.read.format("acid").load(p)
+            .select("k", "x", "note").collect())
+    )
+    assert got == [(1, 10.0, None), (2, 20.0, "n")]
+    want = sorted(
+        map(tuple, t.snapshot().select("k", "x", "note").collect())
+    )
+    assert got == want
