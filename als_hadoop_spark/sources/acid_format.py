@@ -6,6 +6,8 @@ batch source AND sink (r8)::
     df.write.format("acid").mode("overwrite").save("/data/orders_acid")
     spark.read.format("acid").load("/data/orders_acid")          # latest
     spark.read.format("acid").option("version", 3).load(...)      # travel
+    stream.writeStream.format("acid").option("checkpointLocation", c) \
+        .start("/data/orders_acid")   # exactly-once streaming appends
 
 Until now the table was driven through the :class:`AcidTable` Python
 API; this module makes it an idiomatic Spark format, completing the
@@ -430,6 +432,46 @@ def build_acid_format_source(with_pushdown: bool = True):
         def abort(self, messages):
             self._cleanup(messages)
 
+    # ------------------------------------------------ streaming sink
+
+    from pyspark.sql.datasource import DataSourceStreamArrowWriter
+
+    class AcidStreamWriter(DataSourceStreamArrowWriter):
+        """``writeStream.format("acid")`` — EXACTLY-ONCE streaming
+        appends: each micro-batch commits as one log entry stamped
+        ``txn={app, batch: batchId}`` (``.option("txnAppId", ...)``,
+        default ``acid_stream_sink``). Spark hands ``commit`` the
+        batchId, so a replayed micro-batch (restart, retry) finds its
+        (app, batch) already in the log, skips the commit, and removes
+        its orphaned files — the streaming/acid_ingest.py recipe as a
+        REGISTERED sink. Append output mode only: the log is the
+        truncation mechanism, not per-batch overwrite."""
+
+        def __init__(self, options, overwrite: bool):
+            if overwrite:
+                raise ValueError(
+                    "acid format: streaming sink supports APPEND output "
+                    "mode only (complete/update would truncate the log "
+                    "every batch — materialize through maintain_rollup "
+                    "instead)"
+                )
+            self._inner = AcidWriter(options, overwrite=False)
+            self._app = (
+                options.get("txnappid")
+                or options.get("txnAppId")
+                or "acid_stream_sink"
+            )
+
+        def write(self, iterator):
+            return self._inner.write(iterator)
+
+        def commit(self, messages, batchId):
+            self._inner.txn = {"app": self._app, "batch": int(batchId)}
+            self._inner.commit(messages)
+
+        def abort(self, messages, batchId):
+            self._inner.abort(messages)
+
     # ------------------------------------------------------- source
 
     class AcidFormatSource(DataSource):
@@ -496,6 +538,9 @@ def build_acid_format_source(with_pushdown: bool = True):
 
         def writer(self, schema, overwrite: bool):
             return AcidWriter(self.options, overwrite)
+
+        def streamWriter(self, schema, overwrite: bool):
+            return AcidStreamWriter(self.options, overwrite)
 
     return AcidFormatSource
 

@@ -450,3 +450,62 @@ def test_acid_format_reads_schema_evolved_table(spark, tmp_path):
         map(tuple, t.snapshot().select("k", "x", "note").collect())
     )
     assert got == want
+
+
+def test_acid_format_streaming_sink_exactly_once(spark, tmp_path):
+    """writeStream.format('acid') (r8): micro-batches commit with
+    txn batch = batchId, so a rerun over the same checkpoint adds
+    nothing and a LOST-CHECKPOINT full source replay re-delivers every
+    batch id already in the log — all skipped, rows land exactly once
+    and equal the batch source."""
+    import shutil
+
+    from als_hadoop_spark.sources import (
+        register_acid_format,
+        register_ratings_gen,
+    )
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    register_acid_format(spark)
+    register_ratings_gen(spark)
+    p, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    stream = spark.readStream.format("ratings_gen").option("n_users", 500).load()
+
+    def run():
+        q = (
+            stream.writeStream.format("acid")
+            .option("path", p)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run()
+    t = AcidTable(spark, p)
+    n1, v1 = t.snapshot().count(), t.latest_version()
+    assert n1 == 500 * 20
+    assert t.last_txn("acid_stream_sink") >= 0
+    run()  # same checkpoint, no new data: nothing committed
+    assert AcidTable(spark, p).latest_version() == v1
+    shutil.rmtree(ck)
+    run()  # lost checkpoint: full replay, every batch id skips
+    t2 = AcidTable(spark, p)
+    assert t2.snapshot().count() == n1
+    want = (
+        spark.read.format("ratings_gen").option("n_users", 500).load().count()
+    )
+    assert n1 == want
+
+    # complete/update output is refused loudly
+    with pytest.raises(Exception, match="APPEND"):
+        (
+            stream.groupBy("user_id").count()
+            .writeStream.format("acid")
+            .outputMode("complete")
+            .option("path", str(tmp_path / "t2"))
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
