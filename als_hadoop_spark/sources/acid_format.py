@@ -111,21 +111,56 @@ def build_acid_format_source(with_pushdown: bool = True):
 
     def _state(path: str, version=None) -> dict:
         """Replayed {live: {file: {stats, added}}, schema_ops,
-        constraints, txns} at ``version`` (default latest). Full
-        replay from version 0 — raises if the log prefix was cleaned
-        (this reader does not consult checkpoints; correctness first)."""
+        constraints, txns} at ``version`` (default latest) —
+        CHECKPOINT-AWARE like AcidTable._compute_state: load the newest
+        ``_last_checkpoint`` at-or-below the target and replay only the
+        log suffix, so format reads/commits stay O(interval) on
+        long-lived tables and cleanup_log'd prefixes remain readable.
+        Raises clearly on a true log gap (files removed out of band)."""
+        import json
+        import os
+
         vs = _versions(path)
         if version is not None:
             vs = [v for v in vs if v <= int(version)]
-        if vs and vs[0] != 0:
-            raise ValueError(
-                f"acid format: log prefix below {vs[0]} was cleaned; "
-                "read through AcidTable (checkpoint-aware) instead"
-            )
         live: dict = {}
         ops: list = []
         cons: dict = {}
         txns: dict = {}
+        start = 0
+        try:
+            with open(os.path.join(path, LOG_DIR, "_last_checkpoint")) as f:
+                cp = int(json.load(f)["version"])
+        except (OSError, ValueError, KeyError):
+            cp = None
+        if cp is not None and (version is None or cp <= int(version)):
+            try:
+                with open(
+                    os.path.join(path, LOG_DIR, f"{cp:010d}.checkpoint.json")
+                ) as f:
+                    st = json.load(f)["state"]
+                live = dict(st.get("live", {}))
+                ops = list(st.get("schema_ops", []))
+                cons = dict(st.get("constraints", {}))
+                txns = dict(st.get("txns", {}))
+                start = cp + 1
+            except (OSError, KeyError, json.JSONDecodeError):
+                start = 0  # corrupt/missing checkpoint: full replay
+        vs = [v for v in vs if v >= start]
+        if vs and vs[0] != start:
+            raise ValueError(
+                f"acid format: replay should start at {start} but the "
+                f"earliest retained commit at-or-after it is {vs[0]} — "
+                "the prefix was cleaned without a covering checkpoint "
+                "or log files were removed out of band; read through "
+                "AcidTable for the race-retry path"
+            )
+        if vs and vs != list(range(vs[0], vs[-1] + 1)):
+            raise ValueError(
+                "acid format: non-contiguous commit log in replay "
+                f"range starting {vs[0]} — log files were removed out "
+                "of band"
+            )
         for v in vs:
             e = _entry(path, v)
             for p in e.get("remove", []):

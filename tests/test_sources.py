@@ -563,3 +563,36 @@ print("done", wid)
 
     register_acid_format(spark)
     assert spark.read.format("acid").load(path).count() == n_writers * n_commits
+
+
+def test_acid_format_reads_checkpointed_cleaned_log(spark, tmp_path):
+    """The format's log replay is checkpoint-aware (r8): after
+    cleanup_log removes the prefix below the newest checkpoint, both
+    format reads and format appends still work (replaying checkpoint +
+    suffix), and a true out-of-band log gap raises clearly."""
+    import os
+
+    from als_hadoop_spark.sources import register_acid_format
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    one = spark.createDataFrame([(1, "a")], "k LONG, s STRING").coalesce(1)
+    for _ in range(11):  # version 10 writes a checkpoint
+        t.append(one)
+    removed = t.cleanup_log()
+    assert removed  # prefix actually gone
+    got = spark.read.format("acid").load(p)
+    assert got.count() == 11
+    # format append still commits on the cleaned log
+    one.write.format("acid").mode("append").save(p)
+    assert spark.read.format("acid").load(p).count() == 12
+    assert AcidTable(spark, p).snapshot().count() == 12
+
+    # a REAL gap (a MIDDLE commit removed out of band; removing the
+    # head alone just rolls latest back) is a loud error
+    one.write.format("acid").mode("append").save(p)  # version 12
+    os.remove(os.path.join(p, "_acid_log", f"{11:010d}.json"))
+    with pytest.raises(Exception, match="out of band|should start"):
+        spark.read.format("acid").load(p).collect()
