@@ -230,9 +230,33 @@ def build_acid_cdf_source():
             path = self.options.get("path")
             if not path:
                 raise ValueError("acid_cdf: option 'path' is required")
+            # checkpoint-aware live-set replay (r8): cleanup_log'd
+            # prefixes stay readable — load the newest checkpoint's
+            # live set, replay only the suffix
             live: dict[str, bool] = {}
             schema_ops = False
+            start = 0
+            try:
+                with open(
+                    os.path.join(path, LOG_DIR, "_last_checkpoint")
+                ) as f:
+                    import json as _json
+
+                    cp = int(_json.load(f)["version"])
+                with open(
+                    os.path.join(
+                        path, LOG_DIR, f"{cp:010d}.checkpoint.json"
+                    )
+                ) as f:
+                    st = _json.load(f)["state"]
+                live = dict.fromkeys(st.get("live", {}), True)
+                schema_ops = bool(st.get("schema_ops"))
+                start = cp + 1
+            except (OSError, ValueError, KeyError):
+                pass
             for v in _versions(path):
+                if v < start:
+                    continue
                 e = _entry(path, v)
                 for p in e.get("remove", []):
                     live.pop(p, None)
