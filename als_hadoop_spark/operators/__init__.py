@@ -64,6 +64,7 @@ _MODULES = (
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # changed/added this round — need a driver run on the new form
     "q_acid_format",            # NEW r8: ACID table as a registered format
+    "q_dedup_embed_lsh",        # NEW r8: scale-path embedding dedup
     "q_acid_stream_ivm",        # NEW r8: acid_cdf streaming source + fold
     "q_column_profile_fast",    # NEW r8: one-pass HLL++ profiler (rows-only)
     "q_acid_ivm_loop",          # r8: version-pinned maintainer path

@@ -583,6 +583,71 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+#: q_dedup_embed_lsh plant parameters: every PLANT_MOD-th vector gains
+#: a perturbed twin (id + PLANT_OFFSET); ±PLANT_EPS alternating
+#: per-component scaling puts the twin at cosine ≈ 1/√(1+EPS²) ≈ 0.98
+#: — inside banding's high-similarity regime, outside exact-equality
+#: triviality. Confirm threshold 0.95 rejects everything else (the
+#: fixture's max natural candidate cosine is 0.49).
+PLANT_MOD = 10
+PLANT_OFFSET = 10_000_000
+PLANT_EPS = 0.2
+EMBED_LSH_T = 0.95
+
+
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at SCALE — the production path whose exact
+    semantics q_dedup_embed's capped quadratic baseline defines: banded
+    random-hyperplane LSH generates candidate pairs through an
+    EQUI-join on (band, band_bits) — never all-pairs — and an exact
+    cosine confirm keeps pairs ≥ EMBED_LSH_T. The fixture corpus has
+    no natural near-duplicates (max candidate cosine 0.49), so the
+    query PLANTS them deterministically: every PLANT_MOD-th vector
+    gains a twin (vec_id + PLANT_OFFSET) with alternating ±PLANT_EPS
+    per-component scaling (cosine ≈ 0.98, planted in plain column
+    expressions — no RNG, so every run and both test scales see the
+    identical truth set). The returned pairs are the recovered
+    duplicates; pytest gates recall ≥ 0.8 against the planted truth
+    and perfect precision (nothing below threshold survives the
+    confirm).
+
+    Rows-only by design: banding recall < 1 and the xxhash-based
+    hyperplanes are engine-specific — the exact twin q_dedup_embed is
+    the oracle-proven member of the pair (the repo's fast/oracle
+    pattern).
+
+    Scale shape: signatures are 16 codegen'd bit votes per vector; the
+    candidate join's shuffle key is uniform hash bits (no skew);
+    confirm touches only candidate pairs. A 10⁹-vector corpus emits
+    10⁹ × 4 band rows — a bounded equi-join, not 10¹⁸ pairs."""
+    from .similarity import lsh_candidates
+
+    emb = load(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    twins = emb.filter(F.col("vec_id") % PLANT_MOD == 0).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            * (1.0 + F.when(i % 2 == 0, PLANT_EPS).otherwise(-PLANT_EPS)),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    cands = lsh_candidates(corpus)
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot("va", "vb") / (l2_norm("va") * l2_norm("vb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMBED_LSH_T)
+        .orderBy("id_a", "id_b")
+    )
+
+
 #: winnowing (Schleimer–Wilkerson–Aiken, SIGMOD'03): k-gram size,
 #: window of consecutive k-gram hashes, min shared fingerprints for a
 #: candidate pair, and a posting-list cap on ubiquitous fingerprints.
@@ -823,6 +888,7 @@ QUERIES = {
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_cluster": q_dedup_cluster,
     "q_dedup_embed": q_dedup_embed,
+    "q_dedup_embed_lsh": q_dedup_embed_lsh,
 }
 
 ORACLES = {

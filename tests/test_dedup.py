@@ -406,3 +406,29 @@ def test_winnow_fast_detects_planted_copied_passage(spark, tmp_path):
         pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in fn(spark, sf).collect()}
         assert (1, 2) in pairs, (fn.__name__, pairs)
         assert all(p == (1, 2) for p in pairs), (fn.__name__, pairs)
+
+
+def test_dedup_embed_lsh_recovers_planted_twins(spark):
+    """The registered scale-path embedding dedup (r8): deterministic
+    planted twins (cosine ~0.98) must be recovered through the banded
+    LSH candidate join + exact confirm with recall >= 0.8, and nothing
+    below the confirm threshold can appear (precision is structural)."""
+    from pyspark.sql import functions as F
+
+    from als_hadoop_spark.operators import dedup
+    from als_hadoop_spark.sources import load
+
+    rows = dedup.q_dedup_embed_lsh(spark, MID_SF).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    ids = [
+        r["vec_id"]
+        for r in load(spark, MID_SF, "embeddings")
+        .filter(F.col("vec_id") % dedup.PLANT_MOD == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    planted = {(v, v + dedup.PLANT_OFFSET) for v in ids}
+    assert planted
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.8, f"planted-twin recall {recall:.2f} < 0.8"
+    assert all(r["cosine"] >= dedup.EMBED_LSH_T for r in rows)

@@ -45,6 +45,8 @@ ROWS_ONLY = {
                                 # rows pinned in test_sources.py
     "q_column_profile_fast",    # HLL++ sketch estimates — ≤2%-error pytest
                                 # gate vs the exact oracle twin q_column_profile
+    "q_dedup_embed_lsh",        # banded-LSH recall < 1 (planted-twin pytest;
+                                # exact twin q_dedup_embed carries the oracle)
 }
 
 
