@@ -590,7 +590,9 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: triviality. Confirm threshold 0.95 rejects everything else (the
 #: fixture's max natural candidate cosine is 0.49).
 PLANT_MOD = 10
-PLANT_OFFSET = 10_000_000
+# far above any fixture OR scaled-replica id (make_scaled_sf shifts ids
+# by 10M per replica — ×100 reaches ~990M; 2^40 can never collide)
+PLANT_OFFSET = 1 << 40
 PLANT_EPS = 0.2
 EMBED_LSH_T = 0.95
 
@@ -611,16 +613,24 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and perfect precision (nothing below threshold survives the
     confirm).
 
-    Rows-only by design: banding recall < 1 and the xxhash-based
-    hyperplanes are engine-specific — the exact twin q_dedup_embed is
-    the oracle-proven member of the pair (the repo's fast/oracle
-    pattern).
+    Rows-only by design: banding recall < 1 and the seeded hyperplanes
+    are engine-specific — the exact twin q_dedup_embed is the
+    oracle-proven member of the pair (the repo's fast/oracle pattern).
 
-    Scale shape: signatures are 16 codegen'd bit votes per vector; the
-    candidate join's shuffle key is uniform hash bits (no skew);
-    confirm touches only candidate pairs. A 10⁹-vector corpus emits
-    10⁹ × 4 band rows — a bounded equi-join, not 10¹⁸ pairs."""
-    from .similarity import lsh_candidates
+    Scale shape (rebuilt after the first r8 form blew up at ×100 —
+    the 4×4-bit banding of the top-k prefilter gives only 16 buckets
+    per band, so a 55 k-vector corpus joined ~380 M candidate pairs
+    each CARRYING two full vectors and spilled the disk): signatures
+    are the 128-bit packed Arrow sketch (one numpy matmul per batch),
+    band keys are 8 × 16-bit JVM bit-slices of the packed longs —
+    65 536 buckets per band, so expected bucket occupancy stays ~n/64k
+    and collisions shrink as hash bits, not corpus, decide them. The
+    band self-join carries ONLY (vec_id, 8-byte key) — never vectors;
+    the surviving DISTINCT pairs fetch their two embeddings through
+    bounded joins for the exact confirm. Recall at cosine 0.98:
+    per-bit agreement 1−θ/π ≈ 0.936 → 16-bit band 0.35 → 8 bands
+    ≈ 0.97 (pytest-gated ≥ 0.8 on the planted truth)."""
+    from .similarity import SKETCH_BITS, _sketch
 
     emb = load(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "embedding"
@@ -634,9 +644,43 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(twins)
-    cands = lsh_candidates(corpus)
+    band_bits = 16
+    n_bands = SKETCH_BITS // band_bits  # 8 bands over the packed longs
+    per_long = 64 // band_bits
+    # sketch evaluated ONCE per vector, then sliced; pinned because the
+    # a/b self-join reads this twice — without the pin each side would
+    # re-run the Arrow sketch matmul over the corpus
+    sk = corpus.select("vec_id", _sketch("embedding").alias("sig"))
+    keys = sk.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.lit(i * (1 << 32))
+                        + F.shiftrightunsigned(
+                            F.element_at("sig", i // per_long + 1),
+                            band_bits * (i % per_long),
+                        ).bitwiseAND(F.lit((1 << band_bits) - 1))
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bkey"),
+    ).localCheckpoint(eager=False)
+    pairs = (
+        keys.select(F.col("vec_id").alias("id_a"), "bkey")
+        .join(keys.select(F.col("vec_id").alias("id_b"), "bkey"), "bkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    va = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
-        cands.select(
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(
