@@ -135,16 +135,49 @@ def build_acid_cdf_source():
                     "(cleanup_log removed them) — restart the stream "
                     "with a higher startingVersion"
                 )
+            # refuse schema-evolved tables at PLANNING even when the
+            # user supplied an explicit schema (bypassing schema()'s
+            # own refusal): an overwrite in range can remove files
+            # written before a rename, and aligning their OLD physical
+            # names to the stream schema would silently emit NULL
+            # columns — wrong rows, not an error. AcidTable's
+            # table_changes applies per-file-epoch schema ops; this
+            # source refuses until it does the same.
+            evolved = any(
+                v <= hi and _entry(self.path, v).get("schema_op")
+                for v in retained
+            )
+            if not evolved:
+                # a cleaned prefix may hide its schema ops inside the
+                # covering checkpoint — consult it too
+                import json
+
+                try:
+                    with open(
+                        os.path.join(self.path, LOG_DIR, "_last_checkpoint")
+                    ) as f:
+                        cp = int(json.load(f)["version"])
+                    with open(
+                        os.path.join(
+                            self.path, LOG_DIR, f"{cp:010d}.checkpoint.json"
+                        )
+                    ) as f:
+                        evolved = bool(json.load(f)["state"].get("schema_ops"))
+                except (OSError, ValueError, KeyError):
+                    pass
+            if evolved:
+                raise ValueError(
+                    "acid_cdf: table has schema-change commits — "
+                    "streaming reads of schema-evolved tables are not "
+                    "supported (aligning pre-rename files to the stream "
+                    "schema would silently NULL their columns); use "
+                    "AcidTable.table_changes (per-file-epoch mapping) "
+                    "or restart after compacting with OPTIMIZE so files "
+                    "carry current names"
+                )
             parts: list[ChangeFile] = []
             for v in range(lo + 1, hi + 1):
                 e = _entry(self.path, v)
-                if e.get("schema_op"):
-                    raise ValueError(
-                        f"acid_cdf: version {v} is a schema change "
-                        f"({e['schema_op']}) — the stream schema is "
-                        "fixed at start; restart the stream to pick "
-                        "up the new schema (Delta CDF parity)"
-                    )
                 op = e.get("operation")
                 adds = [a["path"] for a in e.get("add", [])]
                 removes = e.get("remove", [])

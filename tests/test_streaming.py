@@ -1178,3 +1178,36 @@ def test_stream_maintain_rollup_lifecycle(spark, tmp_path):
     run()
     assert rollup_state() == recompute()
     assert "g3" not in rollup_state()
+
+
+def test_acid_cdf_refuses_schema_evolved_tables(spark, tmp_path):
+    """Even with a user-supplied explicit schema (which bypasses the
+    source's own schema() refusal), planning must refuse a table with
+    schema-op commits — aligning pre-rename files by name would emit
+    silently-NULL columns, and this source promises errors, never
+    wrong rows."""
+    from als_hadoop_spark.sources import register_acid_cdf
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "src"))
+    t.append(
+        spark.createDataFrame([(1, 10)], "k LONG, old_x LONG").coalesce(1)
+    )
+    t.rename_column("old_x", "x")
+    t.append(spark.createDataFrame([(2, 20)], "k LONG, x LONG").coalesce(1))
+    register_acid_cdf(spark)
+    stream = (
+        spark.readStream.format("acid_cdf")
+        .schema("k long, x long, _change_type string, _commit_version long")
+        .option("path", t.path)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="schema"):
+        q.awaitTermination(120)
+    q.stop()
