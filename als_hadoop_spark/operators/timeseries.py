@@ -547,6 +547,67 @@ def q_acid_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_acid_format_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``format("acid")`` with a PARTITIONED layout (r9, VERDICT r8 #2):
+    ``.option("partitionBy", "state")`` makes every write task split
+    its rows BY PARTITION VALUE into ``state=<value>/`` files whose
+    exact value rides the commit log, and the read-side
+    ``pushFilters`` eliminates whole partitions at PLANNING time —
+    BEFORE per-file [min, max] stats pruning — from an ordinary
+    ``.filter()``. The readback pins one partition value AND a user_id
+    range, so the plan exercises both levers stacked: partition
+    elimination drops 4/5 of the files exactly (the Delta/Iceberg
+    partition-column contract), then stats pruning cuts the survivors
+    by the range-clustered user_id. The DuckDB twin recomputes the
+    rollup from raw events — the hash-match proves the split write,
+    the per-value file invariant, and the two-stage prune return
+    exactly the relational answer.
+
+    At 100 TB this is THE selective-scan lever: a date/tenant
+    partition turns a full-table scan into one directory's worth of
+    planned InputPartitions, with per-file stats refining inside the
+    partition. Reference ancestry: the reference's only layout is one
+    SequenceFile dir per stage (ALS-Hadoop/ALS/ALS.java:236) — this is
+    the lakehouse generalization."""
+    from ..sources.acid_format import register_acid_format
+
+    register_acid_format(spark)
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    proj = ev.filter(F.col("user_id") <= ACID_FMT_WRITE_CAP).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.col("ts") < cutoff).alias("_early"),
+    )
+    path = _acid_scratch(spark, sf_dir, "fmtpart")
+    (
+        proj.filter("_early").drop("_early")
+        .repartitionByRange(4, "user_id")
+        .write.format("acid").mode("overwrite")
+        .option("partitionBy", "state").save(path)
+    )
+    (
+        proj.filter("NOT _early").drop("_early")
+        .repartitionByRange(4, "user_id")
+        .write.format("acid").mode("append")
+        .option("partitionBy", "state").save(path)
+    )
+    return (
+        spark.read.format("acid").load(path)
+        .filter(  # partition elimination + stats pruning, stacked
+            (F.col("state") == "purchase")
+            & (F.col("user_id") <= ACID_FMT_USER_CAP)
+        )
+        .groupBy(F.floor(F.col("user_id") / 100).alias("bucket"))
+        .agg(
+            F.sum("cents").alias("sum_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
 #: q_acid_format bounds. WRITE_CAP covers the whole sf0.1 user domain
 #: (0-1499) and binds only on scaled data, keeping the query a SURFACE
 #: proof rather than a raw write-throughput benchmark (×100 replicas
@@ -997,6 +1058,7 @@ def q_acid_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_acid_format": q_acid_format,
+    "q_acid_format_partitioned": q_acid_format_partitioned,
     "q_acid_merge": q_acid_merge,
     "q_acid_cdf": q_acid_cdf,
     "q_acid_incremental": q_acid_incremental,
@@ -1387,4 +1449,15 @@ ORACLES["q_acid_format"] = f"""
     WHERE user_id <= 1000
     GROUP BY event_type
     ORDER BY state
+"""
+
+ORACLES["q_acid_format_partitioned"] = """
+    SELECT CAST(FLOOR(user_id / 100) AS BIGINT) AS bucket,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type = 'purchase' AND user_id <= 1000
+    GROUP BY 1
+    ORDER BY 1
 """

@@ -92,11 +92,23 @@ def build_acid_cdf_source():
         )
 
     def _entry(path: str, v: int) -> dict:
+        """Parsed commit entry, with the bounded torn-read retry
+        (sources/acid.py ``_load_entry_retry`` twin): entries published
+        by the r9 writers are complete-on-visibility (link publish), so
+        the retry only fires against a pre-r9 writer mid-write."""
         import json
         import os
+        import time
 
-        with open(os.path.join(path, LOG_DIR, f"{v:010d}.json")) as f:
-            return json.load(f)
+        p = os.path.join(path, LOG_DIR, f"{v:010d}.json")
+        for i in range(50):
+            try:
+                with open(p) as f:
+                    return json.load(f)
+            except json.JSONDecodeError:
+                if i == 49:
+                    raise
+                time.sleep(0.01)
 
     @dataclass
     class ChangeFile(InputPartition):
@@ -114,6 +126,26 @@ def build_acid_cdf_source():
                 raise ValueError("acid_cdf: option 'path' is required")
             self.starting = int(options.get("startingVersion", 0))
             self._schema = to_arrow_schema(schema)
+            #: highest version verified schema-op-free (schema ops are
+            #: append-only facts: once commits <= N are known clean,
+            #: the next batch scans only (N, hi] — without this the
+            #: guard re-read EVERY retained commit JSON per micro-batch,
+            #: O(total commits) small-file reads on long-lived tables).
+            #: None = the full check (incl. checkpoint) hasn't run yet.
+            self._clean_upto: int | None = None
+            #: bounded memo of parsed commit entries (immutable JSONs);
+            #: the guard and the partition loop share reads through it
+            self._entries: dict[int, dict] = {}
+
+        def _entry_cached(self, v: int) -> dict:
+            hit = self._entries.get(v)
+            if hit is None:
+                hit = _entry(self.path, v)
+                if len(self._entries) >= 4096:
+                    for k in list(self._entries)[:1024]:
+                        del self._entries[k]
+                self._entries[v] = hit
+            return hit
 
         def initialOffset(self) -> dict:
             return {"version": self.starting - 1}
@@ -143,13 +175,19 @@ def build_acid_cdf_source():
             # columns — wrong rows, not an error. AcidTable's
             # table_changes applies per-file-epoch schema ops; this
             # source refuses until it does the same.
+            check_from = (
+                self._clean_upto + 1 if self._clean_upto is not None else 0
+            )
             evolved = any(
-                v <= hi and _entry(self.path, v).get("schema_op")
+                check_from <= v <= hi
+                and self._entry_cached(v).get("schema_op")
                 for v in retained
             )
-            if not evolved:
-                # a cleaned prefix may hide its schema ops inside the
-                # covering checkpoint — consult it too
+            if not evolved and self._clean_upto is None:
+                # first batch only: a cleaned prefix may hide its
+                # schema ops inside the covering checkpoint — consult
+                # it too (later batches extend from _clean_upto, which
+                # already subsumes the checkpointed history)
                 import json
 
                 try:
@@ -175,9 +213,10 @@ def build_acid_cdf_source():
                     "or restart after compacting with OPTIMIZE so files "
                     "carry current names"
                 )
+            self._clean_upto = max(self._clean_upto or -1, hi)
             parts: list[ChangeFile] = []
             for v in range(lo + 1, hi + 1):
-                e = _entry(self.path, v)
+                e = self._entry_cached(v)
                 op = e.get("operation")
                 adds = [a["path"] for a in e.get("add", [])]
                 removes = e.get("remove", [])

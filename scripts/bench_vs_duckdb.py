@@ -134,6 +134,14 @@ def main(names: list[str]) -> int:
             timer.start()
             try:
                 con.execute(oracles[name]).fetchall()
+                # clear the flag INSIDE the try, immediately after
+                # execute returns: a timer firing in the gap between
+                # execute() returning and the finally acquiring the
+                # lock would otherwise still interrupt the shared
+                # connection with no query running and abort the NEXT
+                # query (r8 advice — the flag now closes that window)
+                with lock:
+                    state["running"] = False
             except Exception:
                 if state["timed_out"]:
                     raise TimeoutError(

@@ -1,0 +1,196 @@
+"""Gates for the format("acid") partitionBy layout (r9, VERDICT r8 #2):
+split-by-value writes, log-carried partition values, planning-time
+partition ELIMINATION before stats pruning, NULL/encoding edge cases,
+vacuum of partition subdirs, and the mixed-layout conservatism."""
+
+import json
+import os
+
+import pytest
+
+from als_hadoop_spark.sources import register_acid_format
+from als_hadoop_spark.sources.acid import AcidTable
+from als_hadoop_spark.sources.acid_format import build_acid_format_source
+
+
+def _write(spark, path, mode="overwrite", part="cat", rows=None):
+    df = spark.createDataFrame(
+        rows
+        or [(i, ["a", "b", "c"][i % 3], float(i)) for i in range(90)],
+        "k LONG, cat STRING, v DOUBLE",
+    )
+    w = df.repartition(3).write.format("acid").mode(mode)
+    if part:
+        w = w.option("partitionBy", part)
+    w.save(path)
+
+
+def _planned(spark, path, schema, bounds_filters):
+    """Planned InputPartitions for the given pushed filters — the
+    plan-level gate the verdict asks for."""
+    from pyspark.sql.datasource import EqualTo
+
+    src = build_acid_format_source()(options={"path": path})
+    reader = src.reader(schema)
+    list(reader._push_filters(bounds_filters))
+    return [p for p in reader.partitions() if p.path]
+
+
+def test_partitioned_write_layout_and_roundtrip(spark, tmp_path):
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _write(spark, p)
+    # directory layout: one dir per value, files only inside them
+    assert sorted(d for d in os.listdir(p) if d.startswith("cat=")) == [
+        "cat=a",
+        "cat=b",
+        "cat=c",
+    ]
+    assert not [n for n in os.listdir(p) if n.endswith(".parquet")]
+    # the log action carries exact partition values
+    with open(os.path.join(p, "_acid_log", f"{0:010d}.json")) as f:
+        entry = json.load(f)
+    assert all(a["partition"]["cat"] in "abc" for a in entry["add"])
+    # full readback through both readers
+    got = spark.read.format("acid").load(p)
+    assert got.count() == 90
+    assert AcidTable(spark, p).snapshot().count() == 90
+    # every partitioned file holds exactly one value (the invariant
+    # elimination relies on): footer stats collapse to [v, v]
+    assert all(
+        a["stats"]["cat"][0] == a["stats"]["cat"][1] == a["partition"]["cat"]
+        for a in entry["add"]
+    )
+
+
+def test_partition_elimination_at_planning(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _write(spark, p)
+    got = spark.read.format("acid").load(p)
+    live = len(AcidTable(spark, p)._replay())
+    parts = _planned(spark, p, got.schema, [EqualTo(("cat",), "b")])
+    # only cat=b files planned — exactly one third of the live set
+    assert 0 < len(parts) == live // 3
+    assert all("cat=b/" in pp.path for pp in parts)
+    # and the filtered read agrees with a raw recount
+    assert got.filter("cat = 'b'").count() == 30
+
+
+def test_partition_elimination_stacks_with_stats(spark, tmp_path):
+    """Partition elimination runs FIRST, stats pruning refines inside
+    the surviving partition (k is range-clustered per task)."""
+    from pyspark.sql.datasource import EqualTo, LessThanOrEqual
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 500 else "b", float(i)) for i in range(1000)],
+        "k LONG, cat STRING, v DOUBLE",
+    )
+    (
+        df.repartitionByRange(4, "k")
+        .write.format("acid")
+        .mode("overwrite")
+        .option("partitionBy", "cat")
+        .save(p)
+    )
+    got = spark.read.format("acid").load(p)
+    only_cat = _planned(spark, p, got.schema, [EqualTo(("cat",), "a")])
+    both = _planned(
+        spark,
+        p,
+        got.schema,
+        [EqualTo(("cat",), "a"), LessThanOrEqual(("k",), 100)],
+    )
+    assert 0 < len(both) < len(only_cat)
+    assert got.filter("cat = 'a' AND k <= 100").count() == 101
+
+
+def test_partition_null_value_layout_and_elimination(spark, tmp_path):
+    from pyspark.sql.datasource import GreaterThan
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    rows = [(1, "a", 1.0), (2, None, 2.0), (3, "a", 3.0)]
+    _write(spark, p, rows=rows)
+    assert "cat=__HIVE_DEFAULT_PARTITION__" in os.listdir(p)
+    got = spark.read.format("acid").load(p)
+    assert got.count() == 3
+    assert got.filter("cat IS NULL").count() == 1
+    # NULL satisfies no comparison: any bound on cat eliminates it
+    parts = _planned(spark, p, got.schema, [GreaterThan(("cat",), "")])
+    assert all("__HIVE_DEFAULT_PARTITION__" not in pp.path for pp in parts)
+    assert got.filter("cat > ''").count() == 2
+
+
+def test_partition_value_percent_encoding(spark, tmp_path):
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    rows = [(1, "x/y=z 1", 1.0), (2, "plain", 2.0)]
+    _write(spark, p, rows=rows)
+    dirs = sorted(d for d in os.listdir(p) if d.startswith("cat="))
+    assert dirs == ["cat=plain", "cat=x%2Fy%3Dz%201"]
+    got = spark.read.format("acid").load(p)
+    assert got.filter("cat = 'x/y=z 1'").count() == 1
+
+
+def test_mixed_layout_stays_correct(spark, tmp_path):
+    """A partitioned append onto an unpartitioned table is CORRECT by
+    construction: files without partition metadata are simply never
+    partition-eliminated (conservative), and rows always re-check."""
+    from pyspark.sql.datasource import EqualTo
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _write(spark, p, part=None)  # unpartitioned base
+    _write(spark, p, mode="append")  # partitioned slice
+    got = spark.read.format("acid").load(p)
+    assert got.count() == 180
+    assert got.filter("cat = 'b'").count() == 60
+    parts = _planned(spark, p, got.schema, [EqualTo(("cat",), "b")])
+    # unpartitioned files survive only if their stats can't exclude
+    # 'b' (they span a..c, so they stay); partitioned ones are exact
+    kept_part = [pp for pp in parts if "cat=" in pp.path]
+    assert all("cat=b/" in pp.path for pp in kept_part)
+
+
+def test_vacuum_sweeps_partition_subdirs(spark, tmp_path):
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _write(spark, p)
+    t = AcidTable(spark, p)
+    live_before = set(t._replay())
+    # orphan a file inside a partition dir (simulated failed job)
+    orphan = os.path.join(p, "cat=a", "w-orphan.parquet")
+    src = os.path.join(p, sorted(live_before)[0])
+    import shutil
+
+    shutil.copyfile(src, orphan)
+    os.utime(orphan, (1, 1))  # ancient: outside any retention window
+    deleted = t.vacuum(retention_hours=0.0)
+    assert "cat=a/w-orphan.parquet" in deleted
+    assert set(t._replay()) == live_before
+    assert spark.read.format("acid").load(p).count() == 90
+
+
+def test_partition_errors_are_loud(spark, tmp_path):
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 2.5)], "k LONG, f DOUBLE")
+    with pytest.raises(Exception, match="not in the written schema"):
+        (
+            df.write.format("acid")
+            .mode("overwrite")
+            .option("partitionBy", "nope")
+            .save(p)
+        )
+    with pytest.raises(Exception, match="int/string/bool"):
+        (
+            df.write.format("acid")
+            .mode("overwrite")
+            .option("partitionBy", "f")
+            .save(p)
+        )
