@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     als,
     analytics,
+    ann_index,
     bpe,
     dedup,
     fuzzy,
@@ -41,6 +42,7 @@ _MODULES = (
     als,
     dedup,
     similarity,
+    ann_index,
     sketches,
     text,
     ngrams,

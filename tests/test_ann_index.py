@@ -1,0 +1,173 @@
+"""Gates for the persisted IVF index (operators/ann_index.py, r9):
+recall vs an independent numpy brute force, ZERO corpus access at
+serve, exactly-once incremental ingest (batch txn + streaming), and
+compaction-compatible maintenance."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from als_hadoop_spark.operators import ann_index
+
+
+def _corpus_rows(n, d=16, seed=11, start_id=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype("float32")
+    return [(start_id + i, [float(x) for x in vecs[i]]) for i in range(n)]
+
+
+def _corpus_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def _exact_topk(rows, query_ids, k=5):
+    """Independent numpy oracle: cosine top-k excluding self."""
+    ids = np.array([r[0] for r in rows])
+    M = np.stack([np.asarray(r[1], dtype="float64") for r in rows])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    out = set()
+    by_id = {r[0]: i for i, r in enumerate(rows)}
+    for q in query_ids:
+        sims = Mn @ Mn[by_id[q]]
+        order = [
+            i for i in np.argsort(-sims) if ids[i] != q
+        ][:k]
+        out.update((q, int(ids[i])) for i in order)
+    return out
+
+
+def _recall(spark, path, rows, query_ids, k=5):
+    qdf = _corpus_df(
+        spark, [r for r in rows if r[0] in query_ids]
+    ).withColumnRenamed("vec_id", "query_id")
+    got = {
+        (r.query_id, r.cand_id)
+        for r in ann_index.serve_topk(spark, path, qdf, top_k=k).collect()
+    }
+    exact = _exact_topk(rows, query_ids, k)
+    return len(got & exact) / len(exact)
+
+
+def test_build_and_serve_recall(spark, tmp_path):
+    rows = _corpus_rows(240)
+    path = str(tmp_path / "idx")
+    k = ann_index.build_ivf_index(spark, _corpus_df(spark, rows), path, k=8)
+    assert k == 8
+    assert _recall(spark, path, rows, query_ids=[0, 1, 2]) >= 0.8
+
+
+def test_serve_reads_zero_corpus(spark, tmp_path):
+    """The serve path must touch ONLY the index tables: build from a
+    corpus parquet, DELETE the corpus, serve anyway — and every input
+    file of the served plan lives under the index path."""
+    rows = _corpus_rows(200)
+    corpus_pq = str(tmp_path / "corpus.parquet")
+    _corpus_df(spark, rows).write.parquet(corpus_pq)
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(
+        spark, spark.read.parquet(corpus_pq), path, k=8
+    )
+    shutil.rmtree(corpus_pq)  # corpus gone: serve must not miss it
+    qdf = _corpus_df(spark, rows[:2]).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    served = ann_index.serve_topk(spark, path, qdf)
+    assert served.count() == 2 * 5
+
+
+def test_incremental_ingest_batches_and_idempotence(spark, tmp_path):
+    """Ingest the corpus tail in 3 batches; a replayed (txn-stamped)
+    batch is a no-op; recall over the FULL corpus stays ≥ 0.8 and a
+    planted near-twin ingested last is found at rank 1."""
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    rows = _corpus_rows(240)
+    base, tail = rows[:120], rows[120:]
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(spark, _corpus_df(spark, base), path, k=8)
+    for i in range(3):
+        batch = tail[i * 40 : (i + 1) * 40]
+        ann_index.ingest_vectors(
+            spark, path, _corpus_df(spark, batch),
+            txn_app="t", txn_version=i,
+        )
+    cells = AcidTable(spark, os.path.join(path, ann_index.CELLS_DIR))
+    n_before = cells.snapshot().count()
+    assert n_before == 240
+    # replay batch 2 with the same txn stamp: exactly-once no-op
+    ann_index.ingest_vectors(
+        spark, path, _corpus_df(spark, tail[80:]), txn_app="t", txn_version=2
+    )
+    assert cells.snapshot().count() == n_before
+    assert _recall(spark, path, rows, query_ids=[0, 5, 130]) >= 0.8
+    # planted twin: a near-copy of vector 0, ingested incrementally
+    twin = np.asarray(rows[0][1], dtype="float64")
+    twin = twin + 0.01 * np.linalg.norm(twin) * np.random.default_rng(3).standard_normal(len(twin))
+    ann_index.ingest_vectors(
+        spark, path, _corpus_df(spark, [(9000, [float(x) for x in twin])])
+    )
+    qdf = _corpus_df(spark, rows[:1]).withColumnRenamed("vec_id", "query_id")
+    top = (
+        ann_index.serve_topk(spark, path, qdf, top_k=1)
+        .collect()
+    )
+    assert top[0].cand_id == 9000
+
+
+def test_stream_ingest_exactly_once(spark, tmp_path):
+    """Streaming maintenance through the exactly-once ACID sink: an
+    availableNow parquet stream ingests new vectors; re-running on the
+    SAME checkpoint replays batches as no-ops (txn-stamped commits)."""
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    rows = _corpus_rows(160)
+    base, tail = rows[:100], rows[100:]
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(spark, _corpus_df(spark, base), path, k=8)
+    stream_dir = str(tmp_path / "incoming")
+    _corpus_df(spark, tail).coalesce(2).write.parquet(stream_dir)
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+            .parquet(stream_dir)
+        )
+        q = ann_index.stream_ingest(spark, path, stream, ck)
+        assert q.awaitTermination(120)
+
+    run()
+    cells = AcidTable(spark, os.path.join(path, ann_index.CELLS_DIR))
+    assert cells.snapshot().count() == 160
+    run()  # same checkpoint: nothing new, replay is a no-op
+    assert cells.snapshot().count() == 160
+    assert _recall(spark, path, rows, query_ids=[0, 110]) >= 0.8
+
+
+def test_optimize_compacts_index_cells(spark, tmp_path):
+    """The table service composes: after N ingests the cells table
+    accumulates small files; AcidTable.optimize compacts them with the
+    snapshot unchanged, and serve still answers identically."""
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    rows = _corpus_rows(200)
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(spark, _corpus_df(spark, rows[:100]), path, k=4)
+    for i in range(4):
+        ann_index.ingest_vectors(
+            spark, path, _corpus_df(spark, rows[100 + 25 * i : 125 + 25 * i])
+        )
+    cells = AcidTable(spark, os.path.join(path, ann_index.CELLS_DIR))
+    qdf = _corpus_df(spark, rows[:2]).withColumnRenamed("vec_id", "query_id")
+    before = sorted(
+        map(tuple, ann_index.serve_topk(spark, path, qdf).collect())
+    )
+    n_files_before = len(cells._replay())
+    cells.optimize()
+    assert len(cells._replay()) < n_files_before
+    after = sorted(
+        map(tuple, ann_index.serve_topk(spark, path, qdf).collect())
+    )
+    assert after == before
