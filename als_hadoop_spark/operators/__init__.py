@@ -54,64 +54,36 @@ _MODULES = (
 
 
 # Registration order doubles as the external correctness harness's sample
-# order (it checks a prefix of the registry).  Round-8 rotation
-# (VERDICT r7 #7): lead with everything r8 changed or added — the new
-# Structured-Streaming CDC query and the approx profiler, plus the
-# ACID/IVM queries whose fold path was refactored (fold_changes, AVG,
-# TOCTOU-pinned overwrites) and the ANSI-hardened q_embed_centroid —
-# then the oracle-backed queries whose last driver sample is OLDEST
-# (the r5 cohort: text/ngrams/market/tpch/timeseries families, green
-# since r5's sweep); newer r6/r7 queries close the list in module
-# order.  Pure ordering — the dict contents are unchanged.
+# order (it checks a prefix of the registry).  Round-9 rotation
+# (VERDICT r8 #5): lead with the commit-path-touched ACID family (the
+# atomic link-publish + TOCTOU-free rebase landed under all of them)
+# and the two r9 additions, then the queries whose last driver sample
+# is OLDEST — q_sim_search_lsh / q_sim_search_ivf / q_multimodal_features
+# (r2) and the nine r4-cohort queries (several re-planned since their
+# last sample).  Pure ordering — the dict contents are unchanged.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # changed/added this round — need a driver run on the new form
-    "q_acid_format",            # NEW r8: ACID table as a registered format
-    "q_dedup_embed_lsh",        # NEW r8: scale-path embedding dedup
-    "q_acid_stream_ivm",        # NEW r8: acid_cdf streaming source + fold
-    "q_column_profile_fast",    # NEW r8: one-pass HLL++ profiler (rows-only)
-    "q_acid_ivm_loop",          # r8: version-pinned maintainer path
-    "q_acid_incremental",       # r8: fold_changes refactor + end pinning
-    "q_embed_centroid",         # r8: try_element_at under ANSI
-    "q_column_profile",         # exact twin re-proved next to the fast path
-    # oldest driver hashes (r5 cohort) — re-verify under the driver
-    "q_tfidf",
-    "q_pii_scrub",
-    "q_lm_score",
-    "q_sequence_pack",
-    "q_quality_sample",
-    "q_sample_mixture",
-    "q_mixture_temperature",
-    "q_stratified_k",
-    "q_volume_shipping",
-    "q_market_share",
-    "q_returned_items",
-    "q_promo_revenue",
-    "q_forecast_revenue",
-    "q_agg_of_agg",
-    "q_having_semijoin",
-    "q_exists_chain",
-    "q_scalar_threshold_anti",
-    "q_contamination",
-    "q_doc_repetition",
-    "q_ngram_lm",
-    "q_pmi_bigrams",
-    "q_token_entropy",
-    "q_zipf_fit",
-    "q_fuzzy_join",
-    "q_forward_fill",
-    "q_gap_fill",
-    "q_interval_merge",
-    "q_latest_by_key",
-    "q_merge_upsert",
-    "q_scd2_history",
-    "q_time_weighted_avg",
-    "q_udf_arrow",
-    "q_udf_groupfit",
-    "q_stream_enrich",
-    "q_stream_outer_join",
-    "q_stream_sliding",
-    "q_bitmap_overlap",
-    "q_multimodal_dedup",
+    "q_acid_format_partitioned",  # NEW r9: partitionBy layout + elimination
+    "q_sim_search_ivf_indexed",   # NEW r9: persisted IVF index (rows-only)
+    "q_acid_format",              # r9: atomic publish + TOCTOU-free commit
+    "q_acid_merge",               # r9: link-publish under MERGE commits
+    "q_acid_cdf",                 # r9: CDF guard cache + entry memo
+    "q_acid_stream_ivm",          # r9: streaming sink over the new commit
+    "q_acid_ivm_loop",            # r9: maintainer loop over the new commit
+    "q_dedup_embed_lsh",          # r9: trailing global sort dropped
+    # oldest driver hashes — re-verify under the driver
+    "q_sim_search_lsh",           # last sampled r2
+    "q_sim_search_ivf",           # last sampled r2
+    "q_multimodal_features",      # last sampled r2
+    "q_approx_count_distinct",    # r4 cohort
+    "q_random_split",
+    "q_approx_percentile",
+    "q_constraint_audit",
+    "q_event_funnel",
+    "q_cohort_retention",
+    "q_trailing_window",
+    "q_regression",
+    "q_outer_join_count",
 )
 
 

@@ -688,7 +688,11 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= EMBED_LSH_T)
-        .orderBy("id_a", "id_b")
+        # no trailing global orderBy (VERDICT r8 #7): the pair set is
+        # the OUTPUT (12.9 M rows at ×100, table-sized at 100 TB) and
+        # its consumer is a join/groupBy, not a human — a full sort +
+        # Exchange here bought nothing; tests sort their collect()
+        .sortWithinPartitions("id_a", "id_b")
     )
 
 

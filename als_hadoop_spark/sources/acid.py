@@ -155,6 +155,19 @@ def _copy_state(state: dict) -> dict:
     }
 
 
+def _part_segment(col: str, v) -> str:
+    """One ``col=value`` directory segment — twin of the format
+    writer's encoder (sources/acid_format.py ``_part_segment``; that
+    module is self-contained for cloudpickle, so the 6 lines live
+    twice): value percent-encoded, NULL as the Hive sentinel."""
+    from urllib.parse import quote
+
+    enc = (
+        "__HIVE_DEFAULT_PARTITION__" if v is None else quote(str(v), safe="")
+    )
+    return f"{col}={enc}"
+
+
 def _load_entry_retry(
     path: str, attempts: int = 50, delay: float = 0.01
 ) -> dict:
@@ -480,7 +493,12 @@ class AcidTable:
 
     # -------------------------------------------------------- writes
 
-    def _stage_files(self, df: DataFrame, subdir: str | None = None) -> list[dict]:
+    def _stage_files(
+        self,
+        df: DataFrame,
+        subdir: str | None = None,
+        harvest_stats: bool | None = None,
+    ) -> list[dict]:
         """Write ``df`` as parquet part files, move them to
         content-addressed names in the table root (or ``subdir`` of it
         — the CDC sidecar path), return add-actions. The files are
@@ -493,6 +511,8 @@ class AcidTable:
         between listing/opening a million footers and reading a few
         KB of log. CDC sidecars skip the stats harvest (they are read
         whole by version, never pruned by value)."""
+        if harvest_stats is None:
+            harvest_stats = subdir is None  # CDC sidecars skip stats
         token = uuid.uuid4().hex[:12]
         stage = os.path.join(self.path, _STAGE_DIR, token)
         df.write.mode("overwrite").parquet(stage)
@@ -504,7 +524,7 @@ class AcidTable:
             if name.startswith("part-") and name.endswith(".parquet"):
                 final = f"{token}-{i:05d}.parquet"
                 src = os.path.join(stage, name)
-                stats = {} if subdir is not None else _footer_stats(src)
+                stats = _footer_stats(src) if harvest_stats else {}
                 os.rename(src, os.path.join(dest_dir, final))
                 rel = final if subdir is None else f"{subdir}/{final}"
                 adds.append({"path": rel, "stats": stats})
@@ -779,7 +799,15 @@ class AcidTable:
         selective ``snapshot_where``/``merge`` prunes to the minority
         of files actually holding the range — the mechanism that keeps
         a 100 TB table's maintenance reads proportional to the query,
-        not the table (file-skip counts measured in tests/test_acid.py)."""
+        not the table (file-skip counts measured in tests/test_acid.py).
+
+        On a PARTITIONED table (the format's partitionBy layout, r9)
+        compaction is per partition: each partition's files rewrite
+        into ≤ ``max(1, target_files // n_partitions)`` files back in
+        their own ``col=value/`` dir with the partition metadata
+        preserved — partition elimination survives the service, and
+        ``cluster_by``/``zorder_by`` order rows WITHIN each partition
+        (the Delta OPTIMIZE ... WHERE/ZORDER composition)."""
         base = self.latest_version()
         state = self._state(base)
         live = sorted(state["live"])
@@ -787,7 +815,60 @@ class AcidTable:
         # empty table: nothing to compact OR re-cluster — no-op either
         # way (the relayout flag must not reach _assemble's no-files
         # ValueError)
-        if not live or (len(live) <= target_files and not relayout):
+        if not live:
+            return base
+        # PARTITION-AWARE compaction (r9): files carrying partition
+        # metadata (the format's partitionBy layout) compact WITHIN
+        # their partition — rewritten files land back in the same
+        # ``col=value/`` dir with the metadata preserved, so partition
+        # elimination survives OPTIMIZE (a whole-table rewrite would
+        # silently demote the layout to stats-only pruning). Files
+        # without metadata form one residual group (mixed tables).
+        groups: dict[tuple | None, list[str]] = {}
+        for f in live:
+            partd = state["live"][f].get("partition")
+            key = tuple(sorted(partd.items())) if partd else None
+            groups.setdefault(key, []).append(f)
+        if set(groups) != {None}:
+            per_part = max(1, target_files // len(groups))
+            adds: list[dict] = []
+            removes: list[str] = []
+            for key, fs in sorted(
+                groups.items(), key=lambda kv: kv[0] or ()
+            ):
+                if len(fs) <= per_part and not relayout:
+                    continue  # already compact: leave the files alone
+                df = self._assemble(state, files=fs)
+                if zorder_by is not None:
+                    from .tables import zorder_layout
+
+                    df = zorder_layout(df, zorder_by[0], zorder_by[1], per_part)
+                elif cluster_by is not None:
+                    df = df.repartitionByRange(
+                        per_part, cluster_by
+                    ).sortWithinPartitions(cluster_by)
+                else:
+                    df = df.coalesce(per_part)
+                subdir = (
+                    "/".join(_part_segment(c, v) for c, v in key)
+                    if key is not None
+                    else None
+                )
+                staged = self._stage_files(df, subdir, harvest_stats=True)
+                if key is not None:
+                    for a in staged:
+                        a["partition"] = dict(key)
+                adds.extend(staged)
+                removes.extend(fs)
+            if not removes:
+                return base  # every partition already compact
+            if not self._try_commit(
+                base + 1,
+                {"operation": "optimize", "add": adds, "remove": removes},
+            ):
+                raise CommitConflict("table changed during optimize")
+            return base + 1
+        if len(live) <= target_files and not relayout:
             return base
         df = self._assemble(state)
         if zorder_by is not None:

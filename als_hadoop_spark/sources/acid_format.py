@@ -78,6 +78,7 @@ def build_acid_format_source(with_pushdown: bool = True):
         EqualTo,
         GreaterThan,
         GreaterThanOrEqual,
+        In,
         InputPartition,
         LessThan,
         LessThanOrEqual,
@@ -272,6 +273,7 @@ def build_acid_format_source(with_pushdown: bool = True):
             self.version = int(v) if v is not None else None
             self._arrow_schema = to_arrow_schema(schema)
             self._bounds: dict = {}  # col -> [lo, hi]
+            self._in_sets: dict = {}  # col -> set of allowed values
 
         def _push_filters(self, filters):
             for f in filters:
@@ -280,6 +282,21 @@ def build_acid_format_source(with_pushdown: bool = True):
                     yield f
                     continue
                 col = attr[0]
+                if isinstance(f, In):
+                    vals = f.value
+                    if all(
+                        isinstance(v, (int, float, str, bool)) for v in vals
+                    ):
+                        # col IN (...): intersect with any earlier set
+                        # (a file survives only if it can hold SOME
+                        # listed value). One non-scalar value makes
+                        # the whole list unprunable — a file could
+                        # match that value.
+                        s = set(vals)
+                        prev = self._in_sets.get(col)
+                        self._in_sets[col] = s if prev is None else prev & s
+                    yield f
+                    continue
                 val = getattr(f, "value", None)
                 if not isinstance(val, (int, float, str, bool)):
                     yield f
@@ -307,6 +324,30 @@ def build_acid_format_source(with_pushdown: bool = True):
                 action = st["live"][fname]
                 skip = False
                 part = action.get("partition") or {}
+                for col, vset in self._in_sets.items():
+                    # col IN (...) — partition value must be listed;
+                    # stats keep the file iff SOME listed value fits
+                    # [mn, mx]. This is what turns the ANN serve path's
+                    # cell IN (probed) into nprobe/K planned files.
+                    phys = _physical_name(col, action["added"], ops)
+                    if phys in part:
+                        v = part[phys]
+                        if v is None or v not in vset:
+                            skip = True
+                            break
+                        continue
+                    s = action["stats"].get(phys)
+                    if s is None or s[0] is None or s[1] is None:
+                        continue
+                    mn, mx = s
+                    try:
+                        if not any(mn <= v <= mx for v in vset):
+                            skip = True
+                            break
+                    except TypeError:
+                        continue  # cross-type compare: keep the file
+                if skip:
+                    continue
                 for col, (lo, hi) in self._bounds.items():
                     phys = _physical_name(col, action["added"], ops)
                     if phys in part:

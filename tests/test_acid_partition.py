@@ -194,3 +194,100 @@ def test_partition_errors_are_loud(spark, tmp_path):
             .option("partitionBy", "f")
             .save(p)
         )
+
+
+def test_in_filter_partition_elimination(spark, tmp_path):
+    """col IN (...) prunes partitions to the listed values and keeps
+    stats-compatible files elsewhere (r9: the ANN serve path's probe
+    read is exactly this shape)."""
+    from pyspark.sql.datasource import In
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c", "d"][i % 4], float(i)) for i in range(200)],
+        "k LONG, cat STRING, v DOUBLE",
+    )
+    (
+        df.repartition(2)
+        .write.format("acid")
+        .mode("overwrite")
+        .option("partitionBy", "cat")
+        .save(p)
+    )
+    got = spark.read.format("acid").load(p)
+    parts = _planned(spark, p, got.schema, [In(("cat",), ("b", "d"))])
+    assert parts and all(
+        "/cat=b/" in pp.path or "/cat=d/" in pp.path for pp in parts
+    )
+    assert got.filter(got.cat.isin("b", "d")).count() == 100
+    # intersecting a second In narrows further
+    parts2 = _planned(
+        spark, p, got.schema,
+        [In(("cat",), ("b", "d")), In(("cat",), ("d", "a"))],
+    )
+    assert parts2 and all("/cat=d/" in pp.path for pp in parts2)
+    # In on a non-partition column prunes by stats ([mn,mx] misses)
+    parts3 = _planned(spark, p, got.schema, [In(("k",), (10_000,))])
+    assert len(parts3) == 0 or all(not pp.path for pp in parts3)
+
+
+def test_optimize_preserves_partition_layout(spark, tmp_path):
+    """OPTIMIZE as a table service on a partitioned format path (r9):
+    per-partition compaction drops the live-file count, the snapshot is
+    hash-identical through the format reader, rewritten files land back
+    under their col=value/ dirs with metadata intact, and partition
+    elimination still plans only the probed partition afterwards."""
+    from pyspark.sql.datasource import EqualTo
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    for i in range(4):  # 4 appends × 3 partitions: 12+ small files
+        _write(spark, p, mode="append" if i else "overwrite")
+    t = AcidTable(spark, p)
+    got = spark.read.format("acid").load(p)
+    before = sorted(map(tuple, got.collect()))
+    n_before = len(t._replay())
+    v = t.optimize(target_files=3)
+    assert v == t.latest_version()
+    live = t._replay()
+    assert len(live) < n_before
+    assert all(f.split("/")[0].startswith("cat=") for f in live)
+    after = sorted(map(tuple, spark.read.format("acid").load(p).collect()))
+    assert after == before
+    # metadata preserved → elimination still exact
+    parts = _planned(
+        spark, p, got.schema, [EqualTo(("cat",), "b")]
+    )
+    assert parts and all("/cat=b/" in pp.path for pp in parts)
+    assert len(parts) < len(live)
+    # second optimize is a no-op (already compact)
+    assert t.optimize(target_files=3) == v
+
+
+def test_optimize_zorder_within_partitions(spark, tmp_path):
+    """cluster_by composes with partitions: rows re-sort WITHIN each
+    partition dir and per-file k-ranges become disjoint (stats pruning
+    decisive inside the surviving partition)."""
+    from pyspark.sql.datasource import EqualTo, LessThanOrEqual
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    rows = [(i, ["a", "b"][i % 2], float(i)) for i in range(400)]
+    for s in range(4):  # interleaved appends: k ranges overlap per file
+        _write(spark, p, mode="append" if s else "overwrite",
+               rows=rows[s::4])
+    t = AcidTable(spark, p)
+    before = sorted(map(tuple,
+                        spark.read.format("acid").load(p).collect()))
+    t.optimize(target_files=8, cluster_by="k")
+    after = sorted(map(tuple,
+                       spark.read.format("acid").load(p).collect()))
+    assert after == before
+    got = spark.read.format("acid").load(p)
+    in_part = _planned(spark, p, got.schema, [EqualTo(("cat",), "a")])
+    ranged = _planned(
+        spark, p, got.schema,
+        [EqualTo(("cat",), "a"), LessThanOrEqual(("k",), 40)],
+    )
+    assert 0 < len(ranged) < len(in_part)  # stats decisive post-service

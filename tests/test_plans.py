@@ -361,3 +361,15 @@ def test_gen_scan_prunes_to_one_shard(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == USERS_PER_SHARD
     assert all(r["n_ratings"] == 20 for r in rows)
+
+
+def test_dedup_embed_lsh_has_no_global_sort(spark, sf_dir):
+    """q_dedup_embed_lsh's confirmed-pair output is per-partition
+    ordered only (VERDICT r8 #7): the pair set is output-sized (12.9 M
+    at x100), its consumer is a join, and a total order costs a full
+    range Exchange for nothing."""
+    from als_hadoop_spark.operators.dedup import q_dedup_embed_lsh
+    from als_hadoop_spark.plans import explain_str
+
+    plan = explain_str(q_dedup_embed_lsh(spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower(), plan

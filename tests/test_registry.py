@@ -47,6 +47,8 @@ ROWS_ONLY = {
                                 # gate vs the exact oracle twin q_column_profile
     "q_dedup_embed_lsh",        # banded-LSH recall < 1 (planted-twin pytest;
                                 # exact twin q_dedup_embed carries the oracle)
+    "q_sim_search_ivf_indexed", # ANN served from the persisted index —
+                                # recall ≥0.8 + zero-corpus-read pytest gates
 }
 
 
