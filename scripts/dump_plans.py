@@ -167,6 +167,31 @@ ANNOTATED = {
         "publishes the swap atomically — the snapshot read is a plain "
         "multi-file parquet scan of log-listed files."
     ),
+    "q_acid_format_partitioned": (
+        "Partitioned transactional scan (r9): the write side split "
+        "every task's rows BY PARTITION VALUE into state=<v>/ files "
+        "whose exact value rides the commit-log add action, so the "
+        "ordinary .filter(state = 'purchase' AND user_id <= cap) "
+        "reaching pushFilters ELIMINATES 4/5 of the files exactly at "
+        "planning time (partition check first, stats [min,max] "
+        "refinement inside the surviving partition — the scan below "
+        "plans only those InputPartitions). At 100 TB a date/tenant "
+        "partition turns this full-table scan into one directory's "
+        "worth of planned files; Spark still re-checks rows (partial "
+        "pushdown), so elimination can never change the answer."
+    ),
+    "q_sim_search_ivf_indexed": (
+        "ANN served from the PERSISTED IVF index (r9): no corpus scan, "
+        "no sketch/encode stage anywhere in this plan — the codebook "
+        "read is K<=256 rows, probe selection is driver-side math on "
+        "it, and the cells read carries cell IN (probed) which the "
+        "acid reader turns into partition elimination (nprobe/K of the "
+        "index's files planned). The probe set broadcasts onto the "
+        "planned cells, exact cosine re-ranks, and the per-query top-k "
+        "is a bounded window. Build/ingest cost lives at WRITE time "
+        "(the production shape); a session serving M queries pays "
+        "M x (nprobe/K) reads and zero re-encodes."
+    ),
     "q_acid_evolution": (
         "Schema evolution through the transactional read path: RENAME/"
         "DROP COLUMN are metadata-only commits (no file rewritten — "
