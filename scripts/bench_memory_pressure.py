@@ -78,7 +78,10 @@ def main(argv: list[str]) -> int:
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         )
         .config("spark.driver.memory", mem_cap)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", log_dir)

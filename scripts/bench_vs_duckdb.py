@@ -50,6 +50,14 @@ def main(names: list[str]) -> int:
     # an over-budget query raises and is recorded as a failure instead
     con.execute("SET temp_directory='/tmp/duck_tmp'")
     con.execute("SET max_temp_directory_size='60GB'")
+    # hard memory cap (r9): at x100 an uncapped DuckDB grew past the
+    # box's RAM during q_winnow_dup_oracle and the OOM killer took the
+    # WHOLE sweep process (SIGKILL, no partial results) — with the cap
+    # an over-budget query raises OutOfMemoryException and is recorded
+    # as a DUCK FAIL datum instead
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DUCK_MEM_LIMIT', '48GB')}'"
+    )
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
