@@ -533,6 +533,20 @@ def build_acid_format_source(with_pushdown: bool = True):
             combos = (
                 tbl.group_by(self.partition_cols).aggregate([]).to_pylist()
             )
+            if len(combos) > 1024:
+                # a near-unique partition key turns the table into
+                # millions of single-row files/dirs — the classic
+                # lakehouse over-partitioning failure. Refuse loudly
+                # (per task, so the bound scales with parallelism, not
+                # table size); high-cardinality clustering belongs to
+                # OPTIMIZE cluster_by/zorder_by, not the directory tree.
+                raise ValueError(
+                    f"acid format: this task's rows span {len(combos)} "
+                    "distinct partition values (> 1024) — the "
+                    "partitionBy key is too fine-grained; partition on "
+                    "a coarser derivation (date, tenant, bucket) and "
+                    "use OPTIMIZE cluster_by for in-file ordering"
+                )
             files = []
             for combo in combos:
                 mask = None

@@ -291,3 +291,21 @@ def test_optimize_zorder_within_partitions(spark, tmp_path):
         [EqualTo(("cat",), "a"), LessThanOrEqual(("k",), 40)],
     )
     assert 0 < len(ranged) < len(in_part)  # stats decisive post-service
+
+
+def test_partition_cardinality_guard(spark, tmp_path):
+    """A near-unique partitionBy key refuses loudly (per-task bound):
+    over-partitioning is the classic lakehouse failure — millions of
+    single-row dirs — and belongs to OPTIMIZE clustering instead."""
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(2000)], "k LONG, fine STRING"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="too fine-grained"):
+        (
+            df.write.format("acid")
+            .mode("overwrite")
+            .option("partitionBy", "fine")
+            .save(p)
+        )

@@ -171,3 +171,36 @@ def test_optimize_compacts_index_cells(spark, tmp_path):
         map(tuple, ann_index.serve_topk(spark, path, qdf).collect())
     )
     assert after == before
+
+
+def test_serve_plans_only_probed_cells(spark, tmp_path):
+    """The serve read's `cell IN (probed)` must reach the acid reader
+    as planning-time partition elimination: the planned files are a
+    strict subset of the index, all inside probed cell dirs."""
+    from pyspark.sql.datasource import In
+
+    from als_hadoop_spark.sources.acid_format import (
+        build_acid_format_source,
+    )
+
+    rows = _corpus_rows(240)
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(spark, _corpus_df(spark, rows), path, k=8)
+    centers = ann_index.read_codebook(spark, path)
+    v = np.asarray(rows[0][1], dtype="float64")
+    u = v / np.linalg.norm(v)
+    probed = sorted(int(c) for c in np.argsort(-(centers @ u))[:2])
+    cells_path = os.path.join(path, ann_index.CELLS_DIR)
+    src = build_acid_format_source()(options={"path": cells_path})
+    got = spark.read.format("acid").load(cells_path)
+    reader = src.reader(got.schema)
+    list(reader._push_filters([In(("cell",), tuple(probed))]))
+    parts = [p for p in reader.partitions() if p.path]
+    import re
+
+    planned_cells = {
+        int(re.search(r"cell=(\d+)", pp.path).group(1)) for pp in parts
+    }
+    assert parts and planned_cells <= set(probed)
+    total = spark.read.format("acid").load(cells_path).count()
+    assert len(parts) < 8 and total == 240  # strict subset of K cells

@@ -1211,3 +1211,40 @@ def test_acid_cdf_refuses_schema_evolved_tables(spark, tmp_path):
     with pytest.raises(Exception, match="schema"):
         q.awaitTermination(120)
     q.stop()
+
+
+def test_acid_cdf_guard_cache_catches_late_schema_op(spark, tmp_path):
+    """The r9 schema-evolution guard caches its verdict per reader
+    (commits <= N verified clean are never re-read), so the cache must
+    NOT mask a schema op landing BETWEEN micro-batches: batch 1 plans
+    clean, a rename commits, batch 2 must refuse. Driven at the reader
+    level — the exact surface Structured Streaming calls."""
+    from als_hadoop_spark.sources.acid import AcidTable
+    from als_hadoop_spark.sources.acid_cdf import build_acid_cdf_source
+
+    t = AcidTable(spark, str(tmp_path / "src"))
+    one = spark.createDataFrame([(1, 10)], "k LONG, x LONG").coalesce(1)
+    t.append(one)  # v0
+    t.append(one)  # v1
+    src = build_acid_cdf_source()(options={"path": t.path})
+    reader = src.streamReader(
+        spark.createDataFrame([], "k long, x long, _change_type string, "
+                              "_commit_version long").schema
+    )
+    # batch 1: clean range plans fine, verdict cached up to v1
+    parts = reader.partitions({"version": -1}, {"version": 1})
+    assert len(parts) == 2
+    assert reader._clean_upto == 1
+    # schema op + another append land between batches
+    t.rename_column("x", "y")  # v2
+    t.append(spark.createDataFrame([(2, 20)], "k LONG, y LONG").coalesce(1))
+    # batch 2 scans only (clean_upto, hi] — and still refuses
+    with pytest.raises(ValueError, match="schema-change"):
+        reader.partitions({"version": 1}, {"version": 3})
+    # a second reader starting fresh refuses the full range too
+    r2 = src.streamReader(
+        spark.createDataFrame([], "k long, y long, _change_type string, "
+                              "_commit_version long").schema
+    )
+    with pytest.raises(ValueError, match="schema-change"):
+        r2.partitions({"version": -1}, {"version": 3})
