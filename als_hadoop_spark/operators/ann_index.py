@@ -60,6 +60,27 @@ from .similarity import (
 
 CODEBOOK_DIR = "codebook"
 CELLS_DIR = "cells"
+#: atomic generation pointer (r10): rebuilds land in ``gen-N/`` and
+#: publish here via tmp+fsync+replace — readers between the two table
+#: overwrites of a naive in-place rebuild would mix codebook
+#: generations; the pointer swap makes the whole index version atomic.
+CURRENT_PTR = "_current"
+
+
+def _resolve_root(path: str) -> str:
+    """The directory holding the CURRENT index generation's tables:
+    ``<path>/<pointer target>`` when a rebuild has published
+    ``_current``, else ``path`` itself (generation 0 — the original
+    ``build_ivf_index`` layout, kept for compatibility)."""
+    import os
+
+    ptr = os.path.join(path, CURRENT_PTR)
+    try:
+        with open(ptr) as f:
+            gen = f.read().strip()
+    except OSError:
+        return path
+    return os.path.join(path, gen) if gen else path
 
 
 def _assign_udf(centers):
@@ -97,18 +118,39 @@ def _assigned_frame(corpus: DataFrame, centers) -> DataFrame:
     ).repartition("cell")
 
 
-def build_ivf_index(
+def _cell_stats(cells: DataFrame, centers_df: DataFrame) -> DataFrame:
+    """Per-cell assignment-fidelity snapshot ``(cell, n, mean_sim)``:
+    one JVM-side scan of the cells table joined (broadcast, K rows) to
+    the centers — count and mean cosine(vector, own center). This is
+    both the build-time baseline stored in the codebook and the
+    current-state side of ``index_drift``."""
+    return (
+        cells.join(F.broadcast(centers_df), "cell")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(
+                cosine_sim(
+                    F.col("embedding").cast("array<double>"), F.col("center")
+                )
+            ).alias("mean_sim"),
+        )
+    )
+
+
+def _build_tables(
     spark: SparkSession,
     corpus: DataFrame,
-    path: str,
-    k: int | None = None,
-    seed: int = 42,
+    root: str,
+    k: int | None,
+    seed: int,
 ) -> int:
-    """Train the coarse codebook on a bounded sample of ``corpus``
-    (``vec_id LONG, embedding ARRAY<FLOAT>``), then OVERWRITE-commit
-    both index tables under ``path``. Returns K. The session codebook
-    cache is deliberately bypassed: the TABLE is the persisted
-    artifact now."""
+    """Train + assign + commit both index tables under ``root``.
+    Cells are written FIRST so the build-time per-cell stats (count +
+    mean assignment cosine — the drift baseline) are harvested from
+    the committed table in one extra JVM-side scan instead of
+    recomputing the assignment UDF; the codebook then carries
+    ``build_n``/``build_mean_sim`` alongside each center."""
     import os
 
     from ..sources.acid_format import register_acid_format
@@ -120,24 +162,165 @@ def build_ivf_index(
     unit = _unit_frame(corpus)
     sample = _bounded_unit_sample(unit, n, IVF_SAMPLE_PER_CELL * k)
     centers = _coarse_codebook(spark, sample, k, cache_key=None, seed=seed)
-    codebook = spark.createDataFrame(
-        [(i, c.tolist()) for i, c in enumerate(centers)],
-        "cell INT, center ARRAY<DOUBLE>",
-    )
-    (
-        codebook.coalesce(1)
-        .write.format("acid")
-        .mode("overwrite")
-        .save(os.path.join(path, CODEBOOK_DIR))
-    )
     (
         _assigned_frame(corpus, centers)
         .write.format("acid")
         .mode("overwrite")
         .option("partitionBy", "cell")
-        .save(os.path.join(path, CELLS_DIR))
+        .save(os.path.join(root, CELLS_DIR))
+    )
+    centers_df = spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(centers)],
+        "cell INT, center ARRAY<DOUBLE>",
+    )
+    cells = spark.read.format("acid").load(os.path.join(root, CELLS_DIR))
+    stats = {
+        r["cell"]: (r["n"], r["mean_sim"])
+        for r in _cell_stats(cells, centers_df).collect()  # ≤ K rows
+    }
+    codebook = spark.createDataFrame(
+        [
+            (i, c.tolist(), *stats.get(i, (0, None)))
+            for i, c in enumerate(centers)
+        ],
+        "cell INT, center ARRAY<DOUBLE>, build_n LONG, build_mean_sim DOUBLE",
+    )
+    (
+        codebook.coalesce(1)
+        .write.format("acid")
+        .mode("overwrite")
+        .save(os.path.join(root, CODEBOOK_DIR))
     )
     return len(centers)
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    k: int | None = None,
+    seed: int = 42,
+) -> int:
+    """Train the coarse codebook on a bounded sample of ``corpus``
+    (``vec_id LONG, embedding ARRAY<FLOAT>``), then OVERWRITE-commit
+    both index tables under ``path`` (generation 0 lives at the path
+    root; rebuilds land in ``gen-N/`` behind the ``_current``
+    pointer). Returns K. The session codebook cache is deliberately
+    bypassed: the TABLE is the persisted artifact now."""
+    return _build_tables(spark, corpus, path, k, seed)
+
+
+def index_drift(
+    spark: SparkSession,
+    path: str,
+    sim_drop: float = 0.05,
+    imbalance_factor: float = 2.0,
+) -> dict:
+    """Assignment-drift statistic for the served index (VERDICT r9
+    #2): computable from the index tables ALONE — per-cell count
+    imbalance (max/mean) and corpus-weighted mean assignment cosine,
+    each compared against the build-time baseline the codebook
+    carries. After heavy ingest of a shifted distribution the frozen
+    centroids stop describing the data: mean assignment cosine falls
+    and cell counts skew — both visible here long before recall decay
+    is (recall needs ground truth; this needs one bounded scan).
+
+    Returns a dict with both baselines, both current values, and
+    ``drifted`` = (mean-sim dropped more than ``sim_drop``) OR
+    (imbalance grew more than ``imbalance_factor``×). Trip it →
+    ``rebuild_ivf_index``."""
+    import os
+
+    from ..sources.acid_format import register_acid_format
+
+    register_acid_format(spark)
+    root = _resolve_root(path)
+    cb = spark.read.format("acid").load(os.path.join(root, CODEBOOK_DIR))
+    if "build_n" not in cb.columns:
+        raise ValueError(
+            f"{path}: codebook predates drift stats (r10) — rebuild the "
+            "index to record the build-time baseline"
+        )
+    cells = spark.read.format("acid").load(os.path.join(root, CELLS_DIR))
+    cur = {
+        r["cell"]: (r["n"], r["mean_sim"])
+        for r in _cell_stats(cells, cb.select("cell", "center")).collect()
+    }
+    base = {
+        r["cell"]: (r["build_n"], r["build_mean_sim"])
+        for r in cb.select("cell", "build_n", "build_mean_sim").collect()
+    }
+
+    def _summary(d: dict) -> tuple[int, float, float]:
+        counts = [n for n, _ in d.values() if n]
+        total = sum(counts)
+        if not total:
+            return 0, 1.0, 0.0
+        imb = max(counts) / (total / len(d))  # mean over ALL cells
+        wsim = (
+            sum(n * s for n, s in d.values() if n and s is not None) / total
+        )
+        return total, imb, wsim
+
+    n_build, imb_build, sim_build = _summary(base)
+    n_now, imb_now, sim_now = _summary(cur)
+    ratio = imb_now / imb_build if imb_build else float("inf")
+    drop = sim_build - sim_now
+    return {
+        "k": cb.count(),
+        "n_build": n_build,
+        "n_now": n_now,
+        "imbalance_build": imb_build,
+        "imbalance_now": imb_now,
+        "imbalance_ratio": ratio,
+        "mean_sim_build": sim_build,
+        "mean_sim_now": sim_now,
+        "sim_drop": drop,
+        "drifted": drop > sim_drop or ratio > imbalance_factor,
+    }
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    path: str,
+    k: int | None = None,
+    seed: int = 43,
+) -> int:
+    """Retrain the codebook on the CURRENT index contents (the cells
+    table IS the corpus — no external re-read), re-assign every
+    vector, and atomically swap generations: the new tables build in
+    ``gen-N/`` untouched by readers, then one tmp+fsync+``os.replace``
+    publishes the ``_current`` pointer. A reader mid-serve keeps the
+    old generation (its codebook and cells stay consistent with each
+    other — the property two sequential in-place overwrites cannot
+    give); old generations remain on disk for those readers until a
+    manual cleanup. Returns the new K."""
+    import os
+    import uuid
+
+    from ..sources.acid_format import register_acid_format
+
+    register_acid_format(spark)
+    root = _resolve_root(path)
+    corpus = (
+        spark.read.format("acid")
+        .load(os.path.join(root, CELLS_DIR))
+        .select("vec_id", "embedding")
+    )
+    gens = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("gen-") and d[4:].isdigit()
+    ]
+    nxt = f"gen-{(max(int(d[4:]) for d in gens) + 1) if gens else 1:06d}"
+    new_k = _build_tables(spark, corpus, os.path.join(path, nxt), k, seed)
+    tmp = os.path.join(path, f".{CURRENT_PTR}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        f.write(nxt)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, CURRENT_PTR))
+    return new_k
 
 
 def read_codebook(spark: SparkSession, path: str):
@@ -153,7 +336,7 @@ def read_codebook(spark: SparkSession, path: str):
     register_acid_format(spark)
     rows = (
         spark.read.format("acid")
-        .load(os.path.join(path, CODEBOOK_DIR))
+        .load(os.path.join(_resolve_root(path), CODEBOOK_DIR))
         .orderBy("cell")
         .collect()
     )
@@ -183,7 +366,7 @@ def ingest_vectors(
     )
     if txn_app is not None and txn_version is not None:
         w = w.option("txnAppId", txn_app).option("txnVersion", txn_version)
-    w.save(os.path.join(path, CELLS_DIR))
+    w.save(os.path.join(_resolve_root(path), CELLS_DIR))
 
 
 def stream_ingest(
@@ -207,7 +390,7 @@ def stream_ingest(
         .option("checkpointLocation", checkpoint)
         .option("txnAppId", txn_app)
         .option("partitionBy", "cell")
-        .option("path", os.path.join(path, CELLS_DIR))
+        .option("path", os.path.join(_resolve_root(path), CELLS_DIR))
         .trigger(availableNow=True)
         .start()
     )
@@ -248,7 +431,7 @@ def serve_topk(
     cells_needed = sorted({c for _, c, _ in probes})
     corpus = (
         spark.read.format("acid")
-        .load(os.path.join(path, CELLS_DIR))
+        .load(os.path.join(_resolve_root(path), CELLS_DIR))
         .filter(F.col("cell").isin(cells_needed))  # partition elimination
     )
     w = Window.partitionBy("query_id").orderBy(

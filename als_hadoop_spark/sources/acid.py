@@ -76,6 +76,7 @@ all data movement is executor-side parquet IO.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -153,6 +154,22 @@ def _copy_state(state: dict) -> dict:
         "constraints": dict(state["constraints"]),
         "txns": dict(state["txns"]),
     }
+
+
+def _rel_file(table_root: str, uri: str) -> str:
+    """Map an ``input_file_name()`` URI back to the table-relative
+    path the commit log keys live files by. A bare basename is NOT
+    enough: partitioned files live under ``col=value/`` dirs, so
+    stripping the dir makes copy-on-write MERGE/DELETE resolve a
+    nonexistent root path. ``unquote`` undoes the URI encoding Spark
+    applies (partition dirs legitimately contain ``%`` from the
+    value encoder)."""
+    from urllib.parse import unquote, urlparse
+
+    p = uri
+    if "://" in p or p.startswith("file:"):
+        p = unquote(urlparse(p).path)
+    return os.path.relpath(p, table_root)
 
 
 def _part_segment(col: str, v) -> str:
@@ -534,6 +551,74 @@ class AcidTable:
         shutil.rmtree(stage, ignore_errors=True)
         return adds
 
+    def _partition_layout(self, state: dict) -> tuple[str, ...] | None:
+        """The table's ``partitionBy`` column tuple, derived from the
+        live add-actions: returned only when EVERY live file carries
+        partition metadata over the same column set (a consistent
+        layout that copy-on-write rewrites must preserve). Mixed or
+        unpartitioned tables return None — staging falls back to the
+        table root (reads stay correct either way; only planning-time
+        elimination is at stake)."""
+        cols: tuple[str, ...] | None = None
+        for a in state["live"].values():
+            partd = a.get("partition")
+            if not partd:
+                return None
+            k = tuple(sorted(partd))
+            if cols is None:
+                cols = k
+            elif k != cols:
+                return None
+        return cols
+
+    def _stage_files_layout_aware(
+        self, df: DataFrame, part_cols: tuple[str, ...] | None
+    ) -> list[dict]:
+        """Stage ``df`` preserving the table's partition layout: with
+        ``part_cols`` set, rows are split by partition value and each
+        group lands in its own ``col=value/`` dir with the partition
+        key on the add-action — so a MERGE/DELETE on a partitioned
+        table keeps every replacement file partition-prunable instead
+        of silently demoting it to stats-only (the CDC-erodes-the-
+        layout failure; OPTIMIZE has always done this right and this
+        reuses its mechanism). With ``part_cols=None`` this is plain
+        ``_stage_files``. The distinct-combo collect is bounded by the
+        writer's 1024-partition cap; ``df`` is cached across the
+        per-partition writes so the upstream (merge) plan computes
+        once."""
+        if part_cols is None:
+            return self._stage_files(df)
+        combos = [
+            tuple(r) for r in df.select(*part_cols).distinct().collect()
+        ]
+        if not combos:
+            return []
+        if len(combos) == 1:
+            cached, did_cache = df, False
+        else:
+            cached, did_cache = df.persist(), True
+        try:
+            adds: list[dict] = []
+            for combo in combos:
+                vals = dict(zip(part_cols, combo))
+                pred = functools.reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).eqNullSafe(F.lit(v)) for c, v in vals.items()],
+                )
+                subdir = "/".join(
+                    _part_segment(c, vals[c]) for c in part_cols
+                )
+                staged = self._stage_files(
+                    cached.filter(pred), subdir, harvest_stats=True
+                )
+                for a in staged:
+                    a["partition"] = vals
+                adds.extend(staged)
+            return adds
+        finally:
+            if did_cache:
+                cached.unpersist()
+
     def append(
         self, df: DataFrame, txn: dict | None = None, max_retries: int = 25
     ) -> int:
@@ -705,7 +790,7 @@ class AcidTable:
                     "_file", F.input_file_name()
                 )
                 touched = [
-                    os.path.basename(r["_file"])
+                    _rel_file(self.path, r["_file"])
                     for r in (
                         cand.join(changes.select(key).distinct(), key, "semi")
                         .select("_file")
@@ -722,7 +807,13 @@ class AcidTable:
         else:  # empty table: apply_fn sees an empty frame of the change shape
             touched_rows = self.spark.createDataFrame([], changes.schema)
         merged = apply_fn(touched_rows, changes)
-        adds = self._stage_files(merged)
+        # preserve a partitionBy layout: replacement files go back into
+        # their col=value/ dirs with partition metadata, like OPTIMIZE —
+        # otherwise every copy-on-write MERGE erodes planning-time
+        # partition elimination toward zero under a CDC workload
+        adds = self._stage_files_layout_aware(
+            merged, self._partition_layout(state)
+        )
         self._validate(adds)
         entry = {"operation": "merge", "add": adds, "remove": touched}
         if cdf and adds:
@@ -756,13 +847,17 @@ class AcidTable:
             return base
         snap = self._assemble(state).withColumn("_file", F.input_file_name())
         touched = [
-            os.path.basename(r["_file"])
+            _rel_file(self.path, r["_file"])
             for r in snap.filter(predicate).select("_file").distinct().collect()
         ]
         if not touched:
             return base
         kept = self._assemble(state, files=touched).filter(~predicate)
-        adds = self._stage_files(kept)
+        # layout-preserving rewrite, same rationale as merge: surviving
+        # rows of a partitioned file land back in their col=value/ dir
+        adds = self._stage_files_layout_aware(
+            kept, self._partition_layout(state)
+        )
         entry = {"operation": "delete", "add": adds, "remove": touched}
         if cdf:
             gone = (
@@ -834,7 +929,13 @@ class AcidTable:
             adds: list[dict] = []
             removes: list[str] = []
             for key, fs in sorted(
-                groups.items(), key=lambda kv: kv[0] or ()
+                # type-safe order: NULL partition values (and mixed
+                # value types across writes) must not crash the sort —
+                # compare (col, is_null, str(value)) tuples
+                groups.items(),
+                key=lambda kv: tuple(
+                    (c, v is None, str(v)) for c, v in (kv[0] or ())
+                ),
             ):
                 if len(fs) <= per_part and not relayout:
                     continue  # already compact: leave the files alone

@@ -309,3 +309,176 @@ def test_partition_cardinality_guard(spark, tmp_path):
             .option("partitionBy", "fine")
             .save(p)
         )
+
+
+def _upsert(touched, chg):
+    """WHEN MATCHED UPDATE v / WHEN NOT MATCHED INSERT — the canonical
+    merge fold for the (k, cat, v) fixture schema."""
+    from pyspark.sql import functions as F
+
+    c = chg.select(
+        "k",
+        F.col("cat").alias("_nc"),
+        F.col("v").alias("_nv"),
+    )
+    j = touched.join(c, "k", "full_outer")
+    return j.select(
+        "k",
+        F.coalesce("_nc", "cat").alias("cat"),
+        F.coalesce("_nv", "v").alias("v"),
+    )
+
+
+def test_merge_preserves_partition_layout(spark, tmp_path):
+    """VERDICT r9 #1: N copy-on-write MERGEs on a partitionBy table
+    must NOT erode planning-time partition elimination — every
+    replacement file goes back into its col=value/ dir with the
+    partition key on the add action, so the planned InputPartition
+    count under a partition predicate stays at the pruned third
+    instead of drifting toward all files."""
+    from pyspark.sql.datasource import EqualTo
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _write(spark, p)
+    t = AcidTable(spark, p)
+    got = spark.read.format("acid").load(p)
+    for n in range(4):  # a CDC-style stream of small merges
+        changes = spark.createDataFrame(
+            [(3 * n, "a", float(1000 + n)), (900 + n, "b", float(n))],
+            "k LONG, cat STRING, v DOUBLE",
+        )
+        t.merge(changes, "k", _upsert)
+        # EVERY live file still carries partition metadata in its dir
+        live = t._replay()
+        assert all(f.split("/")[0].startswith("cat=") for f in live), live
+        planned_b = _planned(spark, p, got.schema, [EqualTo(("cat",), "b")])
+        assert planned_b, "partition b vanished from the plan"
+        assert all("cat=b/" in pp.path for pp in planned_b)
+        assert len(planned_b) < len(live)  # elimination still prunes
+    # the merges were also CORRECT: updates applied, inserts landed
+    snap = {r["k"]: (r["cat"], r["v"]) for r in t.snapshot().collect()}
+    assert snap[0] == ("a", 1000.0)  # first merge's update stuck
+    assert snap[9] == ("a", 1003.0)  # last merge's update applied
+    assert snap[903] == ("b", 3.0)  # last insert present
+    assert len(snap) == 90 + 4  # 90 base keys + 4 inserted
+    # log actions on the last merge carry partition metadata
+    entry = t.history()[-1]
+    assert entry["operation"] == "merge"
+    assert all(a.get("partition") for a in entry["add"])
+
+
+def test_delete_preserves_partition_layout(spark, tmp_path):
+    """Same gate for copy-on-write DELETE: surviving rows of a touched
+    partitioned file land back in their col=value/ dir."""
+    from pyspark.sql.datasource import EqualTo
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _write(spark, p)
+    t = AcidTable(spark, p)
+    got = spark.read.format("acid").load(p)
+    t.delete("v < 9.0")  # touches every partition's files
+    live = t._replay()
+    assert all(f.split("/")[0].startswith("cat=") for f in live), live
+    planned_c = _planned(spark, p, got.schema, [EqualTo(("cat",), "c")])
+    assert planned_c and all("cat=c/" in pp.path for pp in planned_c)
+    assert len(planned_c) < len(live)
+    assert spark.read.format("acid").load(p).count() == 90 - 9
+    entry = t.history()[-1]
+    assert entry["operation"] == "delete"
+    assert all(a.get("partition") for a in entry["add"])
+
+
+def test_merge_insert_creates_new_partition_dir(spark, tmp_path):
+    """A merge inserting rows of a NEVER-SEEN partition value must
+    create its col=value/ dir (not dump the rows at the root) and the
+    new partition must be exactly plannable."""
+    from pyspark.sql.datasource import EqualTo
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _write(spark, p)
+    t = AcidTable(spark, p)
+    got = spark.read.format("acid").load(p)
+    changes = spark.createDataFrame(
+        [(500, "zzz", 1.0), (501, "zzz", 2.0)],
+        "k LONG, cat STRING, v DOUBLE",
+    )
+    t.merge(changes, "k", _upsert)
+    assert os.path.isdir(os.path.join(p, "cat=zzz"))
+    planned = _planned(spark, p, got.schema, [EqualTo(("cat",), "zzz")])
+    assert planned and all("cat=zzz/" in pp.path for pp in planned)
+    assert (
+        spark.read.format("acid").load(p).filter("cat = 'zzz'").count() == 2
+    )
+
+
+def test_merge_on_mixed_layout_falls_back_to_root(spark, tmp_path):
+    """A table whose live set mixes partitioned and root files has no
+    single layout to preserve — merge stages at the root (stats-only
+    pruning), and reads stay correct (the pinned mixed-layout
+    conservatism)."""
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _write(spark, p)
+    # root-layout append through the table API (no partition metadata)
+    AcidTable(spark, p).append(
+        spark.createDataFrame([(700, "d", 7.0)], "k LONG, cat STRING, v DOUBLE")
+    )
+    t = AcidTable(spark, p)
+    t.merge(
+        spark.createDataFrame([(700, "d", 77.0)], "k LONG, cat STRING, v DOUBLE"),
+        "k",
+        _upsert,
+    )
+    got = {r["k"]: r["v"] for r in t.snapshot().filter("cat = 'd'").collect()}
+    assert got == {700: 77.0}
+    assert t.snapshot().count() == 91
+
+
+def test_optimize_with_null_partition_value(spark, tmp_path):
+    """ADVICE r9: optimize() on a table holding a NULL partition value
+    (and thus mixed NoneType/str sort keys) must not crash — and the
+    NULL partition's files must compact back under the Hive sentinel
+    dir with metadata intact."""
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    rows = [(i, None if i % 3 == 0 else "a", float(i)) for i in range(60)]
+    for s in range(3):
+        _write(spark, p, mode="append" if s else "overwrite", rows=rows[s::3])
+    t = AcidTable(spark, p)
+    before = sorted(
+        map(tuple, spark.read.format("acid").load(p).collect()),
+        key=lambda r: r[0],
+    )
+    n_before = len(t._replay())
+    t.optimize(target_files=2)
+    live = t._replay()
+    assert len(live) < n_before
+    assert any("__HIVE_DEFAULT_PARTITION__" in f for f in live)
+    after = sorted(
+        map(tuple, spark.read.format("acid").load(p).collect()),
+        key=lambda r: r[0],
+    )
+    assert after == before
+
+
+def test_merge_with_null_partition_value(spark, tmp_path):
+    """The layout-aware merge staging splits with eqNullSafe — a NULL
+    partition value routes to the Hive sentinel dir, not a crash or a
+    root file."""
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    rows = [(i, None if i % 2 else "a", float(i)) for i in range(20)]
+    _write(spark, p, rows=rows)
+    t = AcidTable(spark, p)
+    t.merge(
+        spark.createDataFrame([(1, None, 99.0)], "k LONG, cat STRING, v DOUBLE"),
+        "k",
+        _upsert,
+    )
+    live = t._replay()
+    assert all(f.split("/")[0].startswith("cat=") for f in live)
+    snap = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert snap[1] == 99.0 and len(snap) == 20

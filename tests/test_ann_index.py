@@ -204,3 +204,78 @@ def test_serve_plans_only_probed_cells(spark, tmp_path):
     assert parts and planned_cells <= set(probed)
     total = spark.read.format("acid").load(cells_path).count()
     assert len(parts) < 8 and total == 240  # strict subset of K cells
+
+
+def _subspace_rows(n, lo, hi, seed, start_id, d=16):
+    """Vectors living (almost) entirely in dims [lo, hi) — two disjoint
+    subspaces make a distribution shift the frozen coarse quantizer is
+    maximally blind to: cosine(new vector, any old centroid) ≈ 0, so
+    assignment degenerates to noise and near neighbors scatter across
+    cells."""
+    rng = np.random.default_rng(seed)
+    vecs = 0.01 * rng.standard_normal((n, d)).astype("float32")
+    vecs[:, lo:hi] += rng.standard_normal((n, hi - lo)).astype("float32")
+    return [(start_id + i, [float(x) for x in vecs[i]]) for i in range(n)]
+
+
+def test_drift_detects_shift_and_rebuild_recovers(spark, tmp_path):
+    """VERDICT r9 #2 end-to-end: build on subspace A, verify the drift
+    statistic is quiet; ingest a shifted distribution (subspace B)
+    until it trips; recall over the shifted queries measurably
+    degrades; rebuild_ivf_index retrains + atomically swaps
+    generations; drift clears and recall recovers ≥ 0.8."""
+    base = _subspace_rows(240, lo=0, hi=8, seed=5, start_id=0)
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(spark, _corpus_df(spark, base), path, k=8)
+    d0 = ann_index.index_drift(spark, path)
+    assert not d0["drifted"], d0
+    assert d0["n_build"] == d0["n_now"] == 240
+
+    shifted = _subspace_rows(480, lo=8, hi=16, seed=7, start_id=10_000)
+    ann_index.ingest_vectors(spark, path, _corpus_df(spark, shifted))
+    d1 = ann_index.index_drift(spark, path)
+    assert d1["drifted"], d1
+    assert d1["sim_drop"] > 0.05  # mean assignment cosine collapsed
+    rows = base + shifted
+    qids = [10_000 + i for i in range(6)]
+    degraded = _recall(spark, path, rows, qids)
+
+    new_k = ann_index.rebuild_ivf_index(spark, path, k=8)
+    assert new_k == 8
+    d2 = ann_index.index_drift(spark, path)
+    assert not d2["drifted"], d2
+    assert d2["n_build"] == 720  # rebuilt over base + ingested
+    recovered = _recall(spark, path, rows, qids)
+    assert recovered >= 0.8, (degraded, recovered)
+    assert degraded < 0.8 and recovered > degraded, (degraded, recovered)
+    # the swap is a generation behind an atomic pointer, not an
+    # in-place overwrite: old gen intact for concurrent readers
+    assert os.path.isfile(os.path.join(path, ann_index.CURRENT_PTR))
+    assert ann_index._resolve_root(path).endswith("gen-000001")
+    assert os.path.isdir(os.path.join(path, ann_index.CELLS_DIR))
+
+
+def test_ingest_and_serve_follow_the_generation_pointer(spark, tmp_path):
+    """After a rebuild, ingest/serve/read_codebook all resolve the
+    pointer: new vectors land in the NEW generation's cells table and
+    are immediately servable; a second rebuild bumps to gen-2."""
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    rows = _corpus_rows(160)
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(spark, _corpus_df(spark, rows), path, k=4)
+    ann_index.rebuild_ivf_index(spark, path, k=4)
+    root = ann_index._resolve_root(path)
+    assert root.endswith("gen-000001")
+    extra = _corpus_rows(40, seed=99, start_id=5_000)
+    ann_index.ingest_vectors(spark, path, _corpus_df(spark, extra))
+    cells = AcidTable(spark, os.path.join(root, ann_index.CELLS_DIR))
+    assert cells.snapshot().count() == 200  # ingest hit the new gen
+    qdf = _corpus_df(spark, extra[:2]).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    assert ann_index.serve_topk(spark, path, qdf).count() == 2 * 5
+    ann_index.rebuild_ivf_index(spark, path, k=4)
+    assert ann_index._resolve_root(path).endswith("gen-000002")
+    # gen-2 trained over everything gen-1 held, ingest included
+    assert ann_index.index_drift(spark, path)["n_build"] == 200
