@@ -140,6 +140,143 @@ def _footer_stats(path: str) -> dict:
     return {k: [mins[k], maxs[k]] for k in mins}
 
 
+#: Bloom parameters (r10, VERDICT r9 #6): ~10 bits/value at k=7 gives
+#: ~1% fpp; the per-file bitset is capped at 64 Kbit (8 KB raw, ~11 KB
+#: base64 in the commit JSON) — past ~6.5 K distinct values the fpp
+#: degrades gracefully instead of the log entry growing unboundedly.
+_BLOOM_K = 7
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_MAX_BITS = 1 << 16
+
+
+def _bloom_tag(value) -> str | None:
+    """Type tag stored with (and checked against) the bloom — a filter
+    literal of a DIFFERENT type category must not be tested (an int 5
+    and a float 5.0 hash differently; a mismatched test would be a
+    false NEGATIVE, i.e. wrong pruning). bool first: it subclasses
+    int."""
+    if isinstance(value, bool):
+        return "b"
+    if isinstance(value, int):
+        return "i"
+    if isinstance(value, float):
+        return "f"
+    if isinstance(value, str):
+        return "s"
+    return None
+
+
+def _bloom_hashes(value) -> tuple[int, int] | None:
+    """(h1, h2) 64-bit double-hashing pair (Kirsch–Mitzenmacher) from
+    a canonical byte encoding — the SAME function runs at write
+    (harvest) and plan (consult) time, so it must stay pure stdlib."""
+    import hashlib
+    import struct
+
+    if isinstance(value, bool):
+        data = b"\x01" if value else b"\x00"
+    elif isinstance(value, int):
+        try:
+            data = value.to_bytes(8, "little", signed=True)
+        except OverflowError:
+            return None
+    elif isinstance(value, float):
+        data = struct.pack("<d", value)
+    elif isinstance(value, str):
+        data = value.encode("utf-8")
+    else:
+        return None
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little"),
+    )
+
+
+def _bloom_build(values) -> dict | None:
+    """Serialized bloom over the distinct non-NULL ``values`` of one
+    file's column: {"m": bits, "k": hashes, "t": type tag, "b64":
+    bitset}. None when the column is all-NULL, mixed-type, or
+    unhashable — absence means "no verdict", never "absent"."""
+    import base64
+
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return None
+    tags = {_bloom_tag(v) for v in vals}
+    if len(tags) != 1 or None in tags:
+        return None
+    m = max(64, min(_BLOOM_MAX_BITS, _BLOOM_BITS_PER_VALUE * len(vals)))
+    m = (m + 7) // 8 * 8
+    arr = bytearray(m // 8)
+    for v in vals:
+        hs = _bloom_hashes(v)
+        if hs is None:
+            return None
+        h1, h2 = hs
+        for i in range(_BLOOM_K):
+            b = (h1 + i * h2) % m
+            arr[b >> 3] |= 1 << (b & 7)
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "t": tags.pop(),
+        "b64": base64.b64encode(bytes(arr)).decode("ascii"),
+    }
+
+
+def bloom_maybe_contains(bloom: dict, value) -> bool:
+    """Membership test against a serialized bloom. Conservative: any
+    type mismatch, NULL, or malformed bloom answers True (keep the
+    file). False is definitive — the value is NOT in the file."""
+    import base64
+
+    if value is None or _bloom_tag(value) != bloom.get("t"):
+        return True
+    hs = _bloom_hashes(value)
+    if hs is None:
+        return True
+    try:
+        arr = base64.b64decode(bloom["b64"])
+        m = int(bloom["m"])
+        k = int(bloom.get("k", _BLOOM_K))
+    except (KeyError, ValueError, TypeError):
+        return True
+    if m <= 0 or len(arr) * 8 < m:
+        return True
+    h1, h2 = hs
+    for i in range(k):
+        b = (h1 + i * h2) % m
+        if not arr[b >> 3] & (1 << (b & 7)):
+            return False
+    return True
+
+
+def _file_blooms(path: str, cols: tuple[str, ...]) -> dict:
+    """Per-column serialized blooms for a just-staged parquet file.
+    Unlike the footer stats this IS a data re-read of the declared
+    columns — the (measured, documented) write amplification the
+    opt-in costs; absent/unbuildable columns are simply missing from
+    the result (consulted conservatively)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    try:
+        present = pq.read_schema(path).names
+        want = [c for c in cols if c in present]
+        if not want:
+            return {}
+        tbl = pq.read_table(path, columns=want)
+    except OSError:
+        return {}
+    out = {}
+    for c in want:
+        b = _bloom_build(pc.unique(tbl[c]).to_pylist())
+        if b is not None:
+            out[c] = b
+    return out
+
+
 def _empty_state() -> dict:
     return {"live": {}, "schema_ops": [], "constraints": {}, "txns": {}}
 
@@ -281,6 +418,10 @@ class AcidTable:
                 # format("acid") partitionBy layout (r9): exact
                 # per-file partition values ride the log action
                 act["partition"] = a["partition"]
+            if a.get("bloom"):
+                # per-file bloom filters (r10): point-lookup pruning
+                # on high-cardinality NON-partition keys
+                act["bloom"] = a["bloom"]
             state["live"][a["path"]] = act
         c = entry.get("constraint")
         if c:
@@ -510,11 +651,23 @@ class AcidTable:
 
     # -------------------------------------------------------- writes
 
+    def _bloom_layout(self, state: dict) -> tuple[str, ...]:
+        """Columns carrying per-file blooms anywhere in the live set —
+        rewrites (merge/delete/optimize) re-harvest these so a table's
+        bloom coverage survives its own maintenance, and appends
+        inherit it (sticky coverage, the Delta table-property
+        behavior without a state schema change)."""
+        cols: set[str] = set()
+        for a in state["live"].values():
+            cols.update((a.get("bloom") or {}).keys())
+        return tuple(sorted(cols))
+
     def _stage_files(
         self,
         df: DataFrame,
         subdir: str | None = None,
         harvest_stats: bool | None = None,
+        bloom_cols: tuple[str, ...] = (),
     ) -> list[dict]:
         """Write ``df`` as parquet part files, move them to
         content-addressed names in the table root (or ``subdir`` of it
@@ -542,9 +695,15 @@ class AcidTable:
                 final = f"{token}-{i:05d}.parquet"
                 src = os.path.join(stage, name)
                 stats = _footer_stats(src) if harvest_stats else {}
+                blooms = (
+                    _file_blooms(src, bloom_cols) if bloom_cols else {}
+                )
                 os.rename(src, os.path.join(dest_dir, final))
                 rel = final if subdir is None else f"{subdir}/{final}"
-                adds.append({"path": rel, "stats": stats})
+                add = {"path": rel, "stats": stats}
+                if blooms:
+                    add["bloom"] = blooms
+                adds.append(add)
                 i += 1
         import shutil
 
@@ -572,7 +731,10 @@ class AcidTable:
         return cols
 
     def _stage_files_layout_aware(
-        self, df: DataFrame, part_cols: tuple[str, ...] | None
+        self,
+        df: DataFrame,
+        part_cols: tuple[str, ...] | None,
+        bloom_cols: tuple[str, ...] = (),
     ) -> list[dict]:
         """Stage ``df`` preserving the table's partition layout: with
         ``part_cols`` set, rows are split by partition value and each
@@ -587,7 +749,7 @@ class AcidTable:
         per-partition writes so the upstream (merge) plan computes
         once."""
         if part_cols is None:
-            return self._stage_files(df)
+            return self._stage_files(df, bloom_cols=bloom_cols)
         combos = [
             tuple(r) for r in df.select(*part_cols).distinct().collect()
         ]
@@ -609,7 +771,10 @@ class AcidTable:
                     _part_segment(c, vals[c]) for c in part_cols
                 )
                 staged = self._stage_files(
-                    cached.filter(pred), subdir, harvest_stats=True
+                    cached.filter(pred),
+                    subdir,
+                    harvest_stats=True,
+                    bloom_cols=bloom_cols,
                 )
                 for a in staged:
                     a["partition"] = vals
@@ -620,7 +785,11 @@ class AcidTable:
                 cached.unpersist()
 
     def append(
-        self, df: DataFrame, txn: dict | None = None, max_retries: int = 25
+        self,
+        df: DataFrame,
+        txn: dict | None = None,
+        max_retries: int = 25,
+        bloom_cols: tuple[str, ...] | None = None,
     ) -> int:
         """Blind append — conflicts with nothing, so a lost commit race
         REBASES onto the new head (same files, next version) instead of
@@ -636,8 +805,15 @@ class AcidTable:
         before appending, so an at-least-once replayed micro-batch
         commits exactly once. The check+commit here is not atomic —
         ONE writer per app id is the contract (a Spark streaming query
-        is single-driver by construction)."""
-        adds = self._stage_files(df)
+        is single-driver by construction).
+
+        ``bloom_cols`` opts staged files into per-file bloom filters on
+        those columns; None (default) inherits the table's existing
+        bloom coverage (sticky — once a column is bloom'd, appends keep
+        it bloom'd)."""
+        if bloom_cols is None:
+            bloom_cols = self._bloom_layout(self._state())
+        adds = self._stage_files(df, bloom_cols=tuple(bloom_cols))
         cons_seen = self.constraints()
         self._validate(adds)
         entry = {"operation": "append", "add": adds}
@@ -670,6 +846,7 @@ class AcidTable:
         df: DataFrame,
         txn: dict | None = None,
         expected_version: int | None = None,
+        bloom_cols: tuple[str, ...] | None = None,
     ) -> int:
         """Replace the table's content. Read-modify-write: if anyone
         commits between our snapshot and our commit, raise.
@@ -692,7 +869,9 @@ class AcidTable:
             else int(expected_version)
         )
         removed = self._replay(base)
-        adds = self._stage_files(df)
+        if bloom_cols is None:
+            bloom_cols = self._bloom_layout(self._state(base))
+        adds = self._stage_files(df, bloom_cols=tuple(bloom_cols))
         self._validate(adds)
         entry = {"operation": "overwrite", "add": adds, "remove": removed}
         if txn is not None:
@@ -812,7 +991,7 @@ class AcidTable:
         # otherwise every copy-on-write MERGE erodes planning-time
         # partition elimination toward zero under a CDC workload
         adds = self._stage_files_layout_aware(
-            merged, self._partition_layout(state)
+            merged, self._partition_layout(state), self._bloom_layout(state)
         )
         self._validate(adds)
         entry = {"operation": "merge", "add": adds, "remove": touched}
@@ -856,7 +1035,7 @@ class AcidTable:
         # layout-preserving rewrite, same rationale as merge: surviving
         # rows of a partitioned file land back in their col=value/ dir
         adds = self._stage_files_layout_aware(
-            kept, self._partition_layout(state)
+            kept, self._partition_layout(state), self._bloom_layout(state)
         )
         entry = {"operation": "delete", "add": adds, "remove": touched}
         if cdf:
@@ -955,7 +1134,10 @@ class AcidTable:
                     if key is not None
                     else None
                 )
-                staged = self._stage_files(df, subdir, harvest_stats=True)
+                staged = self._stage_files(
+                    df, subdir, harvest_stats=True,
+                    bloom_cols=self._bloom_layout(state),
+                )
                 if key is not None:
                     for a in staged:
                         a["partition"] = dict(key)
@@ -982,7 +1164,7 @@ class AcidTable:
             )
         else:
             df = df.coalesce(target_files)
-        adds = self._stage_files(df)
+        adds = self._stage_files(df, bloom_cols=self._bloom_layout(state))
         if not self._try_commit(
             base + 1, {"operation": "optimize", "add": adds, "remove": live}
         ):

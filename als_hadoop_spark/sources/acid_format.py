@@ -211,6 +211,8 @@ def build_acid_format_source(with_pushdown: bool = True):
             act = {"stats": a.get("stats") or {}, "added": v}
             if a.get("partition"):
                 act["partition"] = a["partition"]
+            if a.get("bloom"):
+                act["bloom"] = a["bloom"]
             st["live"][a["path"]] = act
         op = e.get("schema_op")
         if op:
@@ -254,6 +256,114 @@ def build_acid_format_source(with_pushdown: bool = True):
                 out[f.name] = [mn, mx]
         return out
 
+    # ---- per-file bloom filters (r10; twins of sources/acid.py
+    # _bloom_build/bloom_maybe_contains — the factory stays
+    # self-contained for cloudpickle-by-value executor shipping, the
+    # _part_segment precedent). Write-side build runs in executor
+    # tasks; plan-side consult runs on the driver in partitions().
+    _BLOOM_K = 7
+    _BLOOM_BITS_PER_VALUE = 10
+    _BLOOM_MAX_BITS = 1 << 16
+
+    def _bloom_tag(v):
+        if isinstance(v, bool):
+            return "b"
+        if isinstance(v, int):
+            return "i"
+        if isinstance(v, float):
+            return "f"
+        if isinstance(v, str):
+            return "s"
+        return None
+
+    def _bloom_hashes(v):
+        import hashlib
+        import struct
+
+        if isinstance(v, bool):
+            data = b"\x01" if v else b"\x00"
+        elif isinstance(v, int):
+            try:
+                data = v.to_bytes(8, "little", signed=True)
+            except OverflowError:
+                return None
+        elif isinstance(v, float):
+            data = struct.pack("<d", v)
+        elif isinstance(v, str):
+            data = v.encode("utf-8")
+        else:
+            return None
+        d = hashlib.blake2b(data, digest_size=16).digest()
+        return (
+            int.from_bytes(d[:8], "little"),
+            int.from_bytes(d[8:], "little"),
+        )
+
+    def _bloom_build(values):
+        import base64
+
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return None
+        tags = {_bloom_tag(v) for v in vals}
+        if len(tags) != 1 or None in tags:
+            return None
+        m = max(64, min(_BLOOM_MAX_BITS, _BLOOM_BITS_PER_VALUE * len(vals)))
+        m = (m + 7) // 8 * 8
+        arr = bytearray(m // 8)
+        for v in vals:
+            hs = _bloom_hashes(v)
+            if hs is None:
+                return None
+            h1, h2 = hs
+            for i in range(_BLOOM_K):
+                b = (h1 + i * h2) % m
+                arr[b >> 3] |= 1 << (b & 7)
+        return {
+            "m": m,
+            "k": _BLOOM_K,
+            "t": tags.pop(),
+            "b64": base64.b64encode(bytes(arr)).decode("ascii"),
+        }
+
+    def _bloom_test(bloom, v):
+        """True = maybe present (conservative); False = DEFINITELY absent."""
+        import base64
+
+        if v is None or _bloom_tag(v) != bloom.get("t"):
+            return True
+        hs = _bloom_hashes(v)
+        if hs is None:
+            return True
+        try:
+            arr = base64.b64decode(bloom["b64"])
+            m = int(bloom["m"])
+            k = int(bloom.get("k", _BLOOM_K))
+        except (KeyError, ValueError, TypeError):
+            return True
+        if m <= 0 or len(arr) * 8 < m:
+            return True
+        h1, h2 = hs
+        for i in range(k):
+            b = (h1 + i * h2) % m
+            if not arr[b >> 3] & (1 << (b & 7)):
+                return False
+        return True
+
+    def _blooms_of(tbl, cols):
+        """Executor-side harvest from the in-memory Arrow table the
+        task is about to write — distinct values per declared column."""
+        import pyarrow.compute as pc
+
+        out = {}
+        for c in cols:
+            if c not in tbl.column_names:
+                continue
+            b = _bloom_build(pc.unique(tbl[c]).to_pylist())
+            if b is not None:
+                out[c] = b
+        return out
+
     # ------------------------------------------------------- reader
 
     @dataclass
@@ -274,6 +384,7 @@ def build_acid_format_source(with_pushdown: bool = True):
             self._arrow_schema = to_arrow_schema(schema)
             self._bounds: dict = {}  # col -> [lo, hi]
             self._in_sets: dict = {}  # col -> set of allowed values
+            self._eq: dict = {}  # col -> set of REQUIRED values (bloom)
 
         def _push_filters(self, filters):
             for f in filters:
@@ -305,6 +416,9 @@ def build_acid_format_source(with_pushdown: bool = True):
                 if isinstance(f, EqualTo):
                     b[0] = val if b[0] is None else max(b[0], val)
                     b[1] = val if b[1] is None else min(b[1], val)
+                    # every pushed equality must hold — a file whose
+                    # bloom rules ANY of them out is skippable
+                    self._eq.setdefault(col, set()).add(val)
                 elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                     b[0] = val if b[0] is None else max(b[0], val)
                 elif isinstance(f, (LessThan, LessThanOrEqual)):
@@ -384,6 +498,35 @@ def build_acid_format_source(with_pushdown: bool = True):
                             break
                     except TypeError:
                         continue  # cross-type compare: keep the file
+                if skip:
+                    continue
+                # BLOOM consult (r10) — after partition elimination
+                # and min/max: point lookups on high-cardinality
+                # NON-clustered keys are exactly where [min, max]
+                # stats are decorative (every file overlaps) and a
+                # per-file bloom is decisive. False = definitely
+                # absent; anything else keeps the file.
+                blooms = action.get("bloom") or {}
+                if blooms:
+                    for col, vals in self._eq.items():
+                        bl = blooms.get(
+                            _physical_name(col, action["added"], ops)
+                        )
+                        if bl and any(
+                            not _bloom_test(bl, v) for v in vals
+                        ):
+                            skip = True
+                            break
+                    if not skip:
+                        for col, vset in self._in_sets.items():
+                            bl = blooms.get(
+                                _physical_name(col, action["added"], ops)
+                            )
+                            if bl and not any(
+                                _bloom_test(bl, v) for v in vset
+                            ):
+                                skip = True
+                                break
                 if skip:
                     continue
                 ap = os.path.join(self.path, fname)
@@ -480,6 +623,12 @@ def build_acid_format_source(with_pushdown: bool = True):
             self.partition_cols = (
                 [c.strip() for c in pb.split(",") if c.strip()] if pb else []
             )
+            bf = options.get("bloomfiltercolumns") or options.get(
+                "bloomFilterColumns"
+            )
+            self.bloom_cols = (
+                [c.strip() for c in bf.split(",") if c.strip()] if bf else []
+            )
 
         def write(self, iterator):
             """Stage this task's rows as parquet in the table dir
@@ -505,9 +654,12 @@ def build_acid_format_source(with_pushdown: bool = True):
             if not self.partition_cols:
                 name = f"w-{uuid.uuid4().hex}.parquet"
                 pq.write_table(tbl, os.path.join(self.path, name))
-                return AddFiles(
-                    ({"path": name, "stats": _footer_stats_of(tbl)},)
-                )
+                add = {"path": name, "stats": _footer_stats_of(tbl)}
+                if self.bloom_cols:
+                    blooms = _blooms_of(tbl, self.bloom_cols)
+                    if blooms:
+                        add["bloom"] = blooms
+                return AddFiles((add,))
             missing = [
                 c for c in self.partition_cols if c not in tbl.column_names
             ]
@@ -566,15 +718,16 @@ def build_acid_format_source(with_pushdown: bool = True):
                 os.makedirs(os.path.join(self.path, seg), exist_ok=True)
                 name = f"{seg}/w-{uuid.uuid4().hex}.parquet"
                 pq.write_table(part_tbl, os.path.join(self.path, name))
-                files.append(
-                    {
-                        "path": name,
-                        "stats": _footer_stats_of(part_tbl),
-                        "partition": {
-                            c: combo[c] for c in self.partition_cols
-                        },
-                    }
-                )
+                add = {
+                    "path": name,
+                    "stats": _footer_stats_of(part_tbl),
+                    "partition": {c: combo[c] for c in self.partition_cols},
+                }
+                if self.bloom_cols:
+                    blooms = _blooms_of(part_tbl, self.bloom_cols)
+                    if blooms:
+                        add["bloom"] = blooms
+                files.append(add)
             return AddFiles(tuple(files))
 
         def _cleanup(self, messages):

@@ -1,0 +1,217 @@
+"""Gates for per-file bloom filters in the ACID log (r10, VERDICT r9
+#6): point lookups on high-cardinality NON-partition keys must prune
+~10x at planning time on a multi-file table where [min, max] stats are
+decorative (every file spans the key range); blooms must survive the
+table services (merge/optimize rewrites re-harvest), and every consult
+must be conservative (false positives allowed, false negatives never).
+"""
+
+import os
+
+import pytest
+
+from als_hadoop_spark.sources import register_acid_format
+from als_hadoop_spark.sources.acid import (
+    AcidTable,
+    _bloom_build,
+    bloom_maybe_contains,
+)
+from als_hadoop_spark.sources.acid_format import build_acid_format_source
+
+N_FILES = 16
+KEYS_PER_FILE = 400
+
+
+def _interleaved_rows(j):
+    """File j's rows: keys i with i % N_FILES == j — every file spans
+    nearly the whole key range, so min/max stats cannot prune a point
+    lookup; only the bloom can."""
+    return [
+        (f"u{i:06d}", i, float(i))
+        for i in range(j, N_FILES * KEYS_PER_FILE, N_FILES)
+    ]
+
+
+def _build_table(spark, p):
+    for j in range(N_FILES):
+        df = spark.createDataFrame(
+            _interleaved_rows(j), "uid STRING, k LONG, v DOUBLE"
+        ).coalesce(1)
+        (
+            df.write.format("acid")
+            .mode("append" if j else "overwrite")
+            .option("bloomFilterColumns", "uid,k")
+            .save(p)
+        )
+
+
+def _planned(spark, path, schema, filters):
+    src = build_acid_format_source()(options={"path": path})
+    reader = src.reader(schema)
+    list(reader._push_filters(filters))
+    return [pp for pp in reader.partitions() if pp.path]
+
+
+def test_bloom_point_lookup_prunes_10x(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _build_table(spark, p)
+    got = spark.read.format("acid").load(p)
+    live = len(AcidTable(spark, p)._replay())
+    assert live == N_FILES
+    # stats alone CANNOT prune this lookup (interleaved ranges) — the
+    # bloom must take planned files from 16 to ~1 (>= 10x)
+    parts = _planned(spark, p, got.schema, [EqualTo(("uid",), "u000033")])
+    assert len(parts) * 10 <= live, (len(parts), live)
+    # and on the integer key too
+    parts_k = _planned(spark, p, got.schema, [EqualTo(("k",), 33)])
+    assert len(parts_k) * 10 <= live
+    # absent key: every file's bloom says definitely-not → zero files
+    parts_absent = _planned(
+        spark, p, got.schema, [EqualTo(("uid",), "nope")]
+    )
+    assert len(parts_absent) == 0
+    # correctness through the full reader: the pruned plan still finds
+    # the row, and the absent key returns empty
+    assert got.filter("uid = 'u000033'").count() == 1
+    assert got.filter("uid = 'nope'").count() == 0
+
+
+def test_bloom_no_false_negatives_across_all_files(spark, tmp_path):
+    """Every present key must survive its file's bloom: probe one key
+    per file through the real read path."""
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _build_table(spark, p)
+    got = spark.read.format("acid").load(p)
+    probes = [f"u{j * 7 + j:06d}" for j in range(N_FILES)]
+    found = got.filter(got.uid.isin(probes)).count()
+    assert found == len(set(probes))
+
+
+def test_bloom_in_list_consult(spark, tmp_path):
+    """col IN (...) keeps a file iff SOME listed value may be present;
+    an all-absent IN list plans zero files."""
+    from pyspark.sql.datasource import In
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _build_table(spark, p)
+    got = spark.read.format("acid").load(p)
+    live = N_FILES
+    # two keys from the same file + noise absent values
+    parts = _planned(
+        spark,
+        p,
+        got.schema,
+        [In(("uid",), ("u000016", "u000032", "absent-a", "absent-b"))],
+    )
+    assert 0 < len(parts) <= 2  # only the files holding those keys
+    parts_none = _planned(
+        spark, p, got.schema, [In(("uid",), ("absent-a", "absent-b"))]
+    )
+    assert len(parts_none) == 0
+    assert live == N_FILES  # fixture sanity
+
+
+def test_bloom_survives_optimize_and_merge(spark, tmp_path):
+    """Rewrites re-harvest blooms for the table's bloom'd columns: the
+    coverage is sticky through OPTIMIZE, MERGE, and plain append."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _build_table(spark, p)
+    t = AcidTable(spark, p)
+    got = spark.read.format("acid").load(p)
+
+    def upsert(touched, chg):
+        c = chg.select("uid", F.col("v").alias("_nv"))
+        j = touched.join(c, "uid", "full_outer")
+        return j.select(
+            "uid", "k", F.coalesce("_nv", "v").alias("v")
+        )
+
+    t.merge(
+        spark.createDataFrame([("u000033", 33, 999.0)], got.schema),
+        "uid",
+        upsert,
+    )
+    # plain append (no explicit bloom_cols) inherits the coverage
+    t.append(
+        spark.createDataFrame([("uZZZZ", 10**6, 1.0)], got.schema)
+    )
+    t.optimize(target_files=4)
+    live = t._replay()
+    state = t._state()
+    assert all(
+        set((state["live"][f].get("bloom") or {})) == {"uid", "k"}
+        for f in live
+    ), {f: list((state["live"][f].get("bloom") or {})) for f in live}
+    # pruning still decisive on the compacted files
+    parts = _planned(spark, p, got.schema, [EqualTo(("uid",), "u000033")])
+    assert 0 < len(parts) < len(live)
+    assert got.filter("uid = 'u000033'").select("v").first()["v"] == 999.0
+    assert (
+        spark.read.format("acid").load(p).filter("uid = 'uZZZZ'").count()
+        == 1
+    )
+
+
+def test_bloom_helpers_conservative():
+    """Unit gates on the serialized bloom itself: presence always
+    True, absence almost always False at ~1% fpp, type mismatch and
+    malformed blooms always True (keep the file)."""
+    vals = [f"key-{i}" for i in range(1000)]
+    b = _bloom_build(vals)
+    assert all(bloom_maybe_contains(b, v) for v in vals)  # no false neg
+    misses = sum(
+        bloom_maybe_contains(b, f"other-{i}") for i in range(2000)
+    )
+    assert misses < 2000 * 0.05  # fpp well under 5% at 10 bits/value
+    # type mismatch: int probe against a string bloom → conservative
+    assert bloom_maybe_contains(b, 7) is True
+    assert bloom_maybe_contains(b, None) is True
+    assert bloom_maybe_contains({"t": "s"}, "x") is True  # malformed
+    ib = _bloom_build([1, 2, 3])
+    assert bloom_maybe_contains(ib, 2) and not bloom_maybe_contains(ib, 99)
+    assert bloom_maybe_contains(ib, True) is True  # bool ≠ int tag
+    assert _bloom_build([None, None]) is None
+    assert _bloom_build([1, "x"]) is None  # mixed types: no bloom
+    assert _bloom_build([2**100]) is None  # unhashable magnitude
+
+
+def test_bloom_partitioned_write_composes(spark, tmp_path):
+    """bloomFilterColumns composes with partitionBy: partition
+    elimination fires first, the bloom prunes within the partition."""
+    from pyspark.sql.datasource import EqualTo
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    for j in range(4):
+        rows = [
+            (f"u{i:06d}", ["a", "b"][i % 2], float(i))
+            for i in range(j, 800, 4)
+        ]
+        (
+            spark.createDataFrame(rows, "uid STRING, cat STRING, v DOUBLE")
+            .coalesce(1)
+            .write.format("acid")
+            .mode("append" if j else "overwrite")
+            .option("partitionBy", "cat")
+            .option("bloomFilterColumns", "uid")
+            .save(p)
+        )
+    got = spark.read.format("acid").load(p)
+    live = len(AcidTable(spark, p)._replay())
+    parts = _planned(
+        spark,
+        p,
+        got.schema,
+        [EqualTo(("cat",), "a"), EqualTo(("uid",), "u000004")],
+    )
+    assert len(parts) == 1, (len(parts), live)
+    assert got.filter("cat = 'a' and uid = 'u000004'").count() == 1
