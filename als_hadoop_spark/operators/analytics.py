@@ -234,19 +234,23 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean path) and fail the length rule for real (pinning the
     violation path).
 
-    Shape at scale: each FK check is an anti-join against a dimension
-    (broadcast when small, shuffle otherwise — Catalyst's call); the
-    fact-side FK collapses lineitem to (order key, row count) FIRST —
-    map-side combine cuts the anti-join's probe shuffle ~4× and the
-    violation total is then a sum of the orphaned keys' counts; the
-    PK and range checks are single aggregates with map-side partials.
-    The final union is 5 one-row frames — negligible.
+    Shape at scale: each FK check is a SHUFFLE_HASH anti-join (an
+    anti-join probes a hash table; sorting both sides for SMJ buys
+    nothing — the q_exists_chain lesson, r7, measured 15.5 → 9.9 s at
+    ×100); the PK and range checks are single aggregates with map-side
+    partials. The final union is 5 one-row frames — negligible.
 
-    r7: the big anti-join (aggregated lineitem keys vs 15 M order
-    keys, both above the broadcast threshold at ×100) carries a
-    SHUFFLE_HASH hint — an anti-join probes a hash table; sorting both
-    sides for SMJ buys nothing (the q_exists_chain lesson). Measured
-    same-session at ×100: 15.5 → 9.9 s."""
+    r10 re-measurement at ×100 (BASELINE.md round-10 A/B table)
+    REVERSED one r7 call and added one: (a) pre-aggregating lineitem
+    to (orderkey, count) before the anti-join was SLOWER than probing
+    the raw keys (2.97 s vs 1.63 s — l_orderkey is near-unique at ~4
+    rows/key, so the combine shrinks little and adds a full hash-agg
+    stage); the check anti-joins raw keys and counts rows. (b) the
+    ORDERS side, whose key repeats ~10×, DOES win from the collapse
+    (1.21 s → 0.89 s with shuffle_hash): aggregate (o_custkey, count),
+    anti-join the ~|customer| distinct keys, sum the counts. Whole
+    query: 4.57 → 2.84 s at ×100; the residual vs DuckDB is the two
+    unavoidable fact-side shuffles it fuses in-process."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -258,19 +262,22 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("check_name"), F.count("*").alias("n_violations")
         )
 
-    orders_fk = orders.join(
-        cust.select("c_custkey"),
-        orders.o_custkey == F.col("c_custkey"),
+    o_keys = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    orders_fk = o_keys.join(
+        cust.select("c_custkey").hint("shuffle_hash"),
+        o_keys.o_custkey == F.col("c_custkey"),
         "left_anti",
+    ).agg(
+        F.lit("orders_custkey_fk").alias("check_name"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_violations"),
     )
-    li_keys = li.groupBy("l_orderkey").agg(F.count("*").alias("_n_rows"))
-    li_fk = li_keys.join(
+    li_fk = li.select("l_orderkey").join(
         orders.select("o_orderkey").hint("shuffle_hash"),
-        li_keys.l_orderkey == F.col("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
         "left_anti",
     ).agg(
         F.lit("lineitem_orderkey_fk").alias("check_name"),
-        F.coalesce(F.sum("_n_rows"), F.lit(0)).alias("n_violations"),
+        F.count("*").alias("n_violations"),
     )
     pk_dups = (
         cust.groupBy("c_custkey")
@@ -281,7 +288,7 @@ def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     short_docs = docs.filter(F.col("n_chars") < MIN_DOC_CHARS)
 
     return (
-        check("orders_custkey_fk", orders_fk)
+        orders_fk
         .unionByName(li_fk)
         .unionByName(check("customer_pk_unique", pk_dups))
         .unionByName(check("events_value_nonnegative", value_range))

@@ -125,6 +125,30 @@ def build_acid_cdf_source():
             if not self.path:
                 raise ValueError("acid_cdf: option 'path' is required")
             self.starting = int(options.get("startingVersion", 0))
+            #: per-batch version cap (r10, VERDICT r9 #7): pyspark's
+            #: DataSourceStreamReader lacks SupportsTriggerAvailableNow
+            #: AND ReadLimit, so Trigger.AvailableNow falls back to ONE
+            #: batch over everything available — a month-long backlog
+            #: becomes one giant batch. latestOffset() therefore admits
+            #: at most this many versions past the highest offset the
+            #: runtime has shown us (Spark re-plans the checkpointed
+            #: batch via partitions() BEFORE asking latestOffset on a
+            #: restart — probed behavior, gated in
+            #: tests/test_streaming.py — so the floor is always known
+            #: when it matters). A backlog of N commits drains in
+            #: ceil(N/cap) AvailableNow runs, each exactly-once.
+            self.max_versions = int(
+                options.get("maxversionsperbatch")
+                or options.get("maxVersionsPerBatch")
+                or 256
+            )
+            if self.max_versions < 1:
+                raise ValueError(
+                    "acid_cdf: maxVersionsPerBatch must be >= 1"
+                )
+            #: highest offset version the runtime has revealed —
+            #: through partitions() (planning/replay) or commit()
+            self._floor: int | None = None
             self._schema = to_arrow_schema(schema)
             #: highest version verified schema-op-free (schema ops are
             #: append-only facts: once commits <= N are known clean,
@@ -152,12 +176,22 @@ def build_acid_cdf_source():
 
         def latestOffset(self) -> dict:
             vs = _versions(self.path)
-            return {"version": vs[-1] if vs else self.starting - 1}
+            head = vs[-1] if vs else self.starting - 1
+            floor = (
+                self._floor if self._floor is not None else self.starting - 1
+            )
+            return {"version": min(head, floor + self.max_versions)}
 
         def partitions(self, start: dict, end: dict):
             import os
 
             lo, hi = int(start["version"]), int(end["version"])
+            # the runtime's start/end are authoritative — ratchet the
+            # admission floor so the NEXT latestOffset caps relative to
+            # real progress (incl. a restart's re-planned batch)
+            known = max(lo, hi)
+            if self._floor is None or known > self._floor:
+                self._floor = known
             retained = set(_versions(self.path))
             missing = [v for v in range(lo + 1, hi + 1) if v not in retained]
             if missing:
@@ -281,7 +315,11 @@ def build_acid_cdf_source():
             yield from pa.Table.from_arrays(cols, schema=target).to_batches()
 
         def commit(self, end: dict) -> None:
-            pass  # log JSONs/data files are immutable; nothing to free
+            # log JSONs/data files are immutable; nothing to free —
+            # but the committed offset is floor knowledge
+            v = int(end.get("version", -1))
+            if self._floor is None or v > self._floor:
+                self._floor = v
 
     class AcidCdfSource(DataSource):
         """``spark.readStream.format("acid_cdf")`` — module docstring."""
