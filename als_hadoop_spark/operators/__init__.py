@@ -54,36 +54,66 @@ _MODULES = (
 
 
 # Registration order doubles as the external correctness harness's sample
-# order (it checks a prefix of the registry).  Round-9 rotation
-# (VERDICT r8 #5): lead with the commit-path-touched ACID family (the
-# atomic link-publish + TOCTOU-free rebase landed under all of them)
-# and the two r9 additions, then the queries whose last driver sample
-# is OLDEST — q_sim_search_lsh / q_sim_search_ivf / q_multimodal_features
-# (r2) and the nine r4-cohort queries (several re-planned since their
-# last sample).  Pure ordering — the dict contents are unchanged.
+# order (it checks a prefix of the registry).  Round-10 rotation
+# (VERDICT r9 #5): lead with everything r10 re-planned — the
+# layout-preserving MERGE/DELETE landed under the whole ACID family,
+# blooms changed the state-replay fields, the IVF index grew a
+# generation pointer, and q_constraint_audit's FK joins were re-shaped
+# — then the OLDEST cohort: the 40 queries whose last driver sample is
+# r6 (ALS family, dedup family, sketches, multimodal, curation,
+# streaming trio...), several re-planned since.  Pure ordering — the
+# dict contents are unchanged.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # changed/added this round — need a driver run on the new form
-    "q_acid_format_partitioned",  # NEW r9: partitionBy layout + elimination
-    "q_sim_search_ivf_indexed",   # NEW r9: persisted IVF index (rows-only)
-    "q_acid_format",              # r9: atomic publish + TOCTOU-free commit
-    "q_acid_merge",               # r9: link-publish under MERGE commits
-    "q_acid_cdf",                 # r9: CDF guard cache + entry memo
-    "q_acid_stream_ivm",          # r9: streaming sink over the new commit
-    "q_acid_ivm_loop",            # r9: maintainer loop over the new commit
-    "q_dedup_embed_lsh",          # r9: trailing global sort dropped
-    # oldest driver hashes — re-verify under the driver
-    "q_sim_search_lsh",           # last sampled r2
-    "q_sim_search_ivf",           # last sampled r2
-    "q_multimodal_features",      # last sampled r2
-    "q_approx_count_distinct",    # r4 cohort
-    "q_random_split",
-    "q_approx_percentile",
-    "q_constraint_audit",
-    "q_event_funnel",
-    "q_cohort_retention",
-    "q_trailing_window",
-    "q_regression",
-    "q_outer_join_count",
+    # changed this round (r10) — need a driver run on the new form
+    "q_acid_merge",               # r10: layout-preserving merge staging
+    "q_acid_format_partitioned",  # r10: merge/delete keep elimination
+    "q_acid_format",              # r10: blooms + rel-path file discovery
+    "q_acid_cdf",                 # r10: bounded AvailableNow admission
+    "q_sim_search_ivf_indexed",   # r10: generation pointer + drift stats
+    "q_constraint_audit",         # r10: re-shaped FK anti-joins
+    "q_acid_incremental",         # rides the merge/delete staging change
+    "q_acid_timetravel",          # r6 + state-replay bloom field change
+    # oldest driver hashes (r6 cohort, VERDICT r9 #5) — several
+    # re-planned since their last sample
+    "q_acid_evolution",
+    "q_als_fit_predict",
+    "q_als_item_sim",
+    "q_als_rank_sweep",
+    "q_als_ranking",
+    "q_als_recommend",
+    "q_als_rmse",
+    "q_asof_join",
+    "q_bpe_merges",
+    "q_bpe_tokenize",
+    "q_cms_heavy_hitters",
+    "q_curation",
+    "q_curation_neardup",
+    "q_dedup_cluster",
+    "q_dedup_embed",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_doc_fingerprint",
+    "q_embed_kmeans",
+    "q_embed_pca",
+    "q_hll_overlap",
+    "q_hll_rollup",
+    "q_kll_quantiles",
+    "q_lang_id",
+    "q_multimodal",
+    "q_multimodal_frames",
+    "q_nearest_centroid",
+    "q_sim_search",
+    "q_sim_search_ivfpq",
+    "q_sim_search_pq",
+    "q_source_overlap",
+    "q_stream_join",
+    "q_stream_session",
+    "q_stream_tumbling",
+    "q_text_quality",
+    "q_text_stats",
+    "q_time_rollup",
+    "q_token_topk",
 )
 
 
