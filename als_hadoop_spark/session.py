@@ -42,8 +42,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # ``SPARK_GRAFT_MASTER=spark://host:7077`` swaps the deploy mode —
+    # the standalone-cluster smoke (scripts/smoke_standalone.py) runs
+    # the exact same session profile over real executor JVMs and
+    # real-socket shuffle; everything below carries over unchanged.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
