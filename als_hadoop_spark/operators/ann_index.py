@@ -396,6 +396,59 @@ def stream_ingest(
     )
 
 
+def cleanup_index_generations(
+    path: str, retention_hours: float = 24.0
+) -> list[str]:
+    """Remove index generations the ``_current`` pointer no longer
+    references (the VACUUM of the rebuild service, same retention
+    posture as ``AcidTable.vacuum``): a superseded generation whose
+    newest file is older than ``retention_hours`` is deleted whole —
+    young generations survive so a reader that resolved the pointer
+    just before a swap can finish its scan. The CURRENT generation and
+    the root (generation-0) tables while they ARE current are never
+    touched; root tables superseded by a rebuild are swept under the
+    same guard. Returns the deleted directory paths."""
+    import os
+    import shutil
+    import time
+
+    root = _resolve_root(path)
+    horizon = time.time() - retention_hours * 3600.0
+    victims = []
+    gens = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("gen-") and d[4:].isdigit()
+    ]
+    for gen in gens:
+        full = os.path.join(path, gen)
+        if os.path.abspath(full) == os.path.abspath(root):
+            continue
+        victims.append(full)
+    if os.path.abspath(root) != os.path.abspath(path):
+        # a rebuild superseded the root tables — they are a stale
+        # generation too
+        for d in (CODEBOOK_DIR, CELLS_DIR):
+            full = os.path.join(path, d)
+            if os.path.isdir(full):
+                victims.append(full)
+    deleted = []
+    for full in victims:
+        newest = 0.0
+        for r, _dirs, names in os.walk(full):
+            for n in names:
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(r, n))
+                    )
+                except OSError:
+                    pass
+        if newest <= horizon:
+            shutil.rmtree(full, ignore_errors=True)
+            deleted.append(full)
+    return deleted
+
+
 def serve_topk(
     spark: SparkSession,
     path: str,

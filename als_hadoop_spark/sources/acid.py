@@ -1318,10 +1318,20 @@ class AcidTable:
         return self._assemble(state)
 
     def _files_where(self, state: dict, col: str, lo=None, hi=None) -> list[str]:
+        point = lo is not None and lo == hi  # equality probe
         out = []
         ops = state["schema_ops"]
         for path, action in sorted(state["live"].items()):
             phys = self._physical_name(col, action["added"], ops)
+            # a POINT lookup consults the file's bloom too (r10): on a
+            # non-clustered high-cardinality key the [min, max] check
+            # keeps nearly every file, the bloom keeps ~1 — this is
+            # what makes a single-key MERGE touch O(1) files instead
+            # of O(table) on a bloom'd CDC table
+            if point:
+                bl = (action.get("bloom") or {}).get(phys)
+                if bl is not None and not bloom_maybe_contains(bl, lo):
+                    continue
             s = action["stats"].get(phys)
             if s is None or s[0] is None or s[1] is None:
                 out.append(path)

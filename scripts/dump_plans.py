@@ -88,6 +88,17 @@ ANNOTATED = {
         "shape for a keyless K-way score), argmax is a max(struct) hash "
         "aggregate, output is the K x K confusion matrix."
     ),
+    "q_constraint_audit": (
+        "Deequ-style multi-check gate, r10 shape. Each FK check is ONE "
+        "shuffle_hash anti-join with only the key column scanned "
+        "(ReadSchema): orders collapses to (o_custkey, count) first — "
+        "its key repeats ~10x, so map-side combine shrinks the probe — "
+        "while lineitem probes RAW keys (near-unique key: the r7 "
+        "pre-aggregation was a measured loss, BASELINE.md round-10). "
+        "PK/range/length checks are single map-side-partial aggregates; "
+        "the union is five 1-row frames. No sort anywhere: anti-joins "
+        "probe hash tables (the q_exists_chain lesson)."
+    ),
     "q_exists_chain": (
         "TPC-H Q21 shape. The literal EXISTS/NOT-EXISTS plan probes the "
         "fact table three times; this compiles the rewrite — the fact "

@@ -215,3 +215,42 @@ def test_bloom_partitioned_write_composes(spark, tmp_path):
     )
     assert len(parts) == 1, (len(parts), live)
     assert got.filter("cat = 'a' and uid = 'u000004'").count() == 1
+
+
+def test_bloom_prunes_merge_candidates(spark, tmp_path):
+    """AcidTable._files_where consults blooms on a POINT lookup: a
+    single-key MERGE on a bloom'd non-clustered table scans O(1)
+    candidate files instead of every stats-overlapping file."""
+    from pyspark.sql import functions as F
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    _build_table(spark, p)
+    t = AcidTable(spark, p)
+    state = t._state()
+    # every file overlaps the key range (interleaved fixture): stats
+    # alone keep all 16, the bloom narrows a point probe to 1
+    assert len(t._files_where(state, "uid", "u000033", "u000033")) == 1
+    assert len(t._files_where(state, "k", 33, 33)) == 1
+    assert len(t._files_where(state, "uid", "absent", "absent")) == 0
+    # a RANGE probe is untouched by blooms (conservative)
+    assert len(t._files_where(state, "k", 10, 20)) == N_FILES
+    # and the merge itself stays correct through the pruned candidates
+    def upsert(touched, chg):
+        c = chg.select("uid", F.col("v").alias("_nv"))
+        return (
+            touched.join(c, "uid", "full_outer")
+            .select("uid", "k", F.coalesce("_nv", "v").alias("v"))
+        )
+
+    t.merge(
+        spark.createDataFrame(
+            [("u000033", 33, 777.0)], "uid STRING, k LONG, v DOUBLE"
+        ),
+        "uid",
+        upsert,
+    )
+    hist = t.history()[-1]
+    assert len(hist["remove"]) == 1  # only the one file rewritten
+    got = {r["uid"]: r["v"] for r in t.snapshot().filter("uid = 'u000033'").collect()}
+    assert got == {"u000033": 777.0}

@@ -279,3 +279,25 @@ def test_ingest_and_serve_follow_the_generation_pointer(spark, tmp_path):
     assert ann_index._resolve_root(path).endswith("gen-000002")
     # gen-2 trained over everything gen-1 held, ingest included
     assert ann_index.index_drift(spark, path)["n_build"] == 200
+
+
+def test_cleanup_index_generations(spark, tmp_path):
+    """The rebuild service's VACUUM: superseded generations (and the
+    superseded root tables) sweep under the retention guard; the
+    current generation always survives and still serves."""
+    rows = _corpus_rows(120)
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(spark, _corpus_df(spark, rows), path, k=4)
+    ann_index.rebuild_ivf_index(spark, path, k=4)
+    ann_index.rebuild_ivf_index(spark, path, k=4)
+    assert ann_index._resolve_root(path).endswith("gen-000002")
+    # young files: the default retention protects every generation
+    assert ann_index.cleanup_index_generations(path) == []
+    deleted = ann_index.cleanup_index_generations(path, retention_hours=0)
+    names = {os.path.basename(d) for d in deleted}
+    assert names == {"gen-000001", ann_index.CODEBOOK_DIR, ann_index.CELLS_DIR}
+    assert os.path.isdir(os.path.join(path, "gen-000002"))
+    qdf = _corpus_df(spark, rows[:2]).withColumnRenamed("vec_id", "query_id")
+    assert ann_index.serve_topk(spark, path, qdf).count() == 2 * 5
+    # drift stats still readable from the surviving generation
+    assert not ann_index.index_drift(spark, path)["drifted"]
