@@ -1,0 +1,206 @@
+"""SQL statement surface for ACID table management (r10, VERDICT r9
+"what's missing" #5).
+
+A pure-Python DataSource cannot plug Spark's SQL parser or catalog
+(no ``VERSION AS OF`` / ``MERGE INTO`` support reaches a
+``pyspark.sql.datasource`` format), so this module is an explicit,
+NARROW front door: :func:`acid_sql` recognizes the lakehouse
+table-management statements against ``acid.`<path>``` table references
+and routes them to the :class:`~als_hadoop_spark.sources.acid.AcidTable`
+API; every other statement passes through to ``spark.sql`` verbatim
+(after time-travel rewriting). The supported grammar is EXACTLY:
+
+- ``... acid.`/path/to/table` [VERSION AS OF <n>] ...`` anywhere in a
+  query: each reference is materialized as a temp view of that
+  snapshot and the reference text is substituted — arbitrary SELECTs
+  (joins, CTEs, windows) over time-traveled ACID tables just work.
+- ``MERGE INTO acid.`<path>` [AS <t>] USING <view|(subquery)> [AS <s>]
+  ON <t>.<key> = <s>.<key> WHEN MATCHED THEN UPDATE SET * WHEN NOT
+  MATCHED THEN INSERT *`` — the canonical upsert (Delta's most common
+  MERGE form): matched rows take ALL source columns, unmatched source
+  rows insert. Returns the committed version. Other WHEN forms raise
+  with the exact unsupported clause named — a silent partial MERGE
+  would be data loss.
+- ``OPTIMIZE acid.`<path>` [CLUSTER BY <col>] [ZORDER BY (<a>, <b>)]``
+- ``VACUUM acid.`<path>` [RETAIN <n> HOURS]`` → deleted file names.
+- ``DESCRIBE HISTORY acid.`<path>``` → one row per commit (version,
+  operation, n_added, n_removed).
+
+The point is API parity with the SQL text a Delta/Iceberg user already
+writes, not a general parser: anything outside this grammar is either
+passed through untouched (plain SQL) or refused loudly (a MERGE/
+OPTIMIZE/VACUUM variant we'd half-execute). Reference ancestry: the
+reference drives everything from hand-built job mains
+(ALS-Hadoop/ALS/ALS.java:217-331); the SQL front door is this engine's
+equivalent of "the interface users already have."
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.acid import AcidTable
+
+#: acid.`/path` with optional VERSION AS OF n
+_REF = re.compile(
+    r"acid\.`(?P<path>[^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?",
+    re.IGNORECASE,
+)
+
+_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+acid\.`(?P<path>[^`]+)`"
+    r"(?:\s+AS\s+(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<source>\((?:[^()]|\([^()]*\))*\)|\w+)"
+    r"(?:\s+AS\s+(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"\s+WHEN\s+(?P<whens>MATCHED.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ON = re.compile(
+    r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", re.IGNORECASE
+)
+
+_CANONICAL_WHENS = re.compile(
+    r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+acid\.`(?P<path>[^`]+)`"
+    r"(?:\s+CLUSTER\s+BY\s+(?P<cluster>\w+))?"
+    r"(?:\s+ZORDER\s+BY\s+\(\s*(?P<zx>\w+)\s*,\s*(?P<zy>\w+)\s*\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+acid\.`(?P<path>[^`]+)`"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_HISTORY = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+acid\.`(?P<path>[^`]+)`\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _register_refs(spark: SparkSession, text: str) -> str:
+    """Materialize every ``acid.`path` [VERSION AS OF n]`` reference as
+    a temp view of that snapshot and substitute the view name — the
+    time-travel rewrite that lets plain ``spark.sql`` run the rest."""
+    from .sources import register_acid_format
+
+    def sub(m: re.Match) -> str:
+        register_acid_format(spark)
+        reader = spark.read.format("acid")
+        v = m.group("version")
+        if v is not None:
+            reader = reader.option("version", int(v))
+        name = "acid_ref_" + re.sub(
+            r"\W", "_", f"{m.group('path')}_v{v if v else 'head'}"
+        ).strip("_")
+        reader.load(m.group("path")).createOrReplaceTempView(name)
+        return name
+
+    return _REF.sub(sub, text)
+
+
+def acid_sql(spark: SparkSession, text: str):
+    """Execute one SQL statement with ACID table-management support —
+    module docstring has the exact grammar. Returns a DataFrame for
+    reads (SELECT/DESCRIBE HISTORY), the committed version (int) for
+    MERGE/OPTIMIZE, the deleted file list for VACUUM."""
+    m = _MERGE.match(text)
+    if m:
+        return _run_merge(spark, m)
+    m = _OPTIMIZE.match(text)
+    if m:
+        zo = (
+            (m.group("zx"), m.group("zy"))
+            if m.group("zx") is not None
+            else None
+        )
+        return AcidTable(spark, m.group("path")).optimize(
+            cluster_by=m.group("cluster"), zorder_by=zo
+        )
+    m = _VACUUM.match(text)
+    if m:
+        hours = float(m.group("hours")) if m.group("hours") else 24.0
+        return AcidTable(spark, m.group("path")).vacuum(
+            retention_hours=hours
+        )
+    m = _HISTORY.match(text)
+    if m:
+        hist = AcidTable(spark, m.group("path")).history()
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    e.get("operation", ""),
+                    len(e.get("add", [])),
+                    len(e.get("remove", [])),
+                )
+                for i, e in enumerate(hist)
+            ],
+            "version LONG, operation STRING, n_added LONG, n_removed LONG",
+        )
+    if re.match(r"^\s*(MERGE|OPTIMIZE|VACUUM)\b", text, re.IGNORECASE):
+        # it LOOKED like a management statement but didn't parse —
+        # refuse rather than hand spark.sql a statement it will also
+        # reject with a less actionable error
+        raise ValueError(
+            "acid_sql: unsupported statement form — supported grammar "
+            "is in als_hadoop_spark/sql.py's module docstring: "
+            f"{text.strip()[:120]!r}"
+        )
+    return spark.sql(_register_refs(spark, text))
+
+
+def _run_merge(spark: SparkSession, m: re.Match) -> int:
+    path = m.group("path")
+    talias = m.group("talias") or "t"
+    salias = m.group("salias") or "s"
+    whens = m.group("whens").strip()
+    if not _CANONICAL_WHENS.match(whens):
+        raise ValueError(
+            "acid_sql MERGE: only the canonical upsert is supported — "
+            "'WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN "
+            f"INSERT *'; got: {whens[:120]!r}. Other WHEN forms need "
+            "the AcidTable.merge API (pass your own apply_fn)."
+        )
+    on = _ON.match(m.group("on"))
+    if not on:
+        raise ValueError(
+            "acid_sql MERGE: ON must be a single equality "
+            "'<target>.<col> = <source>.<col>' with the SAME column "
+            f"name on both sides; got: {m.group('on').strip()!r}"
+        )
+    a1, c1, a2, c2 = on.groups()
+    aliases = {a1: c1, a2: c2}
+    if set(aliases) != {talias, salias} or c1 != c2:
+        raise ValueError(
+            "acid_sql MERGE: ON aliases must be the target and source "
+            f"aliases ({talias!r}, {salias!r}) and the key column must "
+            f"match by name; got ON {m.group('on').strip()!r}"
+        )
+    key = c1
+    source = m.group("source")
+    changes = spark.sql(
+        _register_refs(
+            spark,
+            source[1:-1] if source.startswith("(") else f"SELECT * FROM {source}",
+        )
+    )
+
+    def upsert(touched: DataFrame, chg: DataFrame) -> DataFrame:
+        # UPDATE SET * / INSERT *: source rows win wholesale on key
+        return touched.join(
+            chg.select(key).distinct(), key, "anti"
+        ).unionByName(chg)
+
+    return AcidTable(spark, path).merge(changes, key, upsert)

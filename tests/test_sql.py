@@ -55,3 +55,114 @@ def test_read_json_with_schema(spark, tmp_path):
     )
     rows = {r["id"]: (r["meta"]["w"], list(r["meta"]["tags"])) for r in df.collect()}
     assert rows == {1: (10, ["a", "b"]), 2: (20, [])}
+
+
+# ---------------------------------------------------------------- r10:
+# the ACID table-management SQL front door (als_hadoop_spark/sql.py)
+
+
+def _acid_fixture(spark, tmp_path):
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k LONG, name STRING, v DOUBLE",
+        ).coalesce(1)
+    )
+    return p, t
+
+
+def test_acid_sql_time_travel_select(spark, tmp_path):
+    from als_hadoop_spark.sql import acid_sql
+
+    p, t = _acid_fixture(spark, tmp_path)
+    t.append(
+        spark.createDataFrame([(4, "d", 40.0)], "k LONG, name STRING, v DOUBLE")
+    )
+    now = acid_sql(spark, f"SELECT count(*) AS n FROM acid.`{p}`").first()["n"]
+    then = acid_sql(
+        spark, f"SELECT count(*) AS n FROM acid.`{p}` VERSION AS OF 0"
+    ).first()["n"]
+    assert (now, then) == (4, 3)
+    # time travel composes with arbitrary SQL (join of two snapshots)
+    fresh = acid_sql(
+        spark,
+        f"""
+        SELECT cur.k FROM acid.`{p}` cur
+        LEFT ANTI JOIN acid.`{p}` VERSION AS OF 0 old ON cur.k = old.k
+        """,
+    ).collect()
+    assert [r["k"] for r in fresh] == [4]
+
+
+def test_acid_sql_merge_into_upsert(spark, tmp_path):
+    from als_hadoop_spark.sql import acid_sql
+
+    p, t = _acid_fixture(spark, tmp_path)
+    spark.createDataFrame(
+        [(2, "B", 99.0), (5, "e", 50.0)], "k LONG, name STRING, v DOUBLE"
+    ).createOrReplaceTempView("chg")
+    v = acid_sql(
+        spark,
+        f"""MERGE INTO acid.`{p}` AS t USING chg AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""",
+    )
+    assert v == t.latest_version()
+    got = {r["k"]: (r["name"], r["v"]) for r in t.snapshot().collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: ("B", 99.0),
+        3: ("c", 30.0),
+        5: ("e", 50.0),
+    }
+
+
+def test_acid_sql_merge_refuses_noncanonical(spark, tmp_path):
+    import pytest
+
+    from als_hadoop_spark.sql import acid_sql
+
+    p, _ = _acid_fixture(spark, tmp_path)
+    spark.range(1).selectExpr(
+        "id AS k", "'x' AS name", "1.0 AS v"
+    ).createOrReplaceTempView("chg2")
+    with pytest.raises(ValueError, match="canonical upsert"):
+        acid_sql(
+            spark,
+            f"""MERGE INTO acid.`{p}` AS t USING chg2 AS s ON t.k = s.k
+            WHEN MATCHED THEN DELETE""",
+        )
+    with pytest.raises(ValueError, match="unsupported statement"):
+        acid_sql(spark, f"MERGE acid.`{p}` WITH nonsense")
+
+
+def test_acid_sql_optimize_vacuum_history(spark, tmp_path):
+    from als_hadoop_spark.sql import acid_sql
+
+    p, t = _acid_fixture(spark, tmp_path)
+    for i in range(6):  # enough small files to beat optimize's target
+        t.append(
+            spark.createDataFrame(
+                [(10 + i, "x", 1.0)], "k LONG, name STRING, v DOUBLE"
+            )
+        )
+    before = t.snapshot().count()
+    n_files = len(t._replay())
+    v = acid_sql(spark, f"OPTIMIZE acid.`{p}`")
+    assert v == t.latest_version()
+    assert len(t._replay()) < n_files
+    assert t.snapshot().count() == before
+    deleted = acid_sql(spark, f"VACUUM acid.`{p}` RETAIN 0 HOURS")
+    assert deleted  # the compacted-away originals swept
+    hist = acid_sql(spark, f"DESCRIBE HISTORY acid.`{p}`")
+    ops = [r["operation"] for r in hist.orderBy("version").collect()]
+    assert ops[0] == "append" and ops[-1] == "optimize"
+
+
+def test_acid_sql_passthrough_plain_sql(spark, tmp_path):
+    from als_hadoop_spark.sql import acid_sql
+
+    assert acid_sql(spark, "SELECT 1 + 1 AS two").first()["two"] == 2
