@@ -75,6 +75,7 @@ def main(names: list[str]) -> int:
             "spark.checkpoint.dir": "/tmp/spark-standalone/ckpt",
         },
     )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # executors up
     n_exec = spark.sparkContext.defaultParallelism
     master_used = spark.sparkContext.master
     assert master_used.startswith("spark://"), (
