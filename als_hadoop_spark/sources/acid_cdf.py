@@ -391,7 +391,11 @@ def build_acid_cdf_source():
             ]
             unified = pa.unify_schemas(footers, promote_options="permissive")
             fields = [f for f in unified if f.name != "_change_type"]
-            struct = from_arrow_schema(pa.schema(fields))
+            # prefer_timestamp_ntz: same NTZ round-trip contract as the
+            # acid format reader (naive footer time ≠ UTC instant)
+            struct = from_arrow_schema(
+                pa.schema(fields), prefer_timestamp_ntz=True
+            )
             ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in struct.fields
             )

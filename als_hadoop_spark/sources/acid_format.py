@@ -945,7 +945,13 @@ def build_acid_format_source(with_pushdown: bool = True):
                         fields.append(pa.field(name, typ))
                 footers.append(pa.schema(fields))
             unified = pa.unify_schemas(footers, promote_options="permissive")
-            return from_arrow_schema(unified)
+            # prefer_timestamp_ntz: a NAIVE footer timestamp must round-
+            # trip as TIMESTAMP_NTZ — the default maps it to tz-aware
+            # TimestampType, which silently retypes an NTZ table on
+            # read AND poisons later copy-on-write rewrites with
+            # mixed isAdjustedToUTC flags (mergeSchema then refuses
+            # the table — found via the r10 CDC-erosion experiment)
+            return from_arrow_schema(unified, prefer_timestamp_ntz=True)
 
         def reader(self, schema) -> DataSourceReader:
             return AcidReader(self.options, schema)

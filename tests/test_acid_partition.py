@@ -482,3 +482,51 @@ def test_merge_with_null_partition_value(spark, tmp_path):
     assert all(f.split("/")[0].startswith("cat=") for f in live)
     snap = {r["k"]: r["v"] for r in t.snapshot().collect()}
     assert snap[1] == 99.0 and len(snap) == 20
+
+
+def test_ntz_timestamp_roundtrips_and_survives_merges(spark, tmp_path):
+    """r10 regression (found via the CDC-erosion experiment): a
+    TIMESTAMP_NTZ column written through format("acid") must read back
+    as TIMESTAMP_NTZ — the default arrow mapping retyped naive footer
+    timestamps to tz-aware TimestampType, so the change frame of a
+    MERGE carried a different parquet isAdjustedToUTC flag than the
+    table's own files and the SECOND merge's mergeSchema read refused
+    the table."""
+    from pyspark.sql import functions as F
+
+    register_acid_format(spark)
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-06-01 11:30:00")],
+        "k LONG, s STRING",
+    ).select("k", F.to_timestamp_ntz("s").alias("ts"))
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    (
+        df.coalesce(1)
+        .write.format("acid")
+        .mode("overwrite")
+        .option("partitionBy", "k")
+        .save(p)
+    )
+    got = spark.read.format("acid").load(p)
+    assert dict(got.dtypes)["ts"] == "timestamp_ntz"  # faithful type
+    assert {r["ts"] for r in got.collect()} == {
+        r["ts"] for r in df.collect()
+    }  # faithful values (no tz shift)
+    t = AcidTable(spark, p)
+
+    def upsert(touched, chg):
+        return touched.join(chg.select("k"), "k", "anti").unionByName(chg)
+
+    # two merges whose change frames come from the acid READ — the
+    # poisoned-flag scenario: each staged rewrite must keep the flag
+    for i in (3, 4):
+        c = (
+            spark.read.format("acid")
+            .load(p)
+            .limit(1)
+            .withColumn("k", F.lit(i).cast("long"))
+        )
+        t.merge(c, "k", upsert)
+    assert spark.read.format("acid").load(p).count() == 4
+    assert t.snapshot().count() == 4
