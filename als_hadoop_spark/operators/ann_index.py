@@ -83,6 +83,34 @@ def _resolve_root(path: str) -> str:
     return os.path.join(path, gen) if gen else path
 
 
+def _next_generation(path: str) -> str:
+    """Name of the next unused ``gen-N`` directory under ``path``."""
+    import os
+
+    gens = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("gen-") and d[4:].isdigit()
+    ]
+    return f"gen-{(max(int(d[4:]) for d in gens) + 1) if gens else 1:06d}"
+
+
+def _publish_generation(path: str, gen: str) -> None:
+    """Atomically point ``_current`` at ``gen``: tmp + fsync +
+    ``os.replace`` — readers see the old or the new generation whole,
+    never a mix. The pointer's mtime doubles as the SWAP timestamp the
+    cleanup retention guard keys off."""
+    import os
+    import uuid
+
+    tmp = os.path.join(path, f".{CURRENT_PTR}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        f.write(gen)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, CURRENT_PTR))
+
+
 def _assign_udf(centers):
     """Arrow-batched cell assignment: one matmul-argmax per batch
     against the (broadcast-by-closure) K×d center matrix."""
@@ -203,10 +231,20 @@ def build_ivf_index(
 ) -> int:
     """Train the coarse codebook on a bounded sample of ``corpus``
     (``vec_id LONG, embedding ARRAY<FLOAT>``), then OVERWRITE-commit
-    both index tables under ``path`` (generation 0 lives at the path
-    root; rebuilds land in ``gen-N/`` behind the ``_current``
-    pointer). Returns K. The session codebook cache is deliberately
-    bypassed: the TABLE is the persisted artifact now."""
+    both index tables under ``path``. Generation 0 lives at the path
+    root; once a rebuild has published a ``_current`` pointer, a fresh
+    build from a new corpus goes into the NEXT generation and swaps
+    the pointer too — building at the root then would be invisible to
+    every reader (they resolve the pointer) and swept by the next
+    cleanup as "superseded". Returns K. The session codebook cache is
+    deliberately bypassed: the TABLE is the persisted artifact now."""
+    import os
+
+    if os.path.exists(os.path.join(path, CURRENT_PTR)):
+        gen = _next_generation(path)
+        new_k = _build_tables(spark, corpus, os.path.join(path, gen), k, seed)
+        _publish_generation(path, gen)
+        return new_k
     return _build_tables(spark, corpus, path, k, seed)
 
 
@@ -242,21 +280,26 @@ def index_drift(
             "index to record the build-time baseline"
         )
     cells = spark.read.format("acid").load(os.path.join(root, CELLS_DIR))
-    cur = {
-        r["cell"]: (r["n"], r["mean_sim"])
-        for r in _cell_stats(cells, cb.select("cell", "center")).collect()
-    }
     base = {
         r["cell"]: (r["build_n"], r["build_mean_sim"])
         for r in cb.select("cell", "build_n", "build_mean_sim").collect()
     }
+    # materialize EVERY codebook cell in the current side too (empty
+    # cells → 0): the groupBy only returns non-empty cells, and a
+    # smaller denominator on one arm understates imbalance_ratio
+    # exactly when cells are empty
+    cur = {cell: (0, None) for cell in base}
+    cur.update(
+        (r["cell"], (r["n"], r["mean_sim"]))
+        for r in _cell_stats(cells, cb.select("cell", "center")).collect()
+    )
 
     def _summary(d: dict) -> tuple[int, float, float]:
         counts = [n for n, _ in d.values() if n]
         total = sum(counts)
         if not total:
             return 0, 1.0, 0.0
-        imb = max(counts) / (total / len(d))  # mean over ALL cells
+        imb = max(counts) / (total / len(d))  # mean over ALL K cells
         wsim = (
             sum(n * s for n, s in d.values() if n and s is not None) / total
         )
@@ -296,7 +339,6 @@ def rebuild_ivf_index(
     give); old generations remain on disk for those readers until a
     manual cleanup. Returns the new K."""
     import os
-    import uuid
 
     from ..sources.acid_format import register_acid_format
 
@@ -307,26 +349,18 @@ def rebuild_ivf_index(
         .load(os.path.join(root, CELLS_DIR))
         .select("vec_id", "embedding")
     )
-    gens = [
-        d
-        for d in os.listdir(path)
-        if d.startswith("gen-") and d[4:].isdigit()
-    ]
-    nxt = f"gen-{(max(int(d[4:]) for d in gens) + 1) if gens else 1:06d}"
+    nxt = _next_generation(path)
     new_k = _build_tables(spark, corpus, os.path.join(path, nxt), k, seed)
-    tmp = os.path.join(path, f".{CURRENT_PTR}.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w") as f:
-        f.write(nxt)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, CURRENT_PTR))
+    _publish_generation(path, nxt)
     return new_k
 
 
-def read_codebook(spark: SparkSession, path: str):
-    """K×d center matrix from the codebook table — a BOUNDED driver
-    read (K ≤ 256 rows), the same size every IVF variant already
-    ships to executors as a closure."""
+def _read_codebook_at(spark: SparkSession, root: str):
+    """Center matrix from an ALREADY-RESOLVED generation root — the
+    form every multi-read operation uses so the ``_current`` pointer
+    is resolved exactly ONCE per operation (resolving per read races a
+    concurrent rebuild swap into a codebook/cells generation mix — the
+    exact inconsistency the pointer exists to prevent)."""
     import os
 
     import numpy as np
@@ -336,11 +370,18 @@ def read_codebook(spark: SparkSession, path: str):
     register_acid_format(spark)
     rows = (
         spark.read.format("acid")
-        .load(os.path.join(_resolve_root(path), CODEBOOK_DIR))
+        .load(os.path.join(root, CODEBOOK_DIR))
         .orderBy("cell")
         .collect()
     )
     return np.stack([np.asarray(r["center"], dtype="float64") for r in rows])
+
+
+def read_codebook(spark: SparkSession, path: str):
+    """K×d center matrix from the CURRENT generation's codebook — a
+    BOUNDED driver read (K ≤ 256 rows), the same size every IVF
+    variant already ships to executors as a closure."""
+    return _read_codebook_at(spark, _resolve_root(path))
 
 
 def ingest_vectors(
@@ -357,7 +398,8 @@ def ingest_vectors(
     recipe)."""
     import os
 
-    centers = read_codebook(spark, path)
+    root = _resolve_root(path)  # ONE resolve: centers and cells must
+    centers = _read_codebook_at(spark, root)  # be the same generation
     w = (
         _assigned_frame(new_vectors, centers)
         .write.format("acid")
@@ -366,7 +408,7 @@ def ingest_vectors(
     )
     if txn_app is not None and txn_version is not None:
         w = w.option("txnAppId", txn_app).option("txnVersion", txn_version)
-    w.save(os.path.join(_resolve_root(path), CELLS_DIR))
+    w.save(os.path.join(root, CELLS_DIR))
 
 
 def stream_ingest(
@@ -383,14 +425,15 @@ def stream_ingest(
     started StreamingQuery — callers own its lifecycle."""
     import os
 
-    centers = read_codebook(spark, path)
+    root = _resolve_root(path)  # one resolve (see _read_codebook_at)
+    centers = _read_codebook_at(spark, root)
     assigned = _assigned_frame(stream, centers)
     return (
         assigned.writeStream.format("acid")
         .option("checkpointLocation", checkpoint)
         .option("txnAppId", txn_app)
         .option("partitionBy", "cell")
-        .option("path", os.path.join(_resolve_root(path), CELLS_DIR))
+        .option("path", os.path.join(root, CELLS_DIR))
         .trigger(availableNow=True)
         .start()
     )
@@ -414,6 +457,16 @@ def cleanup_index_generations(
 
     root = _resolve_root(path)
     horizon = time.time() - retention_hours * 3600.0
+    # retention must run from SUPERSESSION, not build time: an old-but-
+    # just-superseded generation still has readers that resolved the
+    # pointer a moment before the swap. The pointer's mtime IS the last
+    # swap; until that is older than the window, nothing is deletable.
+    try:
+        swap_ts = os.path.getmtime(os.path.join(path, CURRENT_PTR))
+    except OSError:
+        return []  # no pointer: nothing is superseded
+    if swap_ts > horizon:
+        return []
     victims = []
     gens = [
         d
@@ -467,7 +520,8 @@ def serve_topk(
 
     import numpy as np
 
-    centers = read_codebook(spark, path)
+    root = _resolve_root(path)  # one resolve (see _read_codebook_at)
+    centers = _read_codebook_at(spark, root)
     k = len(centers)
     if nprobe is None:
         nprobe = max(1, k // 2)
@@ -484,7 +538,7 @@ def serve_topk(
     cells_needed = sorted({c for _, c, _ in probes})
     corpus = (
         spark.read.format("acid")
-        .load(os.path.join(_resolve_root(path), CELLS_DIR))
+        .load(os.path.join(root, CELLS_DIR))
         .filter(F.col("cell").isin(cells_needed))  # partition elimination
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -993,7 +993,9 @@ class AcidTable:
             # O(files overlapping [min, max]) — which for random keys
             # is the whole table. Bounded collect (<= 64 keys); larger
             # sets fall back to the stats-range candidates unchanged.
-            if len(candidates) > 1:
+            if len(candidates) > 1 and any(
+                state["live"][f].get("bloom") for f in candidates
+            ):
                 ks = [
                     r[0]
                     for r in changes.select(key).distinct().limit(65).collect()
@@ -1082,7 +1084,13 @@ class AcidTable:
         ]
         if not touched:
             return base
-        kept = self._assemble(state, files=touched).filter(~predicate)
+        # NOT(pred) is NULL for NULL-evaluating rows and filter drops
+        # them — rows the predicate never MATCHED would silently vanish
+        # from the rewrite. SQL DELETE semantics: remove only rows where
+        # the predicate is TRUE; NULL-evaluating rows are kept.
+        kept = self._assemble(state, files=touched).filter(
+            ~F.coalesce(predicate, F.lit(False))
+        )
         # layout-preserving rewrite, same rationale as merge: surviving
         # rows of a partitioned file land back in their col=value/ dir
         adds = self._stage_files_layout_aware(

@@ -101,9 +101,23 @@ def _register_refs(spark: SparkSession, text: str) -> str:
         v = m.group("version")
         if v is not None:
             reader = reader.option("version", int(v))
-        name = "acid_ref_" + re.sub(
-            r"\W", "_", f"{m.group('path')}_v{v if v else 'head'}"
-        ).strip("_")
+        # the readable squashed form PLUS a digest of the exact
+        # (path, version): two paths that normalize identically (e.g.
+        # /data/t.new vs /data/t_new) must not collide into one view —
+        # the second registration would silently hijack the first
+        import hashlib
+
+        digest = hashlib.blake2b(
+            f"{m.group('path')}\x00{v}".encode(), digest_size=6
+        ).hexdigest()
+        name = (
+            "acid_ref_"
+            + re.sub(
+                r"\W", "_", f"{m.group('path')}_v{v if v else 'head'}"
+            ).strip("_")
+            + "_"
+            + digest
+        )
         reader.load(m.group("path")).createOrReplaceTempView(name)
         return name
 
@@ -137,15 +151,18 @@ def acid_sql(spark: SparkSession, text: str):
     m = _HISTORY.match(text)
     if m:
         hist = AcidTable(spark, m.group("path")).history()
+        # each log entry carries its TRUE version — enumerate() would
+        # misnumber the retained suffix after cleanup_log removed the
+        # prefix, sending a later VERSION AS OF to the wrong snapshot
         return spark.createDataFrame(
             [
                 (
-                    i,
+                    int(e["version"]),
                     e.get("operation", ""),
                     len(e.get("add", [])),
                     len(e.get("remove", [])),
                 )
-                for i, e in enumerate(hist)
+                for e in hist
             ],
             "version LONG, operation STRING, n_added LONG, n_removed LONG",
         )

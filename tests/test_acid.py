@@ -1192,3 +1192,18 @@ def test_maintain_rollup_avg_through_commits(spark, tmp_path):
     assert rollup_state() == recompute()
     assert rollup_state()["g1"][0] == 10.0
     assert rollup_state()["g2"][0] == 25.0  # (5 + 45) / 2
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics (r10 review): rows where the predicate
+    evaluates to NULL are neither deleted nor lost in the rewrite —
+    filter(~pred) alone would silently drop them from the table."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, 7.0)], "k LONG, v DOUBLE"
+        ).coalesce(1)
+    )
+    t.delete(F.col("v") == 5.0)
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got == {2: None, 3: 7.0}  # NULL row SURVIVES the rewrite

@@ -301,3 +301,51 @@ def test_cleanup_index_generations(spark, tmp_path):
     assert ann_index.serve_topk(spark, path, qdf).count() == 2 * 5
     # drift stats still readable from the surviving generation
     assert not ann_index.index_drift(spark, path)["drifted"]
+
+
+def test_fresh_build_after_rebuild_is_visible(spark, tmp_path):
+    """r10 review: once a rebuild published the pointer, a NEW
+    build_ivf_index from an external corpus must land in the next
+    generation and swap the pointer — building at the root would be
+    invisible to every reader and swept as 'superseded'."""
+    rows = _corpus_rows(120)
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(spark, _corpus_df(spark, rows), path, k=4)
+    ann_index.rebuild_ivf_index(spark, path, k=4)
+    fresh = _corpus_rows(80, seed=77, start_id=9_000)
+    ann_index.build_ivf_index(spark, _corpus_df(spark, fresh), path, k=4)
+    root = ann_index._resolve_root(path)
+    assert root.endswith("gen-000002")  # new build = new generation
+    # readers see EXACTLY the fresh corpus
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    cells = AcidTable(spark, os.path.join(root, ann_index.CELLS_DIR))
+    ids = {r["vec_id"] for r in cells.snapshot().select("vec_id").collect()}
+    assert ids == {r[0] for r in fresh}
+    qdf = _corpus_df(spark, fresh[:2]).withColumnRenamed("vec_id", "query_id")
+    assert ann_index.serve_topk(spark, path, qdf).count() == 2 * 5
+
+
+def test_cleanup_waits_for_swap_retention(spark, tmp_path):
+    """r10 review: retention runs from SUPERSESSION (the pointer swap),
+    not build time — an old generation superseded a moment ago still
+    has readers and must survive a non-zero retention window."""
+    import time
+
+    rows = _corpus_rows(80)
+    path = str(tmp_path / "idx")
+    ann_index.build_ivf_index(spark, _corpus_df(spark, rows), path, k=4)
+    ann_index.rebuild_ivf_index(spark, path, k=4)
+    # age every FILE far past the window, but the swap just happened
+    for r, _d, names in os.walk(path):
+        for n in names:
+            if n != ann_index.CURRENT_PTR:
+                os.utime(os.path.join(r, n), (1, 1))
+    assert ann_index.cleanup_index_generations(path, retention_hours=1) == []
+    # age the swap too: now the superseded root tables are deletable
+    os.utime(os.path.join(path, ann_index.CURRENT_PTR), (1, 1))
+    deleted = ann_index.cleanup_index_generations(path, retention_hours=1)
+    assert {os.path.basename(d) for d in deleted} == {
+        ann_index.CODEBOOK_DIR,
+        ann_index.CELLS_DIR,
+    }

@@ -166,3 +166,50 @@ def test_acid_sql_passthrough_plain_sql(spark, tmp_path):
     from als_hadoop_spark.sql import acid_sql
 
     assert acid_sql(spark, "SELECT 1 + 1 AS two").first()["two"] == 2
+
+
+def test_acid_sql_distinct_paths_do_not_collide(spark, tmp_path):
+    """r10 review: two table paths that squash to the same view name
+    (dot vs underscore) must register DISTINCT views — a collision
+    silently self-joins one table."""
+    from als_hadoop_spark.sources.acid import AcidTable
+    from als_hadoop_spark.sql import acid_sql
+
+    p1 = str(tmp_path / "t.new")
+    p2 = str(tmp_path / "t_new")
+    AcidTable(spark, p1).append(
+        spark.createDataFrame([(1, "dot")], "k LONG, which STRING")
+    )
+    AcidTable(spark, p2).append(
+        spark.createDataFrame([(1, "underscore")], "k LONG, which STRING")
+    )
+    got = acid_sql(
+        spark,
+        f"""
+        SELECT a.which AS wa, b.which AS wb
+        FROM acid.`{p1}` a JOIN acid.`{p2}` b ON a.k = b.k
+        """,
+    ).first()
+    assert (got["wa"], got["wb"]) == ("dot", "underscore")
+
+
+def test_acid_sql_history_reports_true_versions(spark, tmp_path):
+    """r10 review: DESCRIBE HISTORY must report each commit's REAL
+    version even after cleanup_log removed the prefix — enumerate()
+    would renumber the retained suffix from zero."""
+    from als_hadoop_spark.sources.acid import AcidTable
+    from als_hadoop_spark.sql import acid_sql
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    for i in range(11):  # versions 0..10 — checkpoint fires at v10
+        t.append(spark.createDataFrame([(i,)], "k LONG"))
+    assert t.cleanup_log()  # prefix below the checkpoint removed
+    versions = [
+        r["version"]
+        for r in acid_sql(spark, f"DESCRIBE HISTORY acid.`{p}`")
+        .orderBy("version")
+        .collect()
+    ]
+    assert versions and versions[0] > 0  # true suffix, not renumbered
+    assert versions[-1] == t.latest_version()
