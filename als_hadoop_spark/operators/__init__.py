@@ -64,6 +64,9 @@ _MODULES = (
 # streaming trio...), several re-planned since.  Pure ordering — the
 # dict contents are unchanged.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
+    # NEW this round (r10) — never driver-sampled
+    "q_sql_surface",              # r10: SQL front door MERGE + time travel
+    "q_sessionize",               # r10: batch gap sessionization
     # changed this round (r10) — need a driver run on the new form
     "q_acid_merge",               # r10: layout-preserving merge staging
     "q_acid_format_partitioned",  # r10: merge/delete keep elimination

@@ -822,10 +822,72 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: inactivity gap that closes a session, in exact integer microseconds
+#: (6 h — the fixture's mean inter-event gap is ~10 h per user, so the
+#: threshold yields a real mix of single- and multi-event sessions at
+#: every SF instead of degenerating to all-singletons or one-session)
+SESSION_GAP_US = 6 * 3600 * 1_000_000
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap-based session assignment every
+    clickstream pipeline runs before funnel/retention work (the BATCH
+    twin of streaming's ``session_window``, which only sees one
+    watermark pass): a new session starts where the inactivity gap
+    exceeds SESSION_GAP_US, the session id is the running count of
+    such starts, then a per-session rollup and a bounded census by
+    session length. The reference has no sequence operators at all;
+    this is north-star surface like the rest of this module.
+
+    Scale shape: ONE exchange on user_id — the lag() gap flag and the
+    running-sum session id share the same (user_id, ts, event_id)
+    window, so Catalyst plans a single sort under a single exchange,
+    and both follow-up aggregates are map-side-partial hash aggs (the
+    per-session rollup re-uses the user_id clustering; the census is
+    bounded by the longest session). No per-user array materializes
+    anywhere — a power user costs sort time, not memory (the
+    collect_list alternative OOMs exactly there). Exact integer
+    microseconds end-to-end → byte-stable oracle hash."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1)
+        .otherwise(0)
+        .alias("_new"),
+    ).select(
+        "user_id",
+        "ts",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "dur_us"
+        ),
+    )
+    return (
+        per.groupBy(F.col("n_ev").alias("session_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("dur_us").alias("sum_duration_us"),
+        )
+        .orderBy("session_events")
+    )
+
+
 QUERIES = {
     "q_graph_pagerank": q_graph_pagerank,
     "q_graph_triangles": q_graph_triangles,
     "q_funnel_latency": q_funnel_latency,
+    "q_sessionize": q_sessionize,
     "q_equifreq_bins": q_equifreq_bins,
     "q_event_transitions": q_event_transitions,
     "q_order_revenue_topn": q_order_revenue_topn,
@@ -844,6 +906,33 @@ QUERIES = {
 
 ORACLES = {
     "q_graph_pagerank": _pagerank_oracle(),
+    # identical window arithmetic: the lag-gap flag and the running sum
+    # are exact integer microseconds in both engines
+    "q_sessionize": f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        ), per AS (
+            SELECT user_id, sid, COUNT(*) AS n_ev,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT n_ev AS session_events,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(dur_us) AS BIGINT) AS sum_duration_us
+        FROM per GROUP BY n_ev ORDER BY session_events
+    """,
     "q_funnel_latency": """
         WITH fv AS (
             SELECT user_id, MIN(ts) AS t_view

@@ -1056,10 +1056,89 @@ def q_acid_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_sql_surface key cap — covers the whole sf0.01 order domain
+#: (0–14,999) and binds on sf0.1+/scaled data, keeping the query a
+#: SURFACE proof (parse → route → transact → time-travel read) rather
+#: than a bulk-write benchmark (same discipline as ACID_FMT_WRITE_CAP).
+SQL_SURFACE_KEY_CAP = 20_000
+
+
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 SQL front door (als_hadoop_spark/sql.py) exercised
+    END-TO-END under the oracle hash: the table is seeded through
+    ``write.format("acid")``, upserted with the SQL text a Delta user
+    writes — ``MERGE INTO acid.`path` ... WHEN MATCHED THEN UPDATE SET
+    * WHEN NOT MATCHED THEN INSERT *`` — and the returned frame is a
+    SELECT that joins the CURRENT snapshot against ``VERSION AS OF 0``
+    of the same table (both references rewritten to snapshot views
+    inside one statement): per-priority row counts before/after and
+    the exact cents delta the MERGE introduced. The DuckDB twin
+    recomputes the same census relationally, so the hash proves the
+    parse → AcidTable routing → transactional commit → time-travel
+    read pipeline end-to-end, not just each piece's pytest.
+
+    Scale shape: the MERGE is the engine's file-granular copy-on-write
+    (only files holding change keys rewrite — bloom/stats-pruned
+    candidates); the final census joins two snapshot reads of the SAME
+    key-bounded table on their clustering key and aggregates to five
+    rows. Integer cents end-to-end → byte-stable hash."""
+    from ..sources.acid_format import register_acid_format
+    from ..sql import acid_sql
+
+    register_acid_format(spark)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= SQL_SURFACE_KEY_CAP)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    path = _acid_scratch(spark, sf_dir, "sqlsurface")
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .coalesce(4)
+        .write.format("acid")
+        .mode("overwrite")
+        .save(path)
+    )
+    chg = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) | (F.col("o_orderkey") % 10 == 0)
+    ).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("cents") * 2
+        ).otherwise(F.col("cents")),
+    )
+    chg.createOrReplaceTempView("_sql_surface_changes")
+    acid_sql(
+        spark,
+        f"MERGE INTO acid.`{path}` AS t USING _sql_surface_changes AS s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    return acid_sql(
+        spark,
+        f"""
+        SELECT cur.priority AS priority,
+               COUNT(*) AS n_current,
+               COUNT(v0.o_orderkey) AS n_v0,
+               SUM(cur.cents) - COALESCE(SUM(v0.cents), 0) AS delta_cents
+        FROM acid.`{path}` cur
+        LEFT JOIN acid.`{path}` VERSION AS OF 0 v0
+          ON cur.o_orderkey = v0.o_orderkey
+        GROUP BY cur.priority
+        ORDER BY priority
+        """,
+    )
+
+
 QUERIES = {
     "q_acid_format": q_acid_format,
     "q_acid_format_partitioned": q_acid_format_partitioned,
     "q_acid_merge": q_acid_merge,
+    "q_sql_surface": q_sql_surface,
     "q_acid_cdf": q_acid_cdf,
     "q_acid_incremental": q_acid_incremental,
     "q_acid_ivm_loop": q_acid_ivm_loop,
@@ -1210,6 +1289,30 @@ ORACLES = {
         FROM snap s FULL OUTER JOIN chg c ON s.user_id = c.user_id
         WHERE c.op IS NULL OR c.op = 'U'
         ORDER BY user_id
+    """,
+    # q_sql_surface: the post-MERGE state derived relationally — even
+    # keys seed v0, odd keys insert, keys %10==0 double their cents;
+    # the census must equal what the SQL front door's time-travel join
+    # returns over the transactional table
+    "q_sql_surface": f"""
+        WITH o AS (
+            SELECT o_orderkey AS k, o_orderpriority AS priority,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey <= {SQL_SURFACE_KEY_CAP}
+        ), cur AS (
+            SELECT k, priority,
+                   CASE WHEN k % 10 = 0 THEN cents * 2 ELSE cents END AS cents
+            FROM o
+        ), v0 AS (
+            SELECT k, cents FROM o WHERE k % 2 = 0
+        )
+        SELECT cur.priority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_current,
+               CAST(COUNT(v0.k) AS BIGINT) AS n_v0,
+               CAST(SUM(cur.cents) - COALESCE(SUM(v0.cents), 0) AS BIGINT)
+                   AS delta_cents
+        FROM cur LEFT JOIN v0 ON cur.k = v0.k
+        GROUP BY cur.priority ORDER BY priority
     """,
     # the CDC sidecar contents derived relationally: update pairs only
     # where the merged row actually differs, inserts for new keys,

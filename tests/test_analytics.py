@@ -570,3 +570,54 @@ def test_column_profile_fast_error_bound_and_plan(spark, sf_dir):
     # data-row shuffle per column like the exact twin's extra passes
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange\b", final, re.M))
     assert n_exchanges <= 2, final
+
+
+def test_sessionize_gap_boundary_and_census(spark, tmp_path):
+    """A gap of EXACTLY SESSION_GAP_US stays in-session (the split is
+    strictly-greater); one microsecond more starts a new session; the
+    census aggregates sessions by length with exact-µs durations."""
+    from als_hadoop_spark.operators.analytics import SESSION_GAP_US, q_sessionize
+
+    base = 1_700_000_000_000_000  # µs epoch, away from any DST edge
+    gap = SESSION_GAP_US
+    rows = [
+        # user 7: consecutive gaps == threshold → ONE session of 3
+        (1, base, 7), (2, base + gap, 7), (3, base + 2 * gap, 7),
+        # user 8: gap == threshold + 1 µs → TWO singleton sessions
+        (4, base, 8), (5, base + gap + 1, 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, us LONG, user_id LONG"
+    ).select(
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["session_events"]: (r["n_sessions"], r["sum_duration_us"])
+        for r in q_sessionize(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (2, 0), 3: (1, 2 * gap)}
+
+
+def test_sessionize_single_exchange_for_both_windows(spark, sf_dir):
+    """The lag-gap flag and the running-sum session id share ONE
+    (user_id, ts, event_id) sort under ONE user_id exchange, and the
+    per-session rollup reuses that clustering (user_id ⊆ (user_id,
+    sid) satisfies the aggregate's distribution) — only the bounded
+    census and the final 5-row order add exchanges."""
+    import re
+
+    from als_hadoop_spark.operators.analytics import q_sessionize
+
+    plan = explain_str(q_sessionize(spark, sf_dir))
+    final = plan.split("Initial Plan")[0]
+    # both window functions planned into ≤2 Window nodes over one sort
+    assert len(re.findall(r"^\(\d+\) Window\b", final, re.M)) <= 2, final
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange\b", final, re.M))
+    # user_id exchange + census hash + final rangepartitioning
+    assert n_exchanges <= 3, final
+    assert len(re.findall(r"^\(\d+\) Sort\b", final, re.M)) <= 2, final

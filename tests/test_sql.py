@@ -213,3 +213,40 @@ def test_acid_sql_history_reports_true_versions(spark, tmp_path):
     ]
     assert versions and versions[0] > 0  # true suffix, not renumbered
     assert versions[-1] == t.latest_version()
+
+
+def test_sql_surface_census_matches_direct_recompute(spark, sf_dir):
+    """q_sql_surface end-to-end at sf0.001 (the driver oracles it at
+    sf0.01): the front-door MERGE + time-travel join census must equal
+    a direct recompute from the raw parquet — total rows, v0 matches,
+    and the exact cents delta the doubling introduced."""
+    from pyspark.sql import functions as F
+
+    from als_hadoop_spark.operators.timeseries import (
+        SQL_SURFACE_KEY_CAP,
+        q_sql_surface,
+    )
+
+    got = q_sql_surface(spark, sf_dir).collect()
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= SQL_SURFACE_KEY_CAP)
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    n_all, n_even, extra = o.agg(
+        F.count(F.lit(1)),
+        F.sum((F.col("o_orderkey") % 2 == 0).cast("long")),
+        # delta = doubled evens' cents + inserted odds' cents
+        F.sum(
+            F.when(F.col("o_orderkey") % 10 == 0, F.col("cents"))
+            .when(F.col("o_orderkey") % 2 == 1, F.col("cents"))
+            .otherwise(F.lit(0))
+        ),
+    ).first()
+    assert sum(r["n_current"] for r in got) == n_all
+    assert sum(r["n_v0"] for r in got) == n_even
+    assert sum(r["delta_cents"] for r in got) == extra
+    assert [r["priority"] for r in got] == sorted(r["priority"] for r in got)
