@@ -260,18 +260,22 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: token adjacency is INTRA-ROW, so bigram pairs come
     from a per-document arrays_zip(t, slice(t, 2, ..)) — no window, no
-    doc-keyed sort shuffle anywhere; the one exploded (tok, next)
-    frame feeds both count aggregates (map-side partials, shuffles
-    bounded by vocabulary, not corpus — the split+explode re-runs per
-    consumer, deliberately: it pipelines into the partial aggregate
-    and is cheaper than materializing the token stream); the N totals
-    are sums OVER the (pinned, vocabulary-sized) aggregates — never a
-    second corpus scan — arriving via broadcast one-row cross joins;
-    the two count
-    joins key on single tokens — vocabulary-sized build sides that
-    Catalyst broadcasts below threshold and AQE handles above; top-20
-    is TakeOrderedAndProject. Everything integer-count based + one ln
-    → bit-deterministic across engines."""
+    doc-keyed sort shuffle anywhere — and the corpus is exploded
+    EXACTLY ONCE (r10): unigram counts are derived, not re-counted —
+    every token occurrence is followed by either a successor token or
+    the document end, so c(tok) = Σ n_pair over bigrams led by tok
+    (a vocabulary-sized aggregate) + the count of documents ENDING in
+    tok (substring_index, no split and no explode). The r9 shape
+    re-ran the split+explode for a second corpus-wide unigram
+    aggregate; at ×100 the derivation measures 5.2 s vs 31.5 s and
+    flips the DuckDB ratio to 0.65× (BASELINE.md round-10),
+    byte-identical output. The N totals are sums OVER the pinned
+    vocabulary-sized aggregates — never a second corpus scan —
+    arriving via broadcast one-row cross joins; the two count joins
+    key on single tokens — vocabulary-sized build sides that Catalyst
+    broadcasts below threshold and AQE handles above; top-20 is
+    TakeOrderedAndProject. Everything integer-count based + one ln →
+    bit-deterministic across engines."""
     return pmi_bigrams(load(spark, sf_dir, "documents", spread=True))
 
 
@@ -288,8 +292,6 @@ def pmi_bigrams(docs: DataFrame) -> DataFrame:
             )
         ).alias("p")
     ).select("p.tok_a", "p.tok_b")
-    uni = adj.groupBy(F.col("tok_a").alias("tok")).agg(F.count("*").alias("c_tok"))
-    n_uni = uni.agg(F.sum("c_tok").alias("n_uni"))
     bg_all = (
         adj.filter(F.col("tok_b").isNotNull())
         .groupBy("tok_a", "tok_b")
@@ -297,6 +299,31 @@ def pmi_bigrams(docs: DataFrame) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     bg = bg_all
+    # unigram counts DERIVED from the bigram aggregate (vocabulary-
+    # sized input) + doc-final tokens (no second corpus explode):
+    # every occurrence leads a bigram or ends a document, exclusively
+    lead = bg_all.groupBy(F.col("tok_a").alias("tok")).agg(
+        F.sum("n_pair").alias("c_lead")
+    )
+    # substring_index, not element_at(split(...), -1): the latter
+    # builds the whole token array a second time just to take its
+    # tail (measured 2× the whole query at ×100, BASELINE.md r10)
+    lasts = (
+        docs.select(F.substring_index("text", " ", -1).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_last"))
+    )
+    uni = (
+        lead.join(lasts, "tok", "full_outer")
+        .select(
+            "tok",
+            (
+                F.coalesce("c_lead", F.lit(0)) + F.coalesce("c_last", F.lit(0))
+            ).alias("c_tok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_uni = uni.agg(F.sum("c_tok").alias("n_uni"))
     n_bg = bg_all.agg(F.sum("n_pair").alias("n_bg"))
     pmi = F.round(
         F.log(

@@ -57,6 +57,10 @@ DEFAULT_QUERIES = [
     "q_column_profile_fast",
     "q_fuzzy_join",
     "q_sim_search_ivf_indexed",
+    # r10 session-2 additions: the SQL front door's MERGE/time-travel
+    # routing and the two-window sessionizer, through real executors
+    "q_sql_surface",
+    "q_sessionize",
 ]
 
 
