@@ -22,8 +22,9 @@ sbin helpers)::
 
 Then::
 
-    python scripts/smoke_standalone.py            # 10 heaviest queries
+    python scripts/smoke_standalone.py            # heaviest queries
     python scripts/smoke_standalone.py q_filter   # explicit list
+    python scripts/smoke_standalone.py all        # FULL surface
 
 Prints one JSON line per query and a summary line; non-zero exit on
 any failure. Executors need this repo on PYTHONPATH
@@ -87,7 +88,10 @@ def main(names: list[str]) -> int:
         "workers first (docstring)"
     )
     qs = entry_mod.queries()
-    names = names or DEFAULT_QUERIES
+    # `all` = the full registered surface (driver priority order) —
+    # the honest version of the smoke: every query through real
+    # executor processes, not just the heavy ten
+    names = list(qs) if names == ["all"] else (names or DEFAULT_QUERIES)
     results, failed = {}, []
     for name in names:
         t0 = time.time()
