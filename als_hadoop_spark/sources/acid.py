@@ -306,7 +306,12 @@ def _rel_file(table_root: str, uri: str) -> str:
     p = uri
     if "://" in p or p.startswith("file:"):
         p = unquote(urlparse(p).path)
-    return os.path.relpath(p, table_root)
+    rel = os.path.relpath(p, table_root)
+    if rel.startswith(".."):
+        # a shared file referenced by a shallow CLONE lives outside
+        # this table's root; the log keys it by ABSOLUTE path
+        return os.path.abspath(p)
+    return rel
 
 
 def _part_segment(col: str, v) -> str:
@@ -1229,6 +1234,146 @@ class AcidTable:
         ):
             raise CommitConflict("table changed during optimize")
         return base + 1
+
+    # ------------------------------------- restore / clone (zero-copy)
+
+    def restore(self, to_version: int, max_retries: int = 10) -> int:
+        """RESTORE TO VERSION AS OF — roll the LIVE FILE SET back to
+        ``to_version`` as a NEW commit, no byte rewritten (the Delta
+        RESTORE recipe, public semantics): files live then-and-now
+        keep their ORIGINAL actions untouched (no CDC churn, no epoch
+        change), files removed since are re-added BY REFERENCE with
+        their original stats/partition/bloom metadata, files added
+        since are removed. History is retained — every intermediate
+        version still time-travels; the rollback is itself a commit
+        you can restore away from.
+
+        Refusals, all loud: (1) ``to_version`` below the checkpoint
+        horizon — the prefix is gone (same contract as time travel);
+        (2) a re-added file was VACUUMED — the reference would dangle;
+        (3) a schema op was committed AFTER a re-added file's original
+        version — replay assigns re-added actions ``added = <restore
+        commit>``, which would re-epoch the file past the rename/drop
+        and misread its physical columns; materialize with
+        ``overwrite(snapshot(to_version))`` instead. Constraints are
+        NOT re-checked: they gate writes, and restore moves
+        references to rows that were validated when written."""
+        for _ in range(max_retries):
+            base = self.latest_version()
+            target = self._state(to_version)  # raises below the horizon
+            head = self._state(base)
+            re_adds = []
+            for p, act in sorted(target["live"].items()):
+                cur = head["live"].get(p)
+                if cur is not None and cur.get("added") == act.get("added"):
+                    continue  # untouched — the original action stays
+                for op in head["schema_ops"]:
+                    if op["v"] > act["added"]:
+                        raise ValueError(
+                            f"{self.path}: cannot restore to version "
+                            f"{to_version}: {p!r} predates the "
+                            f"{op['op']!r} schema op at version "
+                            f"{op['v']} — re-adding it would re-epoch "
+                            "its physical columns; materialize via "
+                            "overwrite(snapshot(to_version)) instead"
+                        )
+                if not os.path.exists(os.path.join(self.path, p)):
+                    raise ValueError(
+                        f"{self.path}: cannot restore to version "
+                        f"{to_version}: {p!r} was vacuumed"
+                    )
+                a = {"path": p, "stats": act.get("stats") or {}}
+                if act.get("partition"):
+                    a["partition"] = act["partition"]
+                if act.get("bloom"):
+                    a["bloom"] = act["bloom"]
+                re_adds.append(a)
+            removes = sorted(p for p in head["live"] if p not in target["live"])
+            if not re_adds and not removes:
+                return base  # already at the target's live set
+            if self._try_commit(
+                base + 1,
+                {
+                    "operation": "restore",
+                    "restore_to": to_version,
+                    "add": re_adds,
+                    "remove": removes,
+                },
+            ):
+                return base + 1
+        raise CommitConflict(f"restore lost {max_retries} commit races")
+
+    def clone(self, dest_path: str, version: int | None = None) -> "AcidTable":
+        """SHALLOW CLONE — a zero-copy table branch (the Delta/Iceberg
+        recipe, public semantics): a NEW table whose log references
+        the source's live files at ``version`` by ABSOLUTE path; no
+        data is copied. Both read paths resolve absolute action paths
+        as-is (``os.path.join`` drops the root when the member is
+        absolute), and everything the clone WRITES lands in its own
+        root: copy-on-write (merge/delete/optimize) re-stages into the
+        clone and merely de-references the shared file, and vacuum
+        walks only the clone's root — the source is physically
+        untouchable from its clones. Schema ops replay in epoch order
+        (pre-rename files group exactly as in the source) and CHECK
+        constraints carry over; txn watermarks deliberately do NOT (a
+        clone is a fresh pipeline identity). The clone is fully
+        writable immediately — the dev/test branch workflow.
+
+        Caveat (identical to Delta's documented shallow-clone
+        contract): VACUUM on the SOURCE only knows the source's log,
+        so it can sweep files a clone still references — clones of a
+        table whose retention may lapse should be materialized
+        (``overwrite(clone.snapshot())``) or re-cloned."""
+        src_v = self.latest_version() if version is None else version
+        state = self._state(src_v)
+        dest = AcidTable(self.spark, dest_path)
+        if dest._versions():
+            raise ValueError(f"{dest_path}: clone target is not empty")
+        ops = state["schema_ops"]
+        k = len(ops)
+        groups: dict[int, list[dict]] = {}
+        for p, act in sorted(state["live"].items()):
+            a = {
+                "path": p if os.path.isabs(p) else os.path.join(self.path, p),
+                "stats": act.get("stats") or {},
+            }
+            if act.get("partition"):
+                a["partition"] = act["partition"]
+            if act.get("bloom"):
+                a["bloom"] = act["bloom"]
+            n_after = sum(1 for op in ops if op["v"] > act["added"])
+            groups.setdefault(n_after, []).append(a)
+        provenance = {"source": self.path, "source_version": src_v}
+        v = 0
+        # files needing the last j ops applied commit BEFORE those j op
+        # entries — the clone reproduces the source's epoch grouping
+        for i in range(k + 1):
+            adds = groups.get(k - i)
+            if adds:
+                assert dest._try_commit(
+                    v, {"operation": "clone", **provenance, "add": adds}
+                )
+                v += 1
+            if i < k:
+                op = {kk: vv for kk, vv in ops[i].items() if kk != "v"}
+                assert dest._try_commit(
+                    v, {"operation": "clone", **provenance, "schema_op": op}
+                )
+                v += 1
+        for name, expr in sorted(state["constraints"].items()):
+            assert dest._try_commit(
+                v,
+                {
+                    "operation": "set_constraint",
+                    "constraint": {"name": name, "expr": expr},
+                },
+            )
+            v += 1
+        if v == 0:  # empty source: still publish the provenance commit
+            assert dest._try_commit(
+                0, {"operation": "clone", **provenance, "add": []}
+            )
+        return dest
 
     # --------------------------------------- schema evolution (log-only)
 

@@ -25,6 +25,10 @@ API; every other statement passes through to ``spark.sql`` verbatim
 - ``VACUUM acid.`<path>` [RETAIN <n> HOURS]`` → deleted file names.
 - ``DESCRIBE HISTORY acid.`<path>``` → one row per commit (version,
   operation, n_added, n_removed).
+- ``RESTORE acid.`<path>` TO VERSION AS OF <n>`` → the rollback
+  commit's version (r10: zero-copy live-set rollback, history kept).
+- ``CREATE TABLE acid.`<dest>` SHALLOW CLONE acid.`<src>` [VERSION AS
+  OF <n>]`` → zero-copy table branch (r10).
 
 The point is API parity with the SQL text a Delta/Iceberg user already
 writes, not a general parser: anything outside this grammar is either
@@ -88,6 +92,19 @@ _HISTORY = re.compile(
     re.IGNORECASE,
 )
 
+_RESTORE = re.compile(
+    r"^\s*RESTORE\s+acid\.`(?P<path>[^`]+)`"
+    r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_CLONE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+acid\.`(?P<dest>[^`]+)`"
+    r"\s+SHALLOW\s+CLONE\s+acid\.`(?P<src>[^`]+)`"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 def _register_refs(spark: SparkSession, text: str) -> str:
     """Materialize every ``acid.`path` [VERSION AS OF n]`` reference as
@@ -148,6 +165,17 @@ def acid_sql(spark: SparkSession, text: str):
         return AcidTable(spark, m.group("path")).vacuum(
             retention_hours=hours
         )
+    m = _RESTORE.match(text)
+    if m:
+        return AcidTable(spark, m.group("path")).restore(
+            int(m.group("version"))
+        )
+    m = _CLONE.match(text)
+    if m:
+        src = AcidTable(spark, m.group("src"))
+        v = int(m.group("version")) if m.group("version") else None
+        src.clone(m.group("dest"), version=v)
+        return m.group("dest")
     m = _HISTORY.match(text)
     if m:
         hist = AcidTable(spark, m.group("path")).history()
@@ -166,7 +194,11 @@ def acid_sql(spark: SparkSession, text: str):
             ],
             "version LONG, operation STRING, n_added LONG, n_removed LONG",
         )
-    if re.match(r"^\s*(MERGE|OPTIMIZE|VACUUM)\b", text, re.IGNORECASE):
+    if re.match(
+        r"^\s*(MERGE|OPTIMIZE|VACUUM|RESTORE)\b", text, re.IGNORECASE
+    ) or re.match(
+        r"^\s*CREATE\s+TABLE\b.*\bCLONE\b", text, re.IGNORECASE | re.DOTALL
+    ):
         # it LOOKED like a management statement but didn't parse —
         # refuse rather than hand spark.sql a statement it will also
         # reject with a less actionable error

@@ -1,0 +1,146 @@
+"""RESTORE + SHALLOW CLONE (r10 session-2): zero-copy live-set
+rollback and zero-copy table branching, incl. the absolute-path
+copy-on-write interaction and both read paths (AcidTable.snapshot and
+format("acid"))."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from als_hadoop_spark.sources.acid import AcidTable
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "k LONG, v STRING")
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def _parquets(root):
+    return {
+        os.path.relpath(p, root)
+        for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    }
+
+
+def test_restore_rolls_back_live_set_without_rewrite(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))          # v0
+    t.append(_df(spark, [(3, "c")]))                    # v1
+    t.delete(F.col("k") == 1)                           # v2 rewrites v0's file
+    want_v1 = _rows(t.snapshot(1))
+    files_before = _parquets(t.path)
+    v = t.restore(1)
+    assert v == 3
+    assert _rows(t.snapshot()) == want_v1
+    # zero-copy: no parquet was written by the restore itself
+    assert _parquets(t.path) == files_before
+    # history keeps every epoch: the pre-restore head still time-travels
+    assert _rows(t.snapshot(2)) == [(2, "b"), (3, "c")]
+    # the untouched v1 file kept its ORIGINAL action (no re-epoch)
+    state = t._state()
+    assert any(a["added"] == 1 for a in state["live"].values())
+    # format("acid") replays the restore entry identically
+    from als_hadoop_spark.sources import register_acid_format
+
+    register_acid_format(spark)
+    got = spark.read.format("acid").load(t.path)
+    assert _rows(got.select("k", "v")) == want_v1
+
+
+def test_restore_to_current_state_is_a_noop(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    assert t.restore(0) == 0
+    assert t.latest_version() == 0
+
+
+def test_restore_refuses_reepoch_and_vacuumed(spark, tmp_path):
+    # re-epoch: the restored file predates a rename committed later
+    t = AcidTable(spark, str(tmp_path / "a"))
+    t.append(_df(spark, [(1, "a")]))                    # v0
+    t.overwrite(_df(spark, [(2, "b")]))                 # v1 removes v0's file
+    t.rename_column("v", "w")                           # v2
+    with pytest.raises(ValueError, match="re-epoch"):
+        t.restore(0)
+    # vacuumed: the file to re-add is physically gone
+    u = AcidTable(spark, str(tmp_path / "b"))
+    u.append(_df(spark, [(1, "a")]))                    # v0
+    u.overwrite(_df(spark, [(2, "b")]))                 # v1
+    u.vacuum(retention_hours=0)                         # sweeps v0's file
+    with pytest.raises(ValueError, match="vacuumed"):
+        u.restore(0)
+
+
+def test_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    src = AcidTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    src.append(_df(spark, [(3, "c")]))
+    src.set_constraint("k_pos", "k > 0")
+    want = _rows(src.snapshot())
+    dst = src.clone(str(tmp_path / "dst"))
+    assert _rows(dst.snapshot()) == want
+    assert _parquets(dst.path) == set()                 # zero-copy
+    assert dst.constraints() == {"k_pos": "k > 0"}      # carried over
+    # a write to the clone NEVER touches the source
+    dst.delete(F.col("k") == 1)                         # copy-on-write
+    assert _rows(dst.snapshot()) == [(2, "b"), (3, "c")]
+    assert _rows(src.snapshot()) == want                # source intact
+    # clone vacuum walks only its own root: shared files survive
+    dst.vacuum(retention_hours=0)
+    assert _rows(src.snapshot()) == want
+    # and the clone reads through format("acid") too (absolute paths)
+    from als_hadoop_spark.sources import register_acid_format
+
+    register_acid_format(spark)
+    got = spark.read.format("acid").load(dst.path)
+    assert _rows(got.select("k", "v")) == [(2, "b"), (3, "c")]
+
+
+def test_clone_preserves_schema_epochs(spark, tmp_path):
+    src = AcidTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a")]))                  # pre-rename file
+    src.rename_column("v", "w")
+    src.append(
+        spark.createDataFrame([(2, "b")], "k LONG, w STRING")
+    )                                                   # post-rename file
+    want = sorted((r["k"], r["w"]) for r in src.snapshot().collect())
+    dst = src.clone(str(tmp_path / "dst"))
+    assert sorted((r["k"], r["w"]) for r in dst.snapshot().collect()) == want
+
+
+def test_clone_refuses_nonempty_dest(spark, tmp_path):
+    src = AcidTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a")]))
+    other = AcidTable(spark, str(tmp_path / "dst"))
+    other.append(_df(spark, [(9, "z")]))
+    with pytest.raises(ValueError, match="not empty"):
+        src.clone(str(tmp_path / "dst"))
+
+
+def test_sql_restore_and_shallow_clone_statements(spark, tmp_path):
+    from als_hadoop_spark.sql import acid_sql
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(_df(spark, [(1, "a")]))                    # v0
+    t.append(_df(spark, [(2, "b")]))                    # v1
+    t.delete(F.col("k") == 1)                           # v2
+    v = acid_sql(spark, f"RESTORE acid.`{p}` TO VERSION AS OF 1")
+    assert v == 3
+    assert _rows(t.snapshot()) == [(1, "a"), (2, "b")]
+    d = str(tmp_path / "branch")
+    out = acid_sql(
+        spark, f"CREATE TABLE acid.`{d}` SHALLOW CLONE acid.`{p}`"
+    )
+    assert out == d
+    assert _rows(AcidTable(spark, d).snapshot()) == [(1, "a"), (2, "b")]
+    # a malformed clone statement refuses loudly, never half-executes
+    with pytest.raises(ValueError, match="unsupported"):
+        acid_sql(spark, f"CREATE TABLE acid.`{d}2` DEEP CLONE acid.`{p}`")
