@@ -308,8 +308,12 @@ def pmi_bigrams(docs: DataFrame) -> DataFrame:
     # substring_index, not element_at(split(...), -1): the latter
     # builds the whole token array a second time just to take its
     # tail (measured 2× the whole query at ×100, BASELINE.md r10)
+    # NULL text contributes zero occurrences (explode semantics of the
+    # bigram scan) — without the filter substring_index(NULL) would
+    # surface a spurious NULL token and inflate n_uni
     lasts = (
-        docs.select(F.substring_index("text", " ", -1).alias("tok"))
+        docs.filter(F.col("text").isNotNull())
+        .select(F.substring_index("text", " ", -1).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c_last"))
     )

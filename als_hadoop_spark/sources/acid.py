@@ -1237,6 +1237,19 @@ class AcidTable:
 
     # ------------------------------------- restore / clone (zero-copy)
 
+    @staticmethod
+    def _ref_action(path: str, act: dict) -> dict:
+        """Re-commitable add action for an already-live file — the
+        single place the by-reference metadata shape (stats/partition/
+        bloom) is copied, shared by restore and clone so a future
+        action field can't be silently dropped from one of them."""
+        a = {"path": path, "stats": act.get("stats") or {}}
+        if act.get("partition"):
+            a["partition"] = act["partition"]
+        if act.get("bloom"):
+            a["bloom"] = act["bloom"]
+        return a
+
     def restore(self, to_version: int, max_retries: int = 10) -> int:
         """RESTORE TO VERSION AS OF — roll the LIVE FILE SET back to
         ``to_version`` as a NEW commit, no byte rewritten (the Delta
@@ -1260,13 +1273,22 @@ class AcidTable:
         references to rows that were validated when written."""
         for _ in range(max_retries):
             base = self.latest_version()
+            if to_version > base:
+                # _state of a nonexistent version replays to head —
+                # a typo'd future version must fail, not silently no-op
+                raise ValueError(
+                    f"{self.path}: cannot restore to version "
+                    f"{to_version}: table is at version {base}"
+                )
             target = self._state(to_version)  # raises below the horizon
             head = self._state(base)
             re_adds = []
             for p, act in sorted(target["live"].items()):
-                cur = head["live"].get(p)
-                if cur is not None and cur.get("added") == act.get("added"):
-                    continue  # untouched — the original action stays
+                if p in head["live"]:
+                    # still live — keep the CURRENT action untouched
+                    # (its added-version already interprets any newer
+                    # schema ops correctly; re-adding would re-epoch)
+                    continue
                 for op in head["schema_ops"]:
                     if op["v"] > act["added"]:
                         raise ValueError(
@@ -1282,12 +1304,7 @@ class AcidTable:
                         f"{self.path}: cannot restore to version "
                         f"{to_version}: {p!r} was vacuumed"
                     )
-                a = {"path": p, "stats": act.get("stats") or {}}
-                if act.get("partition"):
-                    a["partition"] = act["partition"]
-                if act.get("bloom"):
-                    a["bloom"] = act["bloom"]
-                re_adds.append(a)
+                re_adds.append(self._ref_action(p, act))
             removes = sorted(p for p in head["live"] if p not in target["live"])
             if not re_adds and not removes:
                 return base  # already at the target's live set
@@ -1324,7 +1341,13 @@ class AcidTable:
         so it can sweep files a clone still references — clones of a
         table whose retention may lapse should be materialized
         (``overwrite(clone.snapshot())``) or re-cloned."""
-        src_v = self.latest_version() if version is None else version
+        head = self.latest_version()
+        src_v = head if version is None else version
+        if src_v > head:
+            raise ValueError(
+                f"{self.path}: cannot clone version {src_v}: table is "
+                f"at version {head}"
+            )
         state = self._state(src_v)
         dest = AcidTable(self.spark, dest_path)
         if dest._versions():
@@ -1333,46 +1356,40 @@ class AcidTable:
         k = len(ops)
         groups: dict[int, list[dict]] = {}
         for p, act in sorted(state["live"].items()):
-            a = {
-                "path": p if os.path.isabs(p) else os.path.join(self.path, p),
-                "stats": act.get("stats") or {},
-            }
-            if act.get("partition"):
-                a["partition"] = act["partition"]
-            if act.get("bloom"):
-                a["bloom"] = act["bloom"]
+            ap = p if os.path.isabs(p) else os.path.join(self.path, p)
             n_after = sum(1 for op in ops if op["v"] > act["added"])
-            groups.setdefault(n_after, []).append(a)
+            groups.setdefault(n_after, []).append(self._ref_action(ap, act))
         provenance = {"source": self.path, "source_version": src_v}
-        v = 0
+        entries: list[dict] = []
         # files needing the last j ops applied commit BEFORE those j op
         # entries — the clone reproduces the source's epoch grouping
         for i in range(k + 1):
             adds = groups.get(k - i)
             if adds:
-                assert dest._try_commit(
-                    v, {"operation": "clone", **provenance, "add": adds}
+                entries.append(
+                    {"operation": "clone", **provenance, "add": adds}
                 )
-                v += 1
             if i < k:
                 op = {kk: vv for kk, vv in ops[i].items() if kk != "v"}
-                assert dest._try_commit(
-                    v, {"operation": "clone", **provenance, "schema_op": op}
+                entries.append(
+                    {"operation": "clone", **provenance, "schema_op": op}
                 )
-                v += 1
         for name, expr in sorted(state["constraints"].items()):
-            assert dest._try_commit(
-                v,
+            entries.append(
                 {
                     "operation": "set_constraint",
                     "constraint": {"name": name, "expr": expr},
-                },
+                }
             )
-            v += 1
-        if v == 0:  # empty source: still publish the provenance commit
-            assert dest._try_commit(
-                0, {"operation": "clone", **provenance, "add": []}
-            )
+        if not entries:  # empty source: still publish the provenance
+            entries.append({"operation": "clone", **provenance, "add": []})
+        for v, entry in enumerate(entries):
+            if not dest._try_commit(v, entry):
+                raise CommitConflict(
+                    f"{dest_path}: clone lost the commit race for "
+                    f"version {v} — a concurrent writer claimed the "
+                    "target"
+                )
         return dest
 
     # --------------------------------------- schema evolution (log-only)

@@ -144,3 +144,58 @@ def test_sql_restore_and_shallow_clone_statements(spark, tmp_path):
     # a malformed clone statement refuses loudly, never half-executes
     with pytest.raises(ValueError, match="unsupported"):
         acid_sql(spark, f"CREATE TABLE acid.`{d}2` DEEP CLONE acid.`{p}`")
+
+
+def test_restore_and_clone_refuse_future_versions(spark, tmp_path):
+    """A typo'd version ABOVE head must fail loudly — _state of a
+    nonexistent version replays to head, which would silently no-op
+    the restore and mislabel the clone's provenance."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))                    # head = 0
+    with pytest.raises(ValueError, match="at version 0"):
+        t.restore(30)
+    with pytest.raises(ValueError, match="at version 0"):
+        t.clone(str(tmp_path / "d"), version=30)
+
+
+def test_restore_keeps_live_files_across_later_schema_ops(spark, tmp_path):
+    """A file that is STILL LIVE in head is kept under its current
+    action even when its epoch differs from the target's — a rollback
+    must not be spuriously refused by the re-epoch guard (review
+    finding): v0 add, v1 remove, v2 restore re-adds, v3 rename; a
+    second restore(0) keeps the (live) file and just drops v-later
+    files."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))                    # v0
+    t.overwrite(_df(spark, [(2, "b")]))                 # v1 removes v0 file
+    t.restore(0)                                        # v2 re-adds it
+    t.rename_column("v", "w")                           # v3
+    t.append(spark.createDataFrame([(9, "z")], "k LONG, w STRING"))  # v4
+    v = t.restore(0)                                    # drop the v4 file
+    assert v == 5
+    assert sorted((r["k"], r["w"]) for r in t.snapshot().collect()) == [
+        (1, "a")
+    ]
+
+
+def test_pmi_null_text_contributes_nothing(spark):
+    """NULL text rows must not surface a NULL token in the derived
+    unigram counts (review finding) — the bigram explode yields zero
+    rows for them, so the doc-final count must too; with the bug the
+    NULL doc inflates n_uni and shifts every PMI value."""
+    import math
+
+    from als_hadoop_spark.operators import ngrams
+
+    # one doc of 11 tokens: (x,y)×5, (y,x)×5 bigrams; x=6, y=5 → n_uni
+    # must be 11 (the NULL doc would make it 12), n_bg = 10
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y x y x y x"), (2, None)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["tok_a"], r["tok_b"]): r["pmi"]
+        for r in ngrams.pmi_bigrams(docs).collect()
+    }
+    expect_xy = round(math.log((5 / 10) / ((6 / 11) * (5 / 11))), 6)
+    expect_yx = round(math.log((5 / 10) / ((5 / 11) * (6 / 11))), 6)
+    assert got == {("x", "y"): expect_xy, ("y", "x"): expect_yx}
