@@ -29,6 +29,10 @@ API; every other statement passes through to ``spark.sql`` verbatim
   commit's version (r10: zero-copy live-set rollback, history kept).
 - ``CREATE TABLE acid.`<dest>` SHALLOW CLONE acid.`<src>` [VERSION AS
   OF <n>]`` → zero-copy table branch (r10).
+- ``ALTER TABLE acid.`<path>` RENAME COLUMN <a> TO <b> | DROP COLUMN
+  <c> | ALTER COLUMN <c> TYPE <t> | ADD CONSTRAINT <name> CHECK
+  (<expr>)`` → the committed version (log-only schema evolution and
+  CHECK registration, r10).
 
 The point is API parity with the SQL text a Delta/Iceberg user already
 writes, not a general parser: anything outside this grammar is either
@@ -90,6 +94,18 @@ _VACUUM = re.compile(
 _HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+acid\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
+)
+
+#: the four ALTER TABLE forms backed by existing AcidTable services —
+#: log-only schema evolution + CHECK constraints (r10 session-2)
+_ALTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+acid\.`(?P<path>[^`]+)`\s+(?:"
+    r"RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)"
+    r"|DROP\s+COLUMN\s+(?P<drop>\w+)"
+    r"|ALTER\s+COLUMN\s+(?P<widen>\w+)\s+TYPE\s+(?P<type>\w+)"
+    r"|ADD\s+CONSTRAINT\s+(?P<cname>\w+)\s+CHECK\s*\((?P<expr>.+)\)"
+    r")\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 _RESTORE = re.compile(
@@ -165,6 +181,16 @@ def acid_sql(spark: SparkSession, text: str):
         return AcidTable(spark, m.group("path")).vacuum(
             retention_hours=hours
         )
+    m = _ALTER.match(text)
+    if m:
+        t = AcidTable(spark, m.group("path"))
+        if m.group("old"):
+            return t.rename_column(m.group("old"), m.group("new"))
+        if m.group("drop"):
+            return t.drop_column(m.group("drop"))
+        if m.group("widen"):
+            return t.widen_column_type(m.group("widen"), m.group("type"))
+        return t.set_constraint(m.group("cname"), m.group("expr").strip())
     m = _RESTORE.match(text)
     if m:
         return AcidTable(spark, m.group("path")).restore(
@@ -195,7 +221,9 @@ def acid_sql(spark: SparkSession, text: str):
             "version LONG, operation STRING, n_added LONG, n_removed LONG",
         )
     if re.match(
-        r"^\s*(MERGE|OPTIMIZE|VACUUM|RESTORE)\b", text, re.IGNORECASE
+        r"^\s*(MERGE|OPTIMIZE|VACUUM|RESTORE|ALTER\s+TABLE\s+acid\.)",
+        text,
+        re.IGNORECASE,
     ) or re.match(
         r"^\s*CREATE\s+TABLE\b.*\bCLONE\b", text, re.IGNORECASE | re.DOTALL
     ):

@@ -250,3 +250,29 @@ def test_sql_surface_census_matches_direct_recompute(spark, sf_dir):
     assert sum(r["n_v0"] for r in got) == n_even
     assert sum(r["delta_cents"] for r in got) == extra
     assert [r["priority"] for r in got] == sorted(r["priority"] for r in got)
+
+
+def test_acid_sql_alter_table_forms(spark, tmp_path):
+    """The four ALTER TABLE forms route to the existing log-only
+    services (r10 session-2): rename/drop/widen evolve the schema
+    without touching a file; ADD CONSTRAINT gates the NEXT write."""
+    import pytest
+
+    from als_hadoop_spark.sources.acid import AcidTable, ConstraintViolation
+    from als_hadoop_spark.sql import acid_sql
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    t.append(spark.createDataFrame([(1, 10, "x")], "k LONG, n INT, v STRING"))
+    acid_sql(spark, f"ALTER TABLE acid.`{p}` RENAME COLUMN v TO w")
+    acid_sql(spark, f"ALTER TABLE acid.`{p}` ALTER COLUMN n TYPE bigint")
+    acid_sql(spark, f"ALTER TABLE acid.`{p}` DROP COLUMN w")
+    snap = t.snapshot()
+    assert sorted(snap.columns) == ["k", "n"]
+    assert dict(snap.dtypes)["n"] == "bigint"
+    acid_sql(spark, f"ALTER TABLE acid.`{p}` ADD CONSTRAINT k_pos CHECK (k > 0)")
+    with pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(-1, 2)], "k LONG, n BIGINT"))
+    # a misspelled ALTER refuses loudly instead of passing through
+    with pytest.raises(ValueError, match="unsupported"):
+        acid_sql(spark, f"ALTER TABLE acid.`{p}` ADD COLUMN z INT")
