@@ -307,9 +307,12 @@ def _rel_file(table_root: str, uri: str) -> str:
     if "://" in p or p.startswith("file:"):
         p = unquote(urlparse(p).path)
     rel = os.path.relpath(p, table_root)
-    if rel.startswith(".."):
+    if rel == ".." or rel.startswith(".." + os.sep):
         # a shared file referenced by a shallow CLONE lives outside
-        # this table's root; the log keys it by ABSOLUTE path
+        # this table's root; the log keys it by ABSOLUTE path. The
+        # exact-segment test matters: a file literally named
+        # ``..foo.parquet`` INSIDE the root also starts with ".." but
+        # is a relative key (post-r10 advice).
         return os.path.abspath(p)
     return rel
 
@@ -1317,6 +1320,28 @@ class AcidTable:
                     "remove": removes,
                 },
             ):
+                # re-verify AFTER winning (post-r10 advice): a VACUUM
+                # racing between the existence check above and the
+                # commit can sweep a re-added file, publishing a
+                # restore whose live set dangles. The commit is
+                # already durable (reads of it fail loudly either
+                # way); surfacing the damage HERE lets the caller
+                # repair immediately (restore away / re-restore)
+                # instead of discovering it at first read.
+                gone = [
+                    a["path"]
+                    for a in re_adds
+                    if not os.path.exists(os.path.join(self.path, a["path"]))
+                ]
+                if gone:
+                    raise RuntimeError(
+                        f"{self.path}: restore to {to_version} committed "
+                        f"as version {base + 1}, but a concurrent VACUUM "
+                        f"swept re-added file(s) {gone[:3]} between the "
+                        "existence check and the commit — the restored "
+                        "version is damaged; restore away from it or "
+                        "re-run after quiescing vacuum"
+                    )
                 return base + 1
         raise CommitConflict(f"restore lost {max_retries} commit races")
 
@@ -1356,7 +1381,15 @@ class AcidTable:
         k = len(ops)
         groups: dict[int, list[dict]] = {}
         for p, act in sorted(state["live"].items()):
-            ap = p if os.path.isabs(p) else os.path.join(self.path, p)
+            # abspath NORMALIZES (post-r10 advice): with a relative or
+            # non-normalized table root, a plain join would produce
+            # keys that either resolve against the CLONE root at read
+            # time or miss _rel_file's os.path.abspath output — a
+            # later copy-on-write in the clone would then fail to
+            # de-reference the shared file and silently duplicate rows
+            ap = p if os.path.isabs(p) else os.path.abspath(
+                os.path.join(self.path, p)
+            )
             n_after = sum(1 for op in ops if op["v"] > act["added"])
             groups.setdefault(n_after, []).append(self._ref_action(ap, act))
         provenance = {"source": self.path, "source_version": src_v}

@@ -224,8 +224,19 @@ def acid_sql(spark: SparkSession, text: str):
         r"^\s*(MERGE|OPTIMIZE|VACUUM|RESTORE|ALTER\s+TABLE\s+acid\.)",
         text,
         re.IGNORECASE,
-    ) or re.match(
-        r"^\s*CREATE\s+TABLE\b.*\bCLONE\b", text, re.IGNORECASE | re.DOTALL
+    ) or (
+        # only CLONE statements that actually reference an acid table
+        # (post-r10 advice): a bare \bCLONE\b false-positived on
+        # legitimate pass-through SQL that merely names a column
+        # "clone" (CREATE TABLE t AS SELECT clone FROM s); a CLONE
+        # variant over acid.` refs (DEEP CLONE, extra clauses) must
+        # still refuse rather than half-execute through view rewriting
+        re.match(
+            r"^\s*CREATE\s+TABLE\b.*\bCLONE\b",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        and re.search(r"acid\.`", text, re.IGNORECASE)
     ):
         # it LOOKED like a management statement but didn't parse —
         # refuse rather than hand spark.sql a statement it will also

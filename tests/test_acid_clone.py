@@ -199,3 +199,61 @@ def test_pmi_null_text_contributes_nothing(spark):
     expect_xy = round(math.log((5 / 10) / ((6 / 11) * (5 / 11))), 6)
     expect_yx = round(math.log((5 / 10) / ((5 / 11) * (6 / 11))), 6)
     assert got == {("x", "y"): expect_xy, ("y", "x"): expect_yx}
+
+
+def test_clone_normalizes_nonnormalized_source_root(spark, tmp_path):
+    """Shared-file log keys must be NORMALIZED absolute paths (post-r10
+    advice): a clone of a table opened via a non-normalized root (e.g.
+    /a/sub/../src) must store keys matching _rel_file's os.path.abspath
+    output, or a later copy-on-write in the clone fails to de-reference
+    the shared file and silently duplicates rows."""
+    real = str(tmp_path / "src")
+    src = AcidTable(spark, real)
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    os.makedirs(str(tmp_path / "x"), exist_ok=True)
+    weird = str(tmp_path / "x" / ".." / "src")  # normalizes to real
+    dst = AcidTable(spark, weird).clone(str(tmp_path / "dst"))
+    # every shared-file key is already normalized
+    for e in dst.history():
+        for a in e.get("add", []):
+            assert a["path"] == os.path.normpath(a["path"])
+    # copy-on-write de-references the shared file: no duplicate rows
+    dst.delete(F.col("k") == 1)
+    assert _rows(dst.snapshot()) == [(2, "b")]
+    assert _rows(src.snapshot()) == [(1, "a"), (2, "b")]
+
+
+def test_rel_file_keeps_dotdot_prefixed_basename_relative(tmp_path):
+    """A file literally named ``..foo.parquet`` inside the root is a
+    RELATIVE key; only true outside-the-root paths go absolute."""
+    from als_hadoop_spark.sources.acid import _rel_file
+
+    root = str(tmp_path / "t")
+    os.makedirs(root, exist_ok=True)
+    inside = os.path.join(root, "..foo.parquet")
+    assert _rel_file(root, inside) == "..foo.parquet"
+    outside = os.path.join(str(tmp_path), "other", "f.parquet")
+    assert os.path.isabs(_rel_file(root, outside))
+
+
+def test_restore_reverifies_readds_after_commit(spark, tmp_path, monkeypatch):
+    """A VACUUM racing between restore's existence check and its commit
+    leaves the restored version dangling — the post-commit re-verify
+    must surface that loudly instead of reporting success (post-r10
+    advice)."""
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))                    # v0
+    old = t._replay()
+    t.overwrite(_df(spark, [(2, "b")]))                 # v1 removes v0's file
+    orig = AcidTable._try_commit
+
+    def racing_commit(self, version, entry):
+        ok = orig(self, version, entry)
+        if ok and entry.get("operation") == "restore":
+            for p in old:  # simulate the concurrent vacuum winning
+                os.remove(os.path.join(self.path, p))
+        return ok
+
+    monkeypatch.setattr(AcidTable, "_try_commit", racing_commit)
+    with pytest.raises(RuntimeError, match="concurrent VACUUM"):
+        t.restore(0)

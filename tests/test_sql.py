@@ -276,3 +276,23 @@ def test_acid_sql_alter_table_forms(spark, tmp_path):
     # a misspelled ALTER refuses loudly instead of passing through
     with pytest.raises(ValueError, match="unsupported"):
         acid_sql(spark, f"ALTER TABLE acid.`{p}` ADD COLUMN z INT")
+
+
+def test_create_table_with_clone_identifier_passes_through(spark, tmp_path):
+    """The fallthrough refusal guard must only catch the SHALLOW CLONE
+    statement shape (post-r10 advice): plain SQL that merely names a
+    column 'clone' must pass through to spark.sql."""
+    from als_hadoop_spark.sql import acid_sql
+
+    spark.createDataFrame([(1, "x")], "clone LONG, v STRING") \
+        .createOrReplaceTempView("_clone_src")
+    got = acid_sql(spark, "SELECT clone FROM _clone_src")
+    assert [r["clone"] for r in got.collect()] == [1]
+    # the real management form still refuses when malformed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported statement"):
+        acid_sql(
+            spark,
+            "CREATE TABLE acid.`/tmp/x` SHALLOW CLONE VERSION acid.`/tmp/y`",
+        )
