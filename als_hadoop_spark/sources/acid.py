@@ -57,6 +57,21 @@ implemented from the published protocol descriptions, no library):
   snapshot assembly is O(interval) instead of O(commits); time travel
   below the checkpoint falls back to full replay (logs are retained).
 
+- DELETION VECTORS (merge-on-read; the Delta/Iceberg position-delete
+  recipe, r11): with table property ``deletionVectors=true``, a
+  MERGE/DELETE/UPDATE touching k rows of a file commits a tiny
+  position sidecar under ``_acid_dv/`` — rows ``(file basename,
+  row_index)`` — instead of rewriting the file. Readers attach the
+  parquet ``_metadata.row_index`` to each scan and ANTI-JOIN the live
+  sidecars (one bounded join, only when DVs exist); OPTIMIZE
+  materializes DVs away by rewriting through the DV-aware read.
+  Copy-on-write rewrote a whole 128 MB file for a 1-row update; a DV
+  commit writes KBs — at a CDC workload's commit rate this is the
+  difference between write amplification dominating the table and the
+  log staying proportional to the change stream. File basenames are
+  content-addressed (uuid), so the (basename, position) key is
+  collision-free by construction, including across shallow clones.
+
 - Schema evolution: additive widening is free (``mergeSchema`` at
   read); RENAME, DROP COLUMN, and WIDEN COLUMN TYPE (Iceberg type
   promotion — int→bigint, float→double) are log actions
@@ -88,7 +103,16 @@ from pyspark.sql import functions as F
 _LOG_DIR = "_acid_log"
 _STAGE_DIR = "_acid_stage"
 _CDC_DIR = "_acid_cdc"
+_DV_DIR = "_acid_dv"
 _LAST_CHECKPOINT = "_last_checkpoint"
+
+#: table property that flips MERGE/DELETE/UPDATE's ``mode="auto"`` to
+#: merge-on-read (the Delta ``enableDeletionVectors`` recipe): a k-row
+#: change commits a position SIDECAR ("these rows of file F are gone")
+#: instead of rewriting F; readers anti-join live sidecars; OPTIMIZE
+#: materializes them away. See DELETION VECTORS in the design notes
+#: above.
+DV_PROPERTY = "deletionVectors"
 
 #: A checkpoint is written by the committer of every version divisible
 #: by this (Delta defaults to 10); raising it trades reader replay
@@ -278,18 +302,26 @@ def _file_blooms(path: str, cols: tuple[str, ...]) -> dict:
 
 
 def _empty_state() -> dict:
-    return {"live": {}, "schema_ops": [], "constraints": {}, "txns": {}}
+    return {
+        "live": {},
+        "schema_ops": [],
+        "constraints": {},
+        "txns": {},
+        "props": {},
+    }
 
 
 def _copy_state(state: dict) -> dict:
     """Shallow-per-container copy of a replayed state — callers get
     their own top-level dicts/lists (the cached original must never be
-    mutated) while the immutable leaf values are shared."""
+    mutated) while the immutable leaf values are shared. ``props`` uses
+    ``.get``: checkpoint states persisted before r11 lack the key."""
     return {
         "live": {p: dict(a) for p, a in state["live"].items()},
         "schema_ops": list(state["schema_ops"]),
         "constraints": dict(state["constraints"]),
         "txns": dict(state["txns"]),
+        "props": dict(state.get("props", {})),
     }
 
 
@@ -430,10 +462,29 @@ class AcidTable:
                 # per-file bloom filters (r10): point-lookup pruning
                 # on high-cardinality NON-partition keys
                 act["bloom"] = a["bloom"]
+            if a.get("dv"):
+                # a RESTORE/CLONE re-add carries the deletion-vector
+                # refs of the state it reproduces (r11)
+                act["dv"] = list(a["dv"])
             state["live"][a["path"]] = act
+        dv = entry.get("dv")
+        if dv:
+            # attach the commit's sidecar(s) to every file it masks
+            # rows of — a sidecar's rows for OTHER files are harmless
+            # in the anti-join (their basenames match nothing in a
+            # pruned scan), so per-file slicing is not needed
+            for f in dv.get("files", {}):
+                act = state["live"].get(f)
+                if act is not None:
+                    act["dv"] = sorted(
+                        set(act.get("dv", ())) | set(dv.get("sidecars", ()))
+                    )
         c = entry.get("constraint")
         if c:
             state["constraints"][c["name"]] = c["expr"]
+        prop = entry.get("property")
+        if prop:
+            state.setdefault("props", {})[prop["key"]] = prop["value"]
         op = entry.get("schema_op")
         if op:
             state["schema_ops"].append({"v": v, **op})
@@ -632,6 +683,49 @@ class AcidTable:
     def constraints(self, version: int | None = None) -> dict:
         """Active {name: expr} CHECK constraints at ``version``."""
         return dict(self._state(version)["constraints"])
+
+    # --------------------------------------------------- properties
+
+    def set_property(self, key: str, value: str, max_retries: int = 10) -> int:
+        """Register a table property as a log action (the Delta
+        TBLPROPERTIES recipe) — readers/writers at any version agree on
+        what was active. ``deletionVectors=true`` flips the write
+        services' ``mode="auto"`` to merge-on-read."""
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if self._try_commit(
+                v,
+                {
+                    "operation": "set_property",
+                    "property": {"key": key, "value": str(value)},
+                },
+            ):
+                return v
+        raise CommitConflict(f"set_property lost {max_retries} commit races")
+
+    def properties(self, version: int | None = None) -> dict:
+        """Active {key: value} table properties at ``version``."""
+        return dict(self._state(version).get("props", {}))
+
+    @staticmethod
+    def _dv_enabled(state: dict) -> bool:
+        return (
+            str(state.get("props", {}).get(DV_PROPERTY, "")).lower()
+            == "true"
+        )
+
+    def _resolve_mode(self, mode: str, state: dict) -> str:
+        """``auto`` resolves through the table property; explicit
+        ``cow``/``dv`` always win (a one-off backfill can force the
+        rewrite that re-clusters, a hotfix can DV a table that never
+        opted in)."""
+        if mode == "auto":
+            return "dv" if self._dv_enabled(state) else "cow"
+        if mode not in ("cow", "dv"):
+            raise ValueError(
+                f"mode must be 'auto', 'cow', or 'dv'; got {mode!r}"
+            )
+        return mode
 
     def _validate(self, adds: list[dict]) -> None:
         """CHECK the staged (not yet published) files against active
@@ -948,6 +1042,57 @@ class AcidTable:
             )
         )
 
+    def _files_of(self, state: dict, rows: DataFrame) -> list[str]:
+        """Table-relative names of the live files holding ``rows`` —
+        the frame must carry the ``__acid_base`` helper column
+        (``_assemble(..., with_pos=True)``). ``input_file_name()``
+        cannot serve here: on a DV'd table the assembled read is a
+        multi-source join, which that expression rejects. Basenames
+        are content-addressed (uuid), so the map back to relative
+        paths is exact."""
+        base_to_rel = {os.path.basename(f): f for f in state["live"]}
+        return sorted(
+            base_to_rel[r["__acid_base"]]
+            for r in rows.select("__acid_base").distinct().collect()
+        )
+
+    def _stage_dv(
+        self, state: dict, positions: DataFrame
+    ) -> tuple[list[str], dict]:
+        """Stage a deletion-vector sidecar from a frame carrying the
+        ``__acid_base``/``__acid_pos`` helper columns (rows to mask).
+        Returns ``(sidecar rel paths, {data file rel path: n masked})``
+        — empty when no row matched (the caller then commits no DV).
+        The per-file counts come from ONE read of the just-staged
+        sidecar (KBs), bounded by touched files like the cow path's
+        file-discovery collect."""
+        pos = positions.select(
+            F.col("__acid_base").alias("file"),
+            F.col("__acid_pos").cast("bigint").alias("pos"),
+        ).coalesce(1)
+        adds = self._stage_files(pos, subdir=_DV_DIR, harvest_stats=False)
+        sidecars = [a["path"] for a in adds]
+        if not sidecars:
+            return [], {}
+        counts = {
+            r["file"]: r["n"]
+            for r in self.spark.read.parquet(
+                *[os.path.join(self.path, s) for s in sidecars]
+            )
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if not counts:  # zero masked rows: drop the empty sidecar
+            for s in sidecars:
+                try:
+                    os.remove(os.path.join(self.path, s))
+                except OSError:
+                    pass
+            return [], {}
+        base_to_rel = {os.path.basename(f): f for f in state["live"]}
+        return sidecars, {base_to_rel[b]: n for b, n in counts.items()}
+
     def merge(
         self,
         changes: DataFrame,
@@ -955,6 +1100,7 @@ class AcidTable:
         apply_fn,
         txn: dict | None = None,
         cdf: bool = False,
+        mode: str = "auto",
     ) -> int:
         """Copy-on-write MERGE: rewrite ONLY the data files containing
         keys present in ``changes``; carry every other file over by
@@ -982,12 +1128,26 @@ class AcidTable:
         derives insert/delete rows from the commit's add/remove files,
         losing only the update pairing.
 
+        ``mode``: ``"cow"`` is the copy-on-write described above;
+        ``"dv"`` is MERGE-ON-READ — the key-matched rows of candidate
+        files are masked by a deletion-vector sidecar (no data file
+        rewritten) and only ``apply_fn``'s output lands as new files.
+        In dv mode ``apply_fn`` receives the MATCHED rows (key ∈
+        change keys), not every row of the touched files — unmatched
+        rows stay in place by NOT being masked, so an apply_fn that
+        carries them (the canonical full-outer upsert does, via its
+        op-IS-NULL arm) produces no duplicates: the carried arm is
+        simply empty. ``"auto"`` (default) follows the table property
+        ``deletionVectors`` (:meth:`set_property`).
+
         Snapshot-isolated: raises CommitConflict if the table head
         moved between the snapshot read and the commit."""
         base = self.latest_version()
         state = self._state(base)
+        mode = self._resolve_mode(mode, state)
         live = sorted(state["live"])
         touched: list[str] = []
+        candidates: list[str] = []
         if live:
             bounds = changes.agg(
                 F.min(key).alias("lo"), F.max(key).alias("hi")
@@ -1025,19 +1185,21 @@ class AcidTable:
                             )
                         )
                     ]
-            if candidates:
-                cand = self._assemble(state, files=candidates).withColumn(
-                    "_file", F.input_file_name()
+            if candidates and mode == "cow":
+                # file discovery rides the __acid_base helper column
+                # (NOT input_file_name(), which rejects the multi-
+                # source plan a DV anti-join makes of the read)
+                cand = self._assemble(
+                    state, files=candidates, with_pos=True
                 )
-                touched = [
-                    _rel_file(self.path, r["_file"])
-                    for r in (
-                        cand.join(changes.select(key).distinct(), key, "semi")
-                        .select("_file")
-                        .distinct()
-                        .collect()
-                    )
-                ]
+                touched = self._files_of(
+                    state,
+                    cand.join(changes.select(key).distinct(), key, "semi"),
+                )
+        if mode == "dv":
+            return self._merge_dv(
+                state, base, changes, key, apply_fn, candidates, txn, cdf
+            )
         if touched:
             touched_rows = self._assemble(state, files=touched)
         elif live:
@@ -1072,24 +1234,119 @@ class AcidTable:
             raise CommitConflict("table changed during merge")
         return base + 1
 
-    def delete(self, predicate, cdf: bool = False) -> int:
+    def _merge_dv(
+        self,
+        state: dict,
+        base: int,
+        changes: DataFrame,
+        key: str,
+        apply_fn,
+        candidates: list[str],
+        txn: dict | None,
+        cdf: bool,
+    ) -> int:
+        """MERGE-ON-READ arm of :meth:`merge`: mask the key-matched
+        rows of candidate files with a position sidecar, write only
+        ``apply_fn``'s output as new files. A k-row change set commits
+        KBs of sidecar + k rows of new data — ZERO existing data files
+        rewritten (pytest-pinned); the read-side cost is the one
+        DV anti-join in ``_assemble``; OPTIMIZE materializes."""
+        sidecars: list[str] = []
+        dv_files: dict = {}
+        matched = None
+        try:
+            if candidates:
+                cand = self._assemble(
+                    state, files=candidates, with_pos=True
+                )
+                matched = cand.join(
+                    changes.select(key).distinct(), key, "semi"
+                ).persist()
+                sidecars, dv_files = self._stage_dv(state, matched)
+                matched_rows = matched.drop("__acid_base", "__acid_pos")
+            elif state["live"]:
+                matched_rows = self.spark.createDataFrame(
+                    [], self._assemble(state).schema
+                )
+            else:
+                matched_rows = self.spark.createDataFrame([], changes.schema)
+            merged = apply_fn(matched_rows, changes)
+            adds = self._stage_files_layout_aware(
+                merged,
+                self._partition_layout(state),
+                self._bloom_layout(state),
+            )
+            self._validate(adds)
+            entry: dict = {"operation": "merge", "add": adds}
+            if dv_files:
+                entry["dv"] = {"sidecars": sidecars, "files": dv_files}
+            if cdf and (adds or dv_files):
+                after = (
+                    self.spark.read.option("mergeSchema", "true").parquet(
+                        *[os.path.join(self.path, a["path"]) for a in adds]
+                    )
+                    if adds
+                    else matched_rows.limit(0)
+                )
+                cdc = self._cdc_diff(matched_rows, after, key)
+                entry["cdc"] = [
+                    a["path"] for a in self._stage_files(cdc, subdir=_CDC_DIR)
+                ]
+            if txn is not None:
+                entry["txn"] = txn
+            if not self._try_commit(base + 1, entry):
+                raise CommitConflict("table changed during merge")
+            return base + 1
+        finally:
+            if matched is not None:
+                matched.unpersist()
+
+    def delete(self, predicate, cdf: bool = False, mode: str = "auto") -> int:
         """Copy-on-write DELETE: rewrite only files holding matching
         rows (footer-stats row-group pruning applies to the find).
         ``predicate`` is a Column or a SQL string. ``cdf=True`` stages
         the deleted rows as a ``_change_type='delete'`` CDC sidecar for
         ``table_changes`` (without it the same rows are derived from
-        the removed files at read time)."""
+        the removed files at read time). ``mode="dv"`` masks the
+        matching rows with a deletion-vector sidecar instead of
+        rewriting their files (merge-on-read); ``"auto"`` follows the
+        ``deletionVectors`` table property."""
         if isinstance(predicate, str):
             predicate = F.expr(predicate)
         base = self.latest_version()
         state = self._state(base)
         if not state["live"]:
             return base
-        snap = self._assemble(state).withColumn("_file", F.input_file_name())
-        touched = [
-            _rel_file(self.path, r["_file"])
-            for r in snap.filter(predicate).select("_file").distinct().collect()
-        ]
+        mode = self._resolve_mode(mode, state)
+        if mode == "dv":
+            matched = (
+                self._assemble(state, with_pos=True)
+                .filter(predicate)
+                .persist()
+            )
+            try:
+                sidecars, dv_files = self._stage_dv(state, matched)
+                if not dv_files:
+                    return base  # nothing matched: no commit
+                entry: dict = {
+                    "operation": "delete",
+                    "dv": {"sidecars": sidecars, "files": dv_files},
+                }
+                if cdf:
+                    gone = matched.drop(
+                        "__acid_base", "__acid_pos"
+                    ).withColumn("_change_type", F.lit("delete"))
+                    entry["cdc"] = [
+                        a["path"]
+                        for a in self._stage_files(gone, subdir=_CDC_DIR)
+                    ]
+                if not self._try_commit(base + 1, entry):
+                    raise CommitConflict("table changed during delete")
+                return base + 1
+            finally:
+                matched.unpersist()
+        snap = self._assemble(state, with_pos=True)
+        touched = self._files_of(state, snap.filter(predicate))
         if not touched:
             return base
         # NOT(pred) is NULL for NULL-evaluating rows and filter drops
@@ -1116,6 +1373,115 @@ class AcidTable:
             ]
         if not self._try_commit(base + 1, entry):
             raise CommitConflict("table changed during delete")
+        return base + 1
+
+    def update(
+        self,
+        assignments: dict,
+        predicate=None,
+        cdf: bool = False,
+        mode: str = "auto",
+    ) -> int:
+        """UPDATE ... SET: rewrite the rows matching ``predicate``
+        with ``assignments`` ({column: Column-or-SQL-expr}) applied.
+        All assignment expressions evaluate against the ORIGINAL row
+        (one projection — ``SET a=b, b=a`` swaps, the SQL semantics);
+        rows where the predicate is NULL are kept unchanged, matching
+        DELETE's NULL handling. ``mode="cow"`` rewrites only the files
+        holding matching rows; ``"dv"`` masks the matched rows with a
+        deletion-vector sidecar and appends their updated images (a
+        k-row update commits KBs of sidecar + k rows — zero data files
+        rewritten); ``"auto"`` follows the ``deletionVectors`` table
+        property. ``cdf=True`` stages precise update_preimage/
+        update_postimage CDC rows; without it ``table_changes`` derives
+        the change set as delete+insert pairs."""
+        if not assignments:
+            raise ValueError("update: no assignments")
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        if predicate is None:
+            pred = F.lit(True)
+        elif isinstance(predicate, str):
+            pred = F.expr(predicate)
+        else:
+            pred = predicate
+        hit = F.coalesce(pred, F.lit(False))
+        base = self.latest_version()
+        state = self._state(base)
+        if not state["live"]:
+            return base
+        mode = self._resolve_mode(mode, state)
+        snap_cols = self._assemble(state).columns
+        unknown = [c for c in exprs if c not in snap_cols]
+        if unknown:
+            raise ValueError(f"update: unknown column(s) {unknown}")
+        if mode == "dv":
+            matched = (
+                self._assemble(state, with_pos=True).filter(hit).persist()
+            )
+            try:
+                sidecars, dv_files = self._stage_dv(state, matched)
+                if not dv_files:
+                    return base  # nothing matched: no commit
+                before = matched.drop("__acid_base", "__acid_pos")
+                after = before.withColumns(exprs)
+                adds = self._stage_files_layout_aware(
+                    after,
+                    self._partition_layout(state),
+                    self._bloom_layout(state),
+                )
+                self._validate(adds)
+                entry: dict = {
+                    "operation": "update",
+                    "add": adds,
+                    "dv": {"sidecars": sidecars, "files": dv_files},
+                }
+                if cdf:
+                    cdc = before.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ).unionByName(
+                        after.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                    entry["cdc"] = [
+                        a["path"]
+                        for a in self._stage_files(cdc, subdir=_CDC_DIR)
+                    ]
+                if not self._try_commit(base + 1, entry):
+                    raise CommitConflict("table changed during update")
+                return base + 1
+            finally:
+                matched.unpersist()
+        snap = self._assemble(state, with_pos=True)
+        touched = self._files_of(state, snap.filter(hit))
+        if not touched:
+            return base
+        rows = self._assemble(state, files=touched)
+        rewritten = rows.withColumns(
+            {c: F.when(hit, e).otherwise(F.col(c)) for c, e in exprs.items()}
+        )
+        adds = self._stage_files_layout_aware(
+            rewritten, self._partition_layout(state), self._bloom_layout(state)
+        )
+        self._validate(adds)
+        entry = {"operation": "update", "add": adds, "remove": touched}
+        if cdf:
+            before = rows.filter(hit)
+            cdc = before.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                before.withColumns(exprs).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+            entry["cdc"] = [
+                a["path"] for a in self._stage_files(cdc, subdir=_CDC_DIR)
+            ]
+        if not self._try_commit(base + 1, entry):
+            raise CommitConflict("table changed during update")
         return base + 1
 
     def optimize(
@@ -1183,8 +1549,18 @@ class AcidTable:
                     (c, v is None, str(v)) for c, v in (kv[0] or ())
                 ),
             ):
-                if len(fs) <= per_part and not relayout:
-                    continue  # already compact: leave the files alone
+                if (
+                    len(fs) <= per_part
+                    and not relayout
+                    and not any(state["live"][f].get("dv") for f in fs)
+                ):
+                    # already compact AND nothing masked: leave the
+                    # files alone. A partition carrying deletion
+                    # vectors always rewrites — OPTIMIZE is the DV
+                    # materialization point (the rewrite reads through
+                    # the DV-aware _assemble, so masked rows vanish
+                    # physically and the new files carry no refs).
+                    continue
                 df = self._assemble(state, files=fs)
                 if zorder_by is not None:
                     from .tables import zorder_layout
@@ -1218,7 +1594,14 @@ class AcidTable:
             ):
                 raise CommitConflict("table changed during optimize")
             return base + 1
-        if len(live) <= target_files and not relayout:
+        if (
+            len(live) <= target_files
+            and not relayout
+            and not any(state["live"][f].get("dv") for f in live)
+        ):
+            # compact and unmasked — but a table carrying deletion
+            # vectors always rewrites: OPTIMIZE is the materialization
+            # point (masked rows vanish physically, refs drop)
             return base
         df = self._assemble(state)
         if zorder_by is not None:
@@ -1251,6 +1634,8 @@ class AcidTable:
             a["partition"] = act["partition"]
         if act.get("bloom"):
             a["bloom"] = act["bloom"]
+        if act.get("dv"):
+            a["dv"] = list(act["dv"])
         return a
 
     def restore(self, to_version: int, max_retries: int = 10) -> int:
@@ -1287,10 +1672,17 @@ class AcidTable:
             head = self._state(base)
             re_adds = []
             for p, act in sorted(target["live"].items()):
-                if p in head["live"]:
-                    # still live — keep the CURRENT action untouched
-                    # (its added-version already interprets any newer
-                    # schema ops correctly; re-adding would re-epoch)
+                cur = head["live"].get(p)
+                if cur is not None and sorted(cur.get("dv", ())) == sorted(
+                    act.get("dv", ())
+                ):
+                    # still live with the SAME deletion-vector mask —
+                    # keep the CURRENT action untouched (its
+                    # added-version already interprets any newer schema
+                    # ops correctly; re-adding would re-epoch). A file
+                    # whose mask GREW since the target version (a DV
+                    # delete/merge/update happened) must be re-added so
+                    # the restore reproduces the target's visible rows.
                     continue
                 for op in head["schema_ops"]:
                     if op["v"] > act["added"]:
@@ -1302,11 +1694,12 @@ class AcidTable:
                             "its physical columns; materialize via "
                             "overwrite(snapshot(to_version)) instead"
                         )
-                if not os.path.exists(os.path.join(self.path, p)):
-                    raise ValueError(
-                        f"{self.path}: cannot restore to version "
-                        f"{to_version}: {p!r} was vacuumed"
-                    )
+                for need in (p, *act.get("dv", ())):
+                    if not os.path.exists(os.path.join(self.path, need)):
+                        raise ValueError(
+                            f"{self.path}: cannot restore to version "
+                            f"{to_version}: {need!r} was vacuumed"
+                        )
                 re_adds.append(self._ref_action(p, act))
             removes = sorted(p for p in head["live"] if p not in target["live"])
             if not re_adds and not removes:
@@ -1329,9 +1722,10 @@ class AcidTable:
                 # repair immediately (restore away / re-restore)
                 # instead of discovering it at first read.
                 gone = [
-                    a["path"]
+                    need
                     for a in re_adds
-                    if not os.path.exists(os.path.join(self.path, a["path"]))
+                    for need in (a["path"], *a.get("dv", ()))
+                    if not os.path.exists(os.path.join(self.path, need))
                 ]
                 if gone:
                     raise RuntimeError(
@@ -1391,7 +1785,19 @@ class AcidTable:
                 os.path.join(self.path, p)
             )
             n_after = sum(1 for op in ops if op["v"] > act["added"])
-            groups.setdefault(n_after, []).append(self._ref_action(ap, act))
+            a = self._ref_action(ap, act)
+            if a.get("dv"):
+                # deletion-vector sidecars are shared files too: the
+                # clone references them by ABSOLUTE path (a relative
+                # ``_acid_dv/...`` key would resolve against the CLONE
+                # root, where the sidecar does not exist)
+                a["dv"] = [
+                    s
+                    if os.path.isabs(s)
+                    else os.path.abspath(os.path.join(self.path, s))
+                    for s in a["dv"]
+                ]
+            groups.setdefault(n_after, []).append(a)
         provenance = {"source": self.path, "source_version": src_v}
         entries: list[dict] = []
         # files needing the last j ops applied commit BEFORE those j op
@@ -1412,6 +1818,15 @@ class AcidTable:
                 {
                     "operation": "set_constraint",
                     "constraint": {"name": name, "expr": expr},
+                }
+            )
+        for k_, v_ in sorted(state.get("props", {}).items()):
+            # table properties carry over (the Delta clone contract):
+            # a merge-on-read source's clone stays merge-on-read
+            entries.append(
+                {
+                    "operation": "set_property",
+                    "property": {"key": k_, "value": v_},
                 }
             )
         if not entries:  # empty source: still publish the provenance
@@ -1500,18 +1915,43 @@ class AcidTable:
                 return v
         raise CommitConflict(f"drop_column lost {max_retries} commit races")
 
-    def _assemble(self, state: dict, files: list[str] | None = None) -> DataFrame:
+    def _assemble(
+        self,
+        state: dict,
+        files: list[str] | None = None,
+        with_pos: bool = False,
+    ) -> DataFrame:
         """Read live files through the schema ops committed after each
         file was added. Files group by their schema EPOCH (the suffix
         of ops that applies to them) — one scan per epoch, renames/
         drops applied per group, groups aligned with unionByName
         (missing columns NULL, the ADD COLUMN semantics). A table with
         no schema ops is exactly one mergeSchema scan — the common
-        case costs nothing extra."""
+        case costs nothing extra.
+
+        DELETION VECTORS: when any file in the read set carries a DV,
+        the scan attaches the parquet ``_metadata`` (file basename +
+        row_index) and ANTI-JOINS the union of the referenced sidecars
+        on (basename, position) — masked rows vanish from every read
+        path (snapshot, merge candidates, CDC derivation, OPTIMIZE
+        rewrite) through this one choke point. Basenames are
+        content-addressed (uuid), so the key is collision-free. A read
+        set with no DVs pays nothing. ``with_pos=True`` keeps the
+        ``__acid_base``/``__acid_pos`` helper columns on the result —
+        the DV writers' hook."""
         live = state["live"]
         names = sorted(live) if files is None else sorted(files)
         if not names:
             raise ValueError(f"{self.path}: no data files to read")
+        dv_refs = sorted(
+            {
+                s
+                for f in names
+                if f in live
+                for s in live[f].get("dv", ())
+            }
+        )
+        need_meta = with_pos or bool(dv_refs)
         ops = state["schema_ops"]
         groups: dict[tuple, list[str]] = {}
         for f in names:
@@ -1523,6 +1963,16 @@ class AcidTable:
             df = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, f) for f in fs]
             )
+            if need_meta:
+                # hidden metadata columns must be selected straight off
+                # the scan, before any schema op touches the frame
+                df = df.select(
+                    "*",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__acid_base"),
+                    F.col("_metadata.row_index").alias("__acid_pos"),
+                )
             for i in key:
                 op = ops[i]
                 if op["op"] == "rename" and op["old"] in df.columns:
@@ -1535,6 +1985,18 @@ class AcidTable:
         out = parts[0]
         for df in parts[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
+        if dv_refs:
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.path, s) for s in dv_refs]
+            ).select(
+                F.col("file").alias("__acid_base"),
+                F.col("pos").alias("__acid_pos"),
+            )
+            # AQE broadcasts the (small) sidecar side on its own; keys
+            # are never NULL, so the anti-join is exact
+            out = out.join(dv, ["__acid_base", "__acid_pos"], "left_anti")
+        if need_meta and not with_pos:
+            out = out.drop("__acid_base", "__acid_pos")
         return out
 
     @staticmethod
@@ -1560,7 +2022,10 @@ class AcidTable:
             raise ValueError(f"{self.path}: no data at version {version}")
         missing = [
             f
-            for f in state["live"]
+            for f in sorted(
+                set(state["live"])
+                | {s for a in state["live"].values() for s in a.get("dv", ())}
+            )
             if not os.path.exists(os.path.join(self.path, f))
         ]
         if missing:
@@ -1646,6 +2111,26 @@ class AcidTable:
         one's schema epoch)."""
         return self._assemble(self._state(version), files=files)
 
+    def _dv_masked_rows(self, v: int, entry: dict) -> DataFrame:
+        """The rows a merge-on-read commit at ``v`` masked: read the
+        DV'd files AT v-1 (older masks already applied — previously
+        hidden rows stay hidden) and keep only positions this commit's
+        sidecars name. Positions never overlap older masks because the
+        writers derive them from the already-masked read."""
+        dv = entry["dv"]
+        rows = self._assemble(
+            self._state(v - 1), files=sorted(dv["files"]), with_pos=True
+        )
+        side = self.spark.read.parquet(
+            *[os.path.join(self.path, s) for s in dv["sidecars"]]
+        ).select(
+            F.col("file").alias("__acid_base"),
+            F.col("pos").alias("__acid_pos"),
+        )
+        return rows.join(side, ["__acid_base", "__acid_pos"], "semi").drop(
+            "__acid_base", "__acid_pos"
+        )
+
     def table_changes(self, start: int, end: int | None = None) -> DataFrame:
         """The Delta CDF read: ONE frame holding every row-level change
         committed in versions [``start``, ``end``] (default: latest),
@@ -1688,13 +2173,14 @@ class AcidTable:
             op = entry.get("operation")
             adds = [a["path"] for a in entry.get("add", [])]
             removes = entry.get("remove", [])
-            if op == "optimize" or (not adds and not removes):
+            dv = entry.get("dv")
+            if op == "optimize" or (not adds and not removes and not dv):
                 continue  # dataChange=false / metadata-only
             if entry.get("cdc"):
                 df = self.spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(self.path, p) for p in entry["cdc"]]
                 )
-            elif not removes:  # append (or any pure-add commit)
+            elif not removes and not dv:  # append (or any pure-add commit)
                 df = self._read_files_at(v, adds).withColumn(tag, F.lit("insert"))
             elif op == "overwrite":
                 df = self._read_files_at(v - 1, removes).withColumn(
@@ -1707,8 +2193,20 @@ class AcidTable:
                         ),
                         allowMissingColumns=True,
                     )
-            else:  # merge/delete without a CDC sidecar: derive
-                before = self._read_files_at(v - 1, removes)
+            else:  # merge/delete/update without a CDC sidecar: derive
+                # the delete side is removed-file rows (copy-on-write)
+                # or DV-masked rows (merge-on-read) — same multiset
+                # semantics either way, so the exceptAll cancel below
+                # applies identically
+                if dv:
+                    before = self._dv_masked_rows(v, entry)
+                    if removes:
+                        before = before.unionByName(
+                            self._read_files_at(v - 1, removes),
+                            allowMissingColumns=True,
+                        )
+                else:
+                    before = self._read_files_at(v - 1, removes)
                 if adds:
                     after = self._read_files_at(v, adds)
                     for c in after.columns:
@@ -2050,6 +2548,36 @@ class AcidTable:
                 if not name.endswith(".parquet") or rel in cdc_ref:
                     continue
                 full = os.path.join(cdc_dir, name)
+                try:
+                    if os.path.getmtime(full) > horizon:
+                        continue
+                    os.remove(full)
+                except OSError:
+                    continue
+                deleted.append(rel)
+        dv_dir = os.path.join(self.path, _DV_DIR)
+        if os.path.isdir(dv_dir):
+            # deletion-vector sidecars referenced by no RETAINED commit
+            # (their commit lost its race, or cleanup_log dropped the
+            # entry) sweep under the same retention guard — the CDC
+            # rule. References live in two places: the committing
+            # entry's dv action AND restore/clone re-adds that carry a
+            # file's refs forward.
+            dv_ref: set[str] = set()
+            for v in self._versions():
+                e = self._read_entry(v)
+                dv_ref.update(e.get("dv", {}).get("sidecars", []))
+                for a in e.get("add", []):
+                    dv_ref.update(a.get("dv", []))
+            # a cleanup_log'd prefix leaves a live file's refs visible
+            # only through the checkpoint state — protect those too
+            for act in self._state()["live"].values():
+                dv_ref.update(act.get("dv", ()))
+            for name in os.listdir(dv_dir):
+                rel = f"{_DV_DIR}/{name}"
+                if not name.endswith(".parquet") or rel in dv_ref:
+                    continue
+                full = os.path.join(dv_dir, name)
                 try:
                     if os.path.getmtime(full) > horizon:
                         continue

@@ -213,7 +213,21 @@ def build_acid_format_source(with_pushdown: bool = True):
                 act["partition"] = a["partition"]
             if a.get("bloom"):
                 act["bloom"] = a["bloom"]
+            if a.get("dv"):
+                # a RESTORE/CLONE re-add carries the file's
+                # deletion-vector refs (r11)
+                act["dv"] = list(a["dv"])
             st["live"][a["path"]] = act
+        dv = e.get("dv")
+        if dv:
+            # merge-on-read commit (r11): attach the sidecar refs to
+            # every file it masks rows of — AcidTable._apply_entry twin
+            for f in dv.get("files", {}):
+                act = st["live"].get(f)
+                if act is not None:
+                    act["dv"] = sorted(
+                        set(act.get("dv", ())) | set(dv.get("sidecars", ()))
+                    )
         op = e.get("schema_op")
         if op:
             st["schema_ops"].append({"v": v, **op})
@@ -371,6 +385,7 @@ def build_acid_format_source(with_pushdown: bool = True):
         path: str  # absolute parquet path
         ops: tuple  # schema ops applicable to this file, oldest first
         schema: object = field(default=None)  # target pa.Schema
+        dv: tuple = ()  # absolute deletion-vector sidecar paths (r11)
 
     class AcidReader(DataSourceReader):
         def __init__(self, options, schema):
@@ -541,7 +556,13 @@ def build_acid_format_source(with_pushdown: bool = True):
                     for op in ops
                     if op["v"] > action["added"]
                 )
-                parts.append(LiveFile(ap, applicable, self._arrow_schema))
+                dv_abs = tuple(
+                    os.path.join(self.path, s)  # abs refs pass through
+                    for s in action.get("dv", ())
+                )
+                parts.append(
+                    LiveFile(ap, applicable, self._arrow_schema, dv_abs)
+                )
             # Spark requires >= 1 partition; an empty table (or a fully
             # pruned scan) yields a zero-row partition
             return parts or [LiveFile("", (), self._arrow_schema)]
@@ -557,6 +578,30 @@ def build_acid_format_source(with_pushdown: bool = True):
                 )
                 return
             tbl = pq.read_table(partition.path)
+            if partition.dv:
+                # merge-on-read (r11): drop the positions this file's
+                # deletion-vector sidecars name. Positions are row
+                # indices in FILE order — exactly pyarrow's read order
+                # — so a boolean mask applies them without any join.
+                # Masking happens BEFORE schema ops: positions are a
+                # physical-file property.
+                import os as _os
+
+                import numpy as np
+                import pyarrow.compute as pc
+
+                base = _os.path.basename(partition.path)
+                gone: list[int] = []
+                for s in partition.dv:
+                    side = pq.read_table(s, columns=["file", "pos"])
+                    sel = pc.equal(side.column("file"), base)
+                    gone.extend(
+                        side.filter(sel).column("pos").to_pylist()
+                    )
+                if gone:
+                    mask = np.ones(tbl.num_rows, dtype=bool)
+                    mask[np.asarray(gone, dtype=np.int64)] = False
+                    tbl = tbl.filter(pa.array(mask))
             # apply this file's schema-op epoch (rename/drop/widen),
             # matching AcidTable._assemble semantics
             for op in partition.ops:

@@ -432,9 +432,9 @@ def test_merge_prunes_discovery_by_log_stats(spark, tmp_path, monkeypatch):
     reads: list[list[str] | None] = []
     orig = acid_mod.AcidTable._assemble
 
-    def spy(self, state, files=None):
+    def spy(self, state, files=None, **kw):
         reads.append(sorted(files) if files is not None else None)
-        return orig(self, state, files=files)
+        return orig(self, state, files=files, **kw)
 
     monkeypatch.setattr(acid_mod.AcidTable, "_assemble", spy)
 
