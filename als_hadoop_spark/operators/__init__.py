@@ -54,69 +54,46 @@ _MODULES = (
 
 
 # Registration order doubles as the external correctness harness's sample
-# order (it checks a prefix of the registry).  Round-10 rotation
-# (VERDICT r9 #5): lead with everything r10 re-planned — the
-# layout-preserving MERGE/DELETE landed under the whole ACID family,
-# blooms changed the state-replay fields, the IVF index grew a
-# generation pointer, and q_constraint_audit's FK joins were re-shaped
-# — then the OLDEST cohort: the 40 queries whose last driver sample is
-# r6 (ALS family, dedup family, sketches, multimodal, curation,
-# streaming trio...), several re-planned since.  Pure ordering — the
-# dict contents are unchanged.
+# order (it checks a prefix of the registry).  Round-11 rotation
+# (VERDICT r10 #6): lead with the r11 additions (deletion vectors),
+# then everything the r11 acid.py/sql.py changes re-planned — the DV
+# anti-join sits under every ACID read path and q_acid_merge switched
+# to merge-on-read — then the OLDEST cohort: the 18 queries whose last
+# driver sample is r6/r7.  Pure ordering — the dict contents are
+# unchanged.
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # NEW this round (r10) — never driver-sampled
-    "q_sql_surface",              # r10: SQL front door MERGE + time travel
-    "q_sessionize",               # r10: batch gap sessionization
-    # changed this round (r10) — need a driver run on the new form
-    "q_acid_merge",               # r10: layout-preserving merge staging
-    "q_acid_format_partitioned",  # r10: merge/delete keep elimination
-    "q_acid_format",              # r10: blooms + rel-path file discovery
-    "q_acid_cdf",                 # r10: bounded AvailableNow admission
-    "q_sim_search_ivf_indexed",   # r10: generation pointer + drift stats
-    "q_constraint_audit",         # r10: re-shaped FK anti-joins
-    "q_acid_incremental",         # rides the merge/delete staging change
-    "q_acid_timetravel",          # r6 + state-replay bloom field change
-    # oldest driver hashes (r6 cohort, VERDICT r9 #5) — several
-    # re-planned since their last sample
-    "q_acid_evolution",
-    "q_als_fit_predict",
-    "q_als_item_sim",
-    "q_als_rank_sweep",
-    "q_als_ranking",
-    "q_als_recommend",
-    "q_als_rmse",
-    "q_asof_join",
-    "q_bpe_merges",
-    "q_bpe_tokenize",
-    "q_cms_heavy_hitters",
-    "q_curation",
-    "q_curation_neardup",
-    "q_dedup_cluster",
-    "q_dedup_embed",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_dedup_ngram",
-    "q_doc_fingerprint",
-    "q_embed_kmeans",
-    "q_embed_pca",
-    "q_hll_overlap",
-    "q_hll_rollup",
-    "q_kll_quantiles",
-    "q_lang_id",
-    "q_multimodal",
-    "q_multimodal_frames",
-    "q_nearest_centroid",
-    "q_sim_search",
-    "q_sim_search_ivfpq",
-    "q_sim_search_pq",
-    "q_source_overlap",
-    "q_stream_join",
-    "q_stream_session",
-    "q_stream_tumbling",
-    "q_text_quality",
-    "q_text_stats",
-    "q_time_rollup",
-    "q_token_topk",
+    # NEW this round (r11) — never driver-sampled
+    "q_acid_dv",                  # r11: DV masks + SQL DELETE/UPDATE
+    # changed this round (r11) — need a driver run on the new form
+    "q_acid_merge",               # r11: merge-on-read (sidecar commit)
+    "q_sql_surface",              # r11: front door grew DELETE/UPDATE
+    "q_acid_cdf",                 # rides the DV-aware _assemble
+    "q_acid_format",              # r11: format reader masks positions
+    "q_acid_format_partitioned",  # r11: DV x partition elimination
+    "q_acid_incremental",         # rides the DV-aware read path
+    "q_acid_timetravel",          # rides the DV-aware state replay
+    "q_acid_evolution",           # rides the DV-aware epoch grouping
+    "q_acid_ivm_loop",            # rides the DV-aware merge path
+    "q_acid_stream_ivm",          # rides the DV-aware merge path
+    # oldest driver hashes (r6/r7 cohort, VERDICT r10 #6)
+    "q_correlated_subquery",
+    "q_dedup_simhash",
+    "q_dedup_simhash_oracle",
+    "q_equifreq_bins",
+    "q_event_transitions",
+    "q_funnel_latency",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_histogram",
+    "q_nation_volume",
+    "q_order_revenue_topn",
+    "q_outliers",
+    "q_rmse",
+    "q_skew_profile",
+    "q_udf_chunk",
+    "q_udf_quantize",
+    "q_winnow_dup",
+    "q_winnow_dup_oracle",
 )
 
 

@@ -680,6 +680,11 @@ def q_acid_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the commit's file count — and every later probe's task count —
     # proportional to data, not to shuffle.partitions
     tbl.append(snap.coalesce(4))
+    # merge-on-read (r11): the change batch commits a position sidecar
+    # + its own rows — ZERO snapshot files rewritten (the r10 verdict's
+    # 6.6x weak-list entry was exactly the copy-on-write rewrite cost);
+    # the snapshot read pays one bounded anti-join instead
+    tbl.set_property("deletionVectors", "true")
     tbl.merge(chg, "user_id", lambda t, c: upsert(t, c).coalesce(4))
     return tbl.snapshot().orderBy("user_id")
 
@@ -1134,8 +1139,82 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_acid_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors (r11) proven END-TO-END under the oracle hash:
+    the table is seeded through ``write.format("acid")``, flipped to
+    merge-on-read with the SQL text a Delta user writes (``ALTER TABLE
+    ... SET TBLPROPERTIES ('deletionVectors' = 'true')``), then
+    DELETEd and UPDATEd through the SQL front door — both commits are
+    position SIDECARS, zero data files rewritten (the asserts below
+    pin it inside the benched path). The returned frame aggregates the
+    SAME table twice: once through the masked read (``VERSION AS OF``
+    the update commit — the DV anti-join path) and once after
+    ``OPTIMIZE`` materialized the masks away (plain scan, refs gone).
+    The DuckDB twin computes the census relationally and projects it
+    into both column sets — one hash proves mask-read ≡ materialized
+    ≡ relational truth.
+
+    Scale shape: a k-row DELETE/UPDATE on a 100 TB table commits KBs
+    (the sidecar) instead of rewriting 128 MB files — write cost is
+    proportional to the CHANGE, read cost is one bounded anti-join
+    against KB-sized sidecars until OPTIMIZE folds them in."""
+    from ..sources.acid import AcidTable
+    from ..sources.acid_format import register_acid_format
+    from ..sql import acid_sql
+
+    register_acid_format(spark)
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= SQL_SURFACE_KEY_CAP)
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    path = _acid_scratch(spark, sf_dir, "dv")
+    (
+        orders.repartitionByRange(4, "o_orderkey")
+        .write.format("acid")
+        .mode("overwrite")
+        .save(path)
+    )
+    tbl = AcidTable(spark, path)
+    files_seeded = sorted(tbl._replay())
+    acid_sql(
+        spark,
+        f"ALTER TABLE acid.`{path}` SET TBLPROPERTIES "
+        "('deletionVectors' = 'true')",
+    )
+    acid_sql(spark, f"DELETE FROM acid.`{path}` WHERE o_orderkey % 7 = 3")
+    v_upd = acid_sql(
+        spark,
+        f"UPDATE acid.`{path}` SET cents = cents + 5 "
+        "WHERE priority = '1-URGENT'",
+    )
+    # the merge-on-read contract, pinned in the benched path: both
+    # commits masked rows without rewriting a single seeded file
+    assert all(f in sorted(tbl._replay()) for f in files_seeded)
+    acid_sql(spark, f"OPTIMIZE acid.`{path}`")
+    return acid_sql(
+        spark,
+        f"""
+        SELECT m.priority AS priority,
+               m.n AS n_masked, m.c AS cents_masked,
+               t.n AS n_mat, t.c AS cents_mat
+        FROM (SELECT priority, COUNT(*) AS n, SUM(cents) AS c
+              FROM acid.`{path}` VERSION AS OF {v_upd} GROUP BY priority) m
+        JOIN (SELECT priority, COUNT(*) AS n, SUM(cents) AS c
+              FROM acid.`{path}` GROUP BY priority) t
+          ON m.priority = t.priority
+        ORDER BY priority
+        """,
+    )
+
+
 QUERIES = {
     "q_acid_format": q_acid_format,
+    "q_acid_dv": q_acid_dv,
     "q_acid_format_partitioned": q_acid_format_partitioned,
     "q_acid_merge": q_acid_merge,
     "q_sql_surface": q_sql_surface,
@@ -1294,6 +1373,29 @@ ORACLES = {
     # keys seed v0, odd keys insert, keys %10==0 double their cents;
     # the census must equal what the SQL front door's time-travel join
     # returns over the transactional table
+    # mask-read and materialized read must BOTH equal the relational
+    # truth — the oracle projects one census into both column sets
+    "q_acid_dv": f"""
+        WITH seed AS (
+            SELECT o_orderkey, o_orderpriority AS priority,
+                   CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_orderkey <= {SQL_SURFACE_KEY_CAP}
+        ), after_delete AS (
+            SELECT * FROM seed WHERE o_orderkey % 7 <> 3
+        ), after_update AS (
+            SELECT priority,
+                   CASE WHEN priority = '1-URGENT' THEN cents + 5
+                        ELSE cents END AS cents
+            FROM after_delete
+        ), agg AS (
+            SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS c
+            FROM after_update GROUP BY priority
+        )
+        SELECT priority, n AS n_masked, c AS cents_masked,
+               n AS n_mat, c AS cents_mat
+        FROM agg ORDER BY priority
+    """,
     "q_sql_surface": f"""
         WITH o AS (
             SELECT o_orderkey AS k, o_orderpriority AS priority,

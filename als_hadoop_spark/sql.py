@@ -33,6 +33,14 @@ API; every other statement passes through to ``spark.sql`` verbatim
   <c> | ALTER COLUMN <c> TYPE <t> | ADD CONSTRAINT <name> CHECK
   (<expr>)`` → the committed version (log-only schema evolution and
   CHECK registration, r10).
+- ``ALTER TABLE acid.`<path>` SET TBLPROPERTIES ('k' = 'v', ...)`` →
+  the committed version (r11; ``'deletionVectors' = 'true'`` flips
+  DELETE/UPDATE/MERGE to merge-on-read).
+- ``DELETE FROM acid.`<path>` [WHERE <pred>]`` → the committed
+  version (r11; no WHERE deletes every row, the SQL semantics).
+- ``UPDATE acid.`<path>` SET <col> = <expr>[, ...] [WHERE <pred>]``
+  → the committed version (r11; assignments evaluate simultaneously
+  against the original row — ``SET a=b, b=a`` swaps).
 
 The point is API parity with the SQL text a Delta/Iceberg user already
 writes, not a general parser: anything outside this grammar is either
@@ -108,6 +116,29 @@ _ALTER = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_TBLPROPS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+acid\.`(?P<path>[^`]+)`"
+    r"\s+SET\s+TBLPROPERTIES\s*\(\s*(?P<props>.+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_PROP_PAIR = re.compile(r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$")
+
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+acid\.`(?P<path>[^`]+)`"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+acid\.`(?P<path>[^`]+)`"
+    r"\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ASSIGN = re.compile(r"^\s*(\w+)\s*=\s*(.+?)\s*$", re.DOTALL)
+
 _RESTORE = re.compile(
     r"^\s*RESTORE\s+acid\.`(?P<path>[^`]+)`"
     r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*;?\s*$",
@@ -120,6 +151,40 @@ _CLONE = re.compile(
     r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?\s*;?\s*$",
     re.IGNORECASE,
 )
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas OUTSIDE parentheses and single-quoted strings —
+    ``SET v = concat(a, b), k = 'x,y'`` is two assignments, not four.
+    Escapes are the SQL convention (doubled quote inside a literal)."""
+    parts, buf, depth, in_str = [], [], 0, False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    buf.append("''")
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
 
 
 def _register_refs(spark: SparkSession, text: str) -> str:
@@ -181,6 +246,47 @@ def acid_sql(spark: SparkSession, text: str):
         return AcidTable(spark, m.group("path")).vacuum(
             retention_hours=hours
         )
+    m = _TBLPROPS.match(text)
+    if m:
+        t = AcidTable(spark, m.group("path"))
+        pairs = []
+        for part in _split_top_level(m.group("props")):
+            pm = _PROP_PAIR.match(part)
+            if not pm:
+                raise ValueError(
+                    "acid_sql SET TBLPROPERTIES: each property must be "
+                    f"a literal 'key' = 'value' pair; got {part!r}"
+                )
+            pairs.append((pm.group(1), pm.group(2)))
+        v = None
+        for key, val in pairs:
+            v = t.set_property(key, val)
+        return v
+    m = _DELETE.match(text)
+    if m:
+        pred = m.group("pred")
+        return AcidTable(spark, m.group("path")).delete(
+            pred if pred is not None else "true"
+        )
+    m = _UPDATE.match(text)
+    if m:
+        assignments = {}
+        for part in _split_top_level(m.group("sets")):
+            am = _ASSIGN.match(part)
+            if not am:
+                raise ValueError(
+                    "acid_sql UPDATE: each assignment must be "
+                    f"'<column> = <expression>'; got {part!r}"
+                )
+            col = am.group(1)
+            if col in assignments:
+                raise ValueError(
+                    f"acid_sql UPDATE: column {col!r} assigned twice"
+                )
+            assignments[col] = am.group(2)
+        return AcidTable(spark, m.group("path")).update(
+            assignments, m.group("pred")
+        )
     m = _ALTER.match(text)
     if m:
         t = AcidTable(spark, m.group("path"))
@@ -221,7 +327,8 @@ def acid_sql(spark: SparkSession, text: str):
             "version LONG, operation STRING, n_added LONG, n_removed LONG",
         )
     if re.match(
-        r"^\s*(MERGE|OPTIMIZE|VACUUM|RESTORE|ALTER\s+TABLE\s+acid\.)",
+        r"^\s*(MERGE|OPTIMIZE|VACUUM|RESTORE|ALTER\s+TABLE\s+acid\."
+        r"|DELETE\s+FROM\s+acid\.|UPDATE\s+acid\.)",
         text,
         re.IGNORECASE,
     ) or (
