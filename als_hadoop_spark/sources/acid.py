@@ -156,7 +156,13 @@ def _footer_stats(path: str) -> dict:
             if st is None or not st.has_min_max:
                 continue
             name = col.path_in_schema
-            mn, mx = st.min, st.max
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't extract min/max for some logical types
+                # (e.g. small decimals) — stats are an optimization,
+                # the pruner treats a statless column conservatively
+                continue
             if "." in name or not isinstance(mn, (int, float, str, bool)):
                 continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
@@ -1413,10 +1419,16 @@ class AcidTable:
         if not state["live"]:
             return base
         mode = self._resolve_mode(mode, state)
-        snap_cols = self._assemble(state).columns
-        unknown = [c for c in exprs if c not in snap_cols]
+        snap_schema = {
+            f.name: f.dataType for f in self._assemble(state).schema.fields
+        }
+        unknown = [c for c in exprs if c not in snap_schema]
         if unknown:
             raise ValueError(f"update: unknown column(s) {unknown}")
+        # SQL UPDATE casts each assignment to the COLUMN's type — a
+        # literal like 0.0 parses as DECIMAL(1,1) and would otherwise
+        # silently retype a DOUBLE column in the rewritten files
+        exprs = {c: e.cast(snap_schema[c]) for c, e in exprs.items()}
         if mode == "dv":
             matched = (
                 self._assemble(state, with_pos=True).filter(hit).persist()
@@ -1755,11 +1767,15 @@ class AcidTable:
         clone is a fresh pipeline identity). The clone is fully
         writable immediately — the dev/test branch workflow.
 
-        Caveat (identical to Delta's documented shallow-clone
-        contract): VACUUM on the SOURCE only knows the source's log,
-        so it can sweep files a clone still references — clones of a
-        table whose retention may lapse should be materialized
-        (``overwrite(clone.snapshot())``) or re-cloned."""
+        Clone-safety (r11): the clone registers a marker JSON under
+        the SOURCE's ``_acid_log/clones/`` naming its root and pinned
+        version; the source's :meth:`vacuum` protects every data file
+        and DV sidecar live at a registered clone's pinned version
+        (``force=True`` reproduces the unprotected sweep, naming the
+        clones it strands). Markers self-clean: a vacuum that finds a
+        registered clone's log gone drops the marker. This goes one
+        step beyond Delta's documented shallow-clone contract (which
+        simply warns that source VACUUM can break clones)."""
         head = self.latest_version()
         src_v = head if version is None else version
         if src_v > head:
@@ -1838,7 +1854,56 @@ class AcidTable:
                     f"version {v} — a concurrent writer claimed the "
                     "target"
                 )
+        self._register_clone(dest_path, src_v)
         return dest
+
+    def _clones_dir(self) -> str:
+        return os.path.join(self.path, _LOG_DIR, "clones")
+
+    def _register_clone(self, dest_path: str, src_v: int) -> None:
+        """Write the clone marker the SOURCE's vacuum consults —
+        tmp+rename (atomic), keyed by a digest of the clone root so
+        re-cloning the same destination overwrites its own marker."""
+        import hashlib
+
+        dest_abs = os.path.abspath(dest_path)
+        d = self._clones_dir()
+        os.makedirs(d, exist_ok=True)
+        digest = hashlib.blake2b(
+            dest_abs.encode(), digest_size=8
+        ).hexdigest()
+        marker = os.path.join(d, f"{digest}.json")
+        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"dest": dest_abs, "source_version": src_v}, f)
+        os.replace(tmp, marker)
+
+    def _registered_clones(self) -> list[tuple[str, int]]:
+        """(clone root, pinned source version) for every registered
+        clone whose table still exists — a marker pointing at a
+        DELETED clone (no ``_acid_log`` there anymore) self-cleans."""
+        d = self._clones_dir()
+        if not os.path.isdir(d):
+            return []
+        out: list[tuple[str, int]] = []
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".json"):
+                continue
+            marker = os.path.join(d, name)
+            try:
+                with open(marker) as f:
+                    rec = json.load(f)
+                dest, v = rec["dest"], int(rec["source_version"])
+            except (OSError, ValueError, KeyError, json.JSONDecodeError):
+                continue  # torn/foreign file: leave it, protect nothing
+            if not os.path.isdir(os.path.join(dest, _LOG_DIR)):
+                try:
+                    os.remove(marker)  # the clone was deleted: self-clean
+                except OSError:
+                    pass
+                continue
+            out.append((dest, v))
+        return out
 
     # --------------------------------------- schema evolution (log-only)
 
@@ -2502,7 +2567,9 @@ class AcidTable:
             deleted.append(f"{v:010d}.json")
         return deleted
 
-    def vacuum(self, retention_hours: float = 24.0) -> list[str]:
+    def vacuum(
+        self, retention_hours: float = 24.0, force: bool = False
+    ) -> list[str]:
         """Delete data files referenced by NO retained version AND
         older than ``retention_hours`` (mtime) — the Delta VACUUM
         retention guard: a concurrent writer's staged-but-uncommitted
@@ -2516,8 +2583,32 @@ class AcidTable:
         by no RETAINED commit (their commit lost its race, or
         cleanup_log dropped the entry) are swept under the same
         retention guard, so abandoned change files can't accumulate.
-        Returns the deleted names."""
+        Returns the deleted names.
+
+        CLONE-SAFE (r11): files and DV sidecars live at a registered
+        shallow clone's pinned version are protected — the clone keeps
+        reading after the source vacuums. ``force=True`` drops the
+        protection (today's Delta behavior) and raises nothing; the
+        stranded clones are simply those still registered. A marker
+        whose pinned version is no longer replayable (cleanup_log
+        removed the prefix) refuses the vacuum loudly rather than
+        silently sweeping what the clone needs — re-clone or pass
+        ``force=True``."""
         referenced = set(self._replay())
+        if not force:
+            for dest, v in self._registered_clones():
+                try:
+                    st = self._state(v)
+                except ValueError as exc:
+                    raise ValueError(
+                        f"{self.path}: vacuum would strand the shallow "
+                        f"clone at {dest} (pinned to version {v}, which "
+                        "is no longer replayable) — materialize or "
+                        "re-clone it, or vacuum with force=True"
+                    ) from exc
+                referenced.update(st["live"])
+                for act in st["live"].values():
+                    referenced.update(act.get("dv", ()))
         horizon = time.time() - retention_hours * 3600.0
         deleted = []
         # walk the data tree (the format's partitionBy layout nests
@@ -2573,6 +2664,11 @@ class AcidTable:
             # only through the checkpoint state — protect those too
             for act in self._state()["live"].values():
                 dv_ref.update(act.get("dv", ()))
+            # ... and sidecars a registered clone's pinned version
+            # still reads (folded into `referenced` above)
+            dv_ref.update(
+                r for r in referenced if r.startswith(_DV_DIR + "/")
+            )
             for name in os.listdir(dv_dir):
                 rel = f"{_DV_DIR}/{name}"
                 if not name.endswith(".parquet") or rel in dv_ref:

@@ -257,3 +257,50 @@ def test_restore_reverifies_readds_after_commit(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(AcidTable, "_try_commit", racing_commit)
     with pytest.raises(RuntimeError, match="concurrent VACUUM"):
         t.restore(0)
+
+
+def test_source_vacuum_protects_registered_clone(spark, tmp_path):
+    """Clone-safe VACUUM (r11): the clone registers a marker in the
+    source's log; a source vacuum keeps every file the clone's pinned
+    version reads — even after the source overwrites them away —
+    and force=True reproduces the unprotected sweep."""
+    src = AcidTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    clone = src.clone(str(tmp_path / "clone"))
+    src.overwrite(_df(spark, [(9, "z")]))  # pinned files now non-live
+    swept = src.vacuum(retention_hours=0.0)
+    assert swept == [], "clone-pinned files must survive the vacuum"
+    assert _rows(clone.snapshot()) == [(1, "a"), (2, "b")]
+    # force=True strands the clone (the documented Delta behavior)
+    swept = src.vacuum(retention_hours=0.0, force=True)
+    assert swept, "force must sweep the non-live files"
+    with pytest.raises(Exception):
+        clone.snapshot().collect()
+
+
+def test_clone_marker_self_cleans_when_clone_deleted(spark, tmp_path):
+    import shutil
+
+    src = AcidTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a")]).coalesce(1))
+    src.clone(str(tmp_path / "clone"))
+    src.overwrite(_df(spark, [(2, "b")]))
+    shutil.rmtree(str(tmp_path / "clone"))
+    swept = src.vacuum(retention_hours=0.0)
+    assert swept, "a deleted clone must stop protecting files"
+    assert src._registered_clones() == []
+
+
+def test_source_vacuum_protects_clone_dv_sidecars(spark, tmp_path):
+    """A clone of a masked table reads the source's DV sidecars by
+    absolute path — the source vacuum must keep the sidecars its
+    registered clones reference, even when the source itself has
+    materialized them away."""
+    src = AcidTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(i, f"v{i}") for i in range(10)]).coalesce(1))
+    src.set_property("deletionVectors", "true")
+    src.delete("k >= 8")
+    clone = src.clone(str(tmp_path / "clone"))
+    src.optimize(target_files=1)  # source: masks materialized, refs gone
+    swept = src.vacuum(retention_hours=0.0)
+    assert _rows(clone.snapshot()) == [(i, f"v{i}") for i in range(8)], swept
