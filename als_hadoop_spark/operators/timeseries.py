@@ -892,6 +892,10 @@ def q_acid_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("state")
         .agg(F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n"))
     )
+    # merge-on-read (r11): both mutations commit position sidecars —
+    # zero v0 files rewritten; the refresh folds the CDC sidecars
+    # either way, so the fold path is identical
+    tbl.set_property("deletionVectors", "true")
     tbl.merge(chg, "user_id", upsert, cdf=True)
     tbl.delete(F.col("state") == "click", cdf=True)
     return tbl.incremental_refresh(
@@ -967,6 +971,9 @@ def q_acid_ivm_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         app_id="ivm_loop",
     )
     src.append(snap.coalesce(4))
+    # merge-on-read (r11): the loop's mutations mask instead of
+    # rewriting; the maintainer folds the CDC sidecars either way
+    src.set_property("deletionVectors", "true")
     maintain_rollup(**step)  # bootstrap: full aggregate of v0, offset = v0
     src.merge(chg, "user_id", upsert, cdf=True)
     maintain_rollup(**step)  # fold the MERGE's change feed

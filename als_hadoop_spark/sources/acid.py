@@ -1075,7 +1075,12 @@ class AcidTable:
         pos = positions.select(
             F.col("__acid_base").alias("file"),
             F.col("__acid_pos").cast("bigint").alias("pos"),
-        ).coalesce(1)
+        ).repartition(1)
+        # repartition, NOT coalesce: coalesce(1) would collapse the
+        # whole upstream scan+filter into ONE task (the persist above
+        # it has not materialized yet) — a wide delete would then scan
+        # the table single-threaded. The narrow (file, pos) rows make
+        # the one-partition shuffle KBs-to-MBs.
         adds = self._stage_files(pos, subdir=_DV_DIR, harvest_stats=False)
         sidecars = [a["path"] for a in adds]
         if not sidecars:

@@ -373,3 +373,43 @@ def test_dedup_embed_lsh_has_no_global_sort(spark, sf_dir):
 
     plan = explain_str(q_dedup_embed_lsh(spark, sf_dir))
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_dv_read_plan_shape(spark, tmp_path):
+    """Deletion-vector reads (r11): the predicate still pushes to the
+    parquet scan UNDER the DV anti-join, the anti-join is the plan's
+    only join (bounded, sidecar-sided), and a table with no masks pays
+    NOTHING — its snapshot plan has no join at all."""
+    from als_hadoop_spark.plans import (
+        assert_no_quadratic_join,
+        assert_pushed_filters,
+        explain_str,
+    )
+    from als_hadoop_spark.sources.acid import AcidTable
+
+    t = AcidTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "k LONG, v STRING"
+        ).coalesce(2)
+    )
+    # unmasked: zero read-side cost — no join node in the plan
+    clean = t.snapshot().filter("k >= 50")
+    assert "Join" not in explain_str(clean)
+    assert_pushed_filters(clean, "k")
+    t.set_property("deletionVectors", "true")
+    t.delete("k % 10 = 3")
+    df = t.snapshot().filter("k >= 50")
+    plan = explain_str(df)
+    # the mask applies as ONE broadcast anti-join (sidecar side built)
+    # — never a shuffle: a sort-merge anti would shuffle the DATA side
+    # on (file, position), the exact write-amplification-in-read-
+    # clothing DVs exist to avoid
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert_no_quadratic_join(df)
+    # pushdown reaches the DATA scan through the anti-join
+    assert_pushed_filters(df, "k")
+    assert sorted(r["k"] for r in df.collect()) == [
+        k for k in range(50, 100) if k % 10 != 3
+    ]
