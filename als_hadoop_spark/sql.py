@@ -36,6 +36,8 @@ API; every other statement passes through to ``spark.sql`` verbatim
 - ``ALTER TABLE acid.`<path>` SET TBLPROPERTIES ('k' = 'v', ...)`` →
   the committed version (r11; ``'deletionVectors' = 'true'`` flips
   DELETE/UPDATE/MERGE to merge-on-read).
+- ``SHOW TBLPROPERTIES acid.`<path>``` → one (key, value) row per
+  active property (r11).
 - ``DELETE FROM acid.`<path>` [WHERE <pred>]`` → the committed
   version (r11; no WHERE deletes every row, the SQL semantics).
 - ``UPDATE acid.`<path>` SET <col> = <expr>[, ...] [WHERE <pred>]``
@@ -138,6 +140,11 @@ _UPDATE = re.compile(
 )
 
 _ASSIGN = re.compile(r"^\s*(\w+)\s*=\s*(.+?)\s*$", re.DOTALL)
+
+_SHOW_PROPS = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+acid\.`(?P<path>[^`]+)`\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 _RESTORE = re.compile(
     r"^\s*RESTORE\s+acid\.`(?P<path>[^`]+)`"
@@ -262,6 +269,13 @@ def acid_sql(spark: SparkSession, text: str):
         for key, val in pairs:
             v = t.set_property(key, val)
         return v
+    m = _SHOW_PROPS.match(text)
+    if m:
+        props = AcidTable(spark, m.group("path")).properties()
+        return spark.createDataFrame(
+            sorted(props.items()) or [("", "")],
+            "key STRING, value STRING",
+        ).filter("key != ''")
     m = _DELETE.match(text)
     if m:
         pred = m.group("pred")

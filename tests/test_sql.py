@@ -387,3 +387,19 @@ def test_acid_sql_delete_update_refuse_malformed(spark, tmp_path):
         "_upd_src"
     )
     assert acid_sql(spark, "SELECT update FROM _upd_src").collect()[0][0] == 7
+
+
+def test_acid_sql_show_tblproperties(spark, tmp_path):
+    from als_hadoop_spark.sql import acid_sql
+
+    p, _ = _acid_fixture(spark, tmp_path)
+    assert acid_sql(spark, f"SHOW TBLPROPERTIES acid.`{p}`").count() == 0
+    acid_sql(
+        spark,
+        f"ALTER TABLE acid.`{p}` SET TBLPROPERTIES ('a' = '1', 'b' = '2')",
+    )
+    got = {
+        r["key"]: r["value"]
+        for r in acid_sql(spark, f"SHOW TBLPROPERTIES acid.`{p}`").collect()
+    }
+    assert got == {"a": "1", "b": "2"}
