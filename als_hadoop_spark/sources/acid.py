@@ -489,7 +489,9 @@ class AcidTable:
         if c:
             state["constraints"][c["name"]] = c["expr"]
         prop = entry.get("property")
-        if prop:
+        if prop:  # pre-r11-review single-pair shape, kept replayable
+            state.setdefault("props", {})[prop["key"]] = prop["value"]
+        for prop in entry.get("properties", ()):
             state.setdefault("props", {})[prop["key"]] = prop["value"]
         op = entry.get("schema_op")
         if op:
@@ -697,13 +699,24 @@ class AcidTable:
         TBLPROPERTIES recipe) — readers/writers at any version agree on
         what was active. ``deletionVectors=true`` flips the write
         services' ``mode="auto"`` to merge-on-read."""
+        return self.set_properties({key: value}, max_retries=max_retries)
+
+    def set_properties(self, props: dict, max_retries: int = 10) -> int:
+        """Register SEVERAL properties in ONE commit — the atomicity
+        the SQL ``SET TBLPROPERTIES ('a'='1', 'b'='2')`` statement
+        promises: no reader ever observes half the pairs applied."""
+        if not props:
+            raise ValueError("set_properties: no properties")
         for _ in range(max_retries):
             v = self.latest_version() + 1
             if self._try_commit(
                 v,
                 {
                     "operation": "set_property",
-                    "property": {"key": key, "value": str(value)},
+                    "properties": [
+                        {"key": k, "value": str(x)}
+                        for k, x in sorted(props.items())
+                    ],
                 },
             ):
                 return v
@@ -1424,8 +1437,14 @@ class AcidTable:
         if not state["live"]:
             return base
         mode = self._resolve_mode(mode, state)
+        # ONE assembled read serves schema inference, dv matching, and
+        # cow discovery — assembling twice would repeat the mergeSchema
+        # footer pass over every live file (r11 review)
+        snap = self._assemble(state, with_pos=True)
         snap_schema = {
-            f.name: f.dataType for f in self._assemble(state).schema.fields
+            f.name: f.dataType
+            for f in snap.schema.fields
+            if f.name not in ("__acid_base", "__acid_pos")
         }
         unknown = [c for c in exprs if c not in snap_schema]
         if unknown:
@@ -1435,9 +1454,7 @@ class AcidTable:
         # silently retype a DOUBLE column in the rewritten files
         exprs = {c: e.cast(snap_schema[c]) for c, e in exprs.items()}
         if mode == "dv":
-            matched = (
-                self._assemble(state, with_pos=True).filter(hit).persist()
-            )
+            matched = snap.filter(hit).persist()
             try:
                 sidecars, dv_files = self._stage_dv(state, matched)
                 if not dv_files:
@@ -1472,7 +1489,6 @@ class AcidTable:
                 return base + 1
             finally:
                 matched.unpersist()
-        snap = self._assemble(state, with_pos=True)
         touched = self._files_of(state, snap.filter(hit))
         if not touched:
             return base
@@ -1776,9 +1792,11 @@ class AcidTable:
         the SOURCE's ``_acid_log/clones/`` naming its root and pinned
         version; the source's :meth:`vacuum` protects every data file
         and DV sidecar live at a registered clone's pinned version
-        (``force=True`` reproduces the unprotected sweep, naming the
-        clones it strands). Markers self-clean: a vacuum that finds a
-        registered clone's log gone drops the marker. This goes one
+        (``force=True`` reproduces the unprotected sweep — the clones
+        it strands are exactly those still listed by
+        ``_registered_clones``). Markers self-clean only when the
+        clone is PROVABLY deleted (parent listable, log absent) — an
+        unreachable mount keeps protecting. This goes one
         step beyond Delta's documented shallow-clone contract (which
         simply warns that source VACUUM can break clones)."""
         head = self.latest_version()
@@ -1792,6 +1810,34 @@ class AcidTable:
         dest = AcidTable(self.spark, dest_path)
         if dest._versions():
             raise ValueError(f"{dest_path}: clone target is not empty")
+        # Register the vacuum-protection marker BEFORE anything else
+        # (r11 review): a source vacuum racing clone creation would
+        # otherwise sweep the referenced files between the state read
+        # and the marker write. With the marker down first, verify the
+        # references actually exist (the restore() refusal contract —
+        # the pinned version may already be below the vacuum horizon),
+        # and re-verify after the commits (a vacuum that read the
+        # marker dir just before our write is the residual race).
+        self._register_clone(dest_path, src_v)
+        try:
+            return self._clone_body(dest, dest_path, state, src_v)
+        except BaseException:
+            self._unregister_clone(dest_path)
+            raise
+
+    def _clone_body(
+        self, dest: "AcidTable", dest_path: str, state: dict, src_v: int
+    ) -> "AcidTable":
+        needed = sorted(
+            set(state["live"])
+            | {s for a in state["live"].values() for s in a.get("dv", ())}
+        )
+        for f in needed:
+            if not os.path.exists(os.path.join(self.path, f)):
+                raise ValueError(
+                    f"{self.path}: cannot clone version {src_v}: "
+                    f"{f!r} was vacuumed"
+                )
         ops = state["schema_ops"]
         k = len(ops)
         groups: dict[int, list[dict]] = {}
@@ -1841,13 +1887,17 @@ class AcidTable:
                     "constraint": {"name": name, "expr": expr},
                 }
             )
-        for k_, v_ in sorted(state.get("props", {}).items()):
+        if state.get("props"):
             # table properties carry over (the Delta clone contract):
-            # a merge-on-read source's clone stays merge-on-read
+            # a merge-on-read source's clone stays merge-on-read —
+            # one atomic entry for all pairs
             entries.append(
                 {
                     "operation": "set_property",
-                    "property": {"key": k_, "value": v_},
+                    "properties": [
+                        {"key": k_, "value": v_}
+                        for k_, v_ in sorted(state["props"].items())
+                    ],
                 }
             )
         if not entries:  # empty source: still publish the provenance
@@ -1859,7 +1909,18 @@ class AcidTable:
                     f"version {v} — a concurrent writer claimed the "
                     "target"
                 )
-        self._register_clone(dest_path, src_v)
+        gone = [
+            f
+            for f in needed
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if gone:
+            raise RuntimeError(
+                f"{dest_path}: clone committed, but a concurrent "
+                f"VACUUM swept referenced file(s) {gone[:3]} between "
+                "the marker write and the commit — the clone is "
+                "damaged; delete it and re-clone after quiescing vacuum"
+            )
         return dest
 
     def _clones_dir(self) -> str:
@@ -1869,24 +1930,37 @@ class AcidTable:
         """Write the clone marker the SOURCE's vacuum consults —
         tmp+rename (atomic), keyed by a digest of the clone root so
         re-cloning the same destination overwrites its own marker."""
-        import hashlib
-
-        dest_abs = os.path.abspath(dest_path)
-        d = self._clones_dir()
-        os.makedirs(d, exist_ok=True)
-        digest = hashlib.blake2b(
-            dest_abs.encode(), digest_size=8
-        ).hexdigest()
-        marker = os.path.join(d, f"{digest}.json")
+        os.makedirs(self._clones_dir(), exist_ok=True)
+        marker = self._marker_path(dest_path)
         tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump({"dest": dest_abs, "source_version": src_v}, f)
+            json.dump(
+                {"dest": os.path.abspath(dest_path), "source_version": src_v},
+                f,
+            )
         os.replace(tmp, marker)
+
+    def _marker_path(self, dest_path: str) -> str:
+        import hashlib
+
+        digest = hashlib.blake2b(
+            os.path.abspath(dest_path).encode(), digest_size=8
+        ).hexdigest()
+        return os.path.join(self._clones_dir(), f"{digest}.json")
+
+    def _unregister_clone(self, dest_path: str) -> None:
+        try:
+            os.remove(self._marker_path(dest_path))
+        except OSError:
+            pass
 
     def _registered_clones(self) -> list[tuple[str, int]]:
         """(clone root, pinned source version) for every registered
-        clone whose table still exists — a marker pointing at a
-        DELETED clone (no ``_acid_log`` there anymore) self-cleans."""
+        clone. A marker whose clone is PROVABLY deleted self-cleans:
+        the clone's parent directory must be listable and the table
+        log absent — a merely-unreachable mount (parent unlistable)
+        keeps its marker and keeps protecting, since protection needs
+        only the SOURCE's state (r11 review)."""
         d = self._clones_dir()
         if not os.path.isdir(d):
             return []
@@ -1901,13 +1975,17 @@ class AcidTable:
                 dest, v = rec["dest"], int(rec["source_version"])
             except (OSError, ValueError, KeyError, json.JSONDecodeError):
                 continue  # torn/foreign file: leave it, protect nothing
-            if not os.path.isdir(os.path.join(dest, _LOG_DIR)):
+            if os.path.isdir(os.path.join(dest, _LOG_DIR)):
+                out.append((dest, v))
+                continue
+            parent = os.path.dirname(dest.rstrip(os.sep)) or os.sep
+            if os.path.isdir(parent):
                 try:
-                    os.remove(marker)  # the clone was deleted: self-clean
+                    os.remove(marker)  # provably deleted: self-clean
                 except OSError:
                     pass
-                continue
-            out.append((dest, v))
+            else:
+                out.append((dest, v))  # unreachable ≠ deleted: protect
         return out
 
     # --------------------------------------- schema evolution (log-only)
@@ -2634,56 +2712,48 @@ class AcidTable:
                 except OSError:
                     continue
                 deleted.append(rel)
-        cdc_dir = os.path.join(self.path, _CDC_DIR)
-        if os.path.isdir(cdc_dir):
-            cdc_ref: set[str] = set()
-            for v in self._versions():
-                cdc_ref.update(self._read_entry(v).get("cdc", []))
-            for name in os.listdir(cdc_dir):
-                rel = f"{_CDC_DIR}/{name}"
-                if not name.endswith(".parquet") or rel in cdc_ref:
-                    continue
-                full = os.path.join(cdc_dir, name)
-                try:
-                    if os.path.getmtime(full) > horizon:
-                        continue
-                    os.remove(full)
-                except OSError:
-                    continue
-                deleted.append(rel)
-        dv_dir = os.path.join(self.path, _DV_DIR)
-        if os.path.isdir(dv_dir):
-            # deletion-vector sidecars referenced by no RETAINED commit
-            # (their commit lost its race, or cleanup_log dropped the
-            # entry) sweep under the same retention guard — the CDC
-            # rule. References live in two places: the committing
-            # entry's dv action AND restore/clone re-adds that carry a
-            # file's refs forward.
-            dv_ref: set[str] = set()
-            for v in self._versions():
-                e = self._read_entry(v)
-                dv_ref.update(e.get("dv", {}).get("sidecars", []))
-                for a in e.get("add", []):
-                    dv_ref.update(a.get("dv", []))
-            # a cleanup_log'd prefix leaves a live file's refs visible
-            # only through the checkpoint state — protect those too
-            for act in self._state()["live"].values():
-                dv_ref.update(act.get("dv", ()))
-            # ... and sidecars a registered clone's pinned version
-            # still reads (folded into `referenced` above)
-            dv_ref.update(
-                r for r in referenced if r.startswith(_DV_DIR + "/")
-            )
-            for name in os.listdir(dv_dir):
-                rel = f"{_DV_DIR}/{name}"
-                if not name.endswith(".parquet") or rel in dv_ref:
-                    continue
-                full = os.path.join(dv_dir, name)
-                try:
-                    if os.path.getmtime(full) > horizon:
-                        continue
-                    os.remove(full)
-                except OSError:
-                    continue
-                deleted.append(rel)
+        # CDC change files: referenced by a retained commit's ``cdc``
+        cdc_ref: set[str] = set()
+        for v in self._versions():
+            cdc_ref.update(self._read_entry(v).get("cdc", []))
+        deleted.extend(self._sweep_sidecars(_CDC_DIR, cdc_ref, horizon))
+        # Deletion-vector sidecars: referenced by a retained commit's
+        # dv action, a restore/clone re-add carrying a file's refs
+        # forward, the CURRENT state (a cleanup_log'd prefix leaves a
+        # live file's refs visible only through the checkpoint), or a
+        # registered clone's pinned version (folded into `referenced`)
+        dv_ref: set[str] = set()
+        for v in self._versions():
+            e = self._read_entry(v)
+            dv_ref.update(e.get("dv", {}).get("sidecars", []))
+            for a in e.get("add", []):
+                dv_ref.update(a.get("dv", []))
+        for act in self._state()["live"].values():
+            dv_ref.update(act.get("dv", ()))
+        dv_ref.update(r for r in referenced if r.startswith(_DV_DIR + "/"))
+        deleted.extend(self._sweep_sidecars(_DV_DIR, dv_ref, horizon))
         return sorted(deleted)
+
+    def _sweep_sidecars(
+        self, subdir: str, refs: set, horizon: float
+    ) -> list[str]:
+        """One retention-guarded sweep of an internal sidecar dir —
+        the CDC and DV sweeps share this shape so a future fix to the
+        guard cannot silently diverge between them."""
+        d = os.path.join(self.path, subdir)
+        if not os.path.isdir(d):
+            return []
+        deleted = []
+        for name in os.listdir(d):
+            rel = f"{subdir}/{name}"
+            if not name.endswith(".parquet") or rel in refs:
+                continue
+            full = os.path.join(d, name)
+            try:
+                if os.path.getmtime(full) > horizon:
+                    continue
+                os.remove(full)
+            except OSError:
+                continue
+            deleted.append(rel)
+        return deleted

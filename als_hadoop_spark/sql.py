@@ -134,10 +134,40 @@ _DELETE = re.compile(
 
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+acid\.`(?P<path>[^`]+)`"
-    r"\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    r"\s+SET\s+(?P<body>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_WHERE_KW = re.compile(r"\bWHERE\b", re.IGNORECASE)
+
+
+def _split_on_where(body: str) -> tuple[str, str | None]:
+    """Split ``<assignments> [WHERE <pred>]`` at the first WHERE
+    keyword OUTSIDE parentheses and single-quoted strings — a regex
+    alone would cut ``SET note = 'a where b'`` inside the literal.
+    Same quote convention as :func:`_split_top_level`."""
+    depth, in_str = 0, False
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(body) and body[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _WHERE_KW.match(body, i)
+            if m and (i == 0 or body[i - 1].isspace()):
+                return body[:i].strip(), body[m.end():].strip()
+        i += 1
+    return body.strip(), None
 
 _ASSIGN = re.compile(r"^\s*(\w+)\s*=\s*(.+?)\s*$", re.DOTALL)
 
@@ -265,10 +295,8 @@ def acid_sql(spark: SparkSession, text: str):
                     f"a literal 'key' = 'value' pair; got {part!r}"
                 )
             pairs.append((pm.group(1), pm.group(2)))
-        v = None
-        for key, val in pairs:
-            v = t.set_property(key, val)
-        return v
+        # ONE commit for every pair — the statement's atomicity
+        return t.set_properties(dict(pairs))
     m = _SHOW_PROPS.match(text)
     if m:
         props = AcidTable(spark, m.group("path")).properties()
@@ -284,8 +312,9 @@ def acid_sql(spark: SparkSession, text: str):
         )
     m = _UPDATE.match(text)
     if m:
+        sets, pred = _split_on_where(m.group("body"))
         assignments = {}
-        for part in _split_top_level(m.group("sets")):
+        for part in _split_top_level(sets):
             am = _ASSIGN.match(part)
             if not am:
                 raise ValueError(
@@ -298,9 +327,7 @@ def acid_sql(spark: SparkSession, text: str):
                     f"acid_sql UPDATE: column {col!r} assigned twice"
                 )
             assignments[col] = am.group(2)
-        return AcidTable(spark, m.group("path")).update(
-            assignments, m.group("pred")
-        )
+        return AcidTable(spark, m.group("path")).update(assignments, pred)
     m = _ALTER.match(text)
     if m:
         t = AcidTable(spark, m.group("path"))

@@ -304,3 +304,41 @@ def test_source_vacuum_protects_clone_dv_sidecars(spark, tmp_path):
     src.optimize(target_files=1)  # source: masks materialized, refs gone
     swept = src.vacuum(retention_hours=0.0)
     assert _rows(clone.snapshot()) == [(i, f"v{i}") for i in range(8)], swept
+
+
+def test_clone_refuses_vacuumed_source_files(spark, tmp_path):
+    """r11 review: cloning a version whose files are below the vacuum
+    horizon must refuse loudly (the restore contract), not hand back a
+    clone that fails on first read — and the refusal must not leave a
+    protection marker behind."""
+    src = AcidTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a")]).coalesce(1))
+    src.overwrite(_df(spark, [(2, "b")]))
+    src.vacuum(retention_hours=0.0)  # v0's file is gone
+    with pytest.raises(ValueError, match="was vacuumed"):
+        src.clone(str(tmp_path / "c"), version=0)
+    assert src._registered_clones() == []
+
+
+def test_clone_marker_registered_before_commits(spark, tmp_path):
+    """r11 review: the marker must be down BEFORE the clone's commits
+    so a racing source vacuum cannot sweep the referenced files
+    mid-clone."""
+    src = AcidTable(spark, str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a")]).coalesce(1))
+    seen = []
+    orig = AcidTable._clone_body
+
+    def spy(self, dest, dest_path, state, src_v):
+        seen.append(os.path.exists(self._marker_path(dest_path)))
+        return orig(self, dest, dest_path, state, src_v)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(AcidTable, "_clone_body", spy)
+        src.clone(str(tmp_path / "c"))
+    finally:
+        mp.undo()
+    assert seen == [True]

@@ -403,3 +403,36 @@ def test_acid_sql_show_tblproperties(spark, tmp_path):
         for r in acid_sql(spark, f"SHOW TBLPROPERTIES acid.`{p}`").collect()
     }
     assert got == {"a": "1", "b": "2"}
+
+
+def test_acid_sql_update_where_inside_string_literal(spark, tmp_path):
+    """r11 review: the WHERE split must ignore the keyword inside a
+    quoted string or parenthesized expression in the SET clause."""
+    from als_hadoop_spark.sql import acid_sql
+
+    p, t = _acid_fixture(spark, tmp_path)
+    acid_sql(spark, f"UPDATE acid.`{p}` SET name = 'a where b'")
+    assert {r["name"] for r in t.snapshot().collect()} == {"a where b"}
+    acid_sql(
+        spark,
+        f"UPDATE acid.`{p}` SET name = concat('x', ' WHERE ', 'y') "
+        "WHERE k = 1",
+    )
+    got = {r["k"]: r["name"] for r in t.snapshot().collect()}
+    assert got[1] == "x WHERE y" and got[2] == "a where b"
+
+
+def test_acid_sql_tblproperties_single_commit(spark, tmp_path):
+    """r11 review: one SET TBLPROPERTIES statement with N pairs is ONE
+    commit — no reader can observe half the pairs applied."""
+    from als_hadoop_spark.sql import acid_sql
+
+    p, t = _acid_fixture(spark, tmp_path)
+    before = t.latest_version()
+    v = acid_sql(
+        spark,
+        f"ALTER TABLE acid.`{p}` SET TBLPROPERTIES "
+        "('a' = '1', 'b' = '2', 'c' = '3')",
+    )
+    assert v == before + 1 == t.latest_version()
+    assert t.properties() == {"a": "1", "b": "2", "c": "3"}
