@@ -496,19 +496,29 @@ def q_column_profile_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation pass PER COLUMN (N+1 table scans — its 27× adjudicated
     ×100 residual); the sketches are ordinary partial-mergeable
     aggregates, so ALL columns profile in ONE map-side pass — one scan,
-    one 1-row reduce, no Expand, no shuffle of data rows. rsd=0.01
-    bounds the relative error ≈1% (HLL++ standard error), pytest-gated
-    ≤2% against the exact twin per column. Registered rows-only by
-    design: sketch estimates are implementation-defined, so no
-    cross-engine hash can exist (the exact twin q_column_profile stays
-    the oracle-proven shape — the repo's established fast/oracle
-    pattern)."""
+    one 1-row reduce, no Expand, no shuffle of data rows. The sketch is
+    DataSketches HLL (``hll_sketch_agg``, lgConfigK=14 → ≈0.8% standard
+    error), pytest-gated ≤2% against the exact twin per column.
+    r11 optimization: this was ``approx_count_distinct(rsd=0.01)``
+    until profiling caught Spark's HLL++ at high precision costing
+    3-30 s WARM for 4 sketches over 600 k rows with run-to-run swings
+    tracking concurrent-task count (guide §1 measure-first; A/B table
+    in OPTIMIZATION_r11.md) — the DataSketches aggregate computes the
+    same ≤1%-error estimate in ~1 s, stably, at every partition count.
+    Non-string columns cast to string first (1:1, so the distinct
+    count is unchanged; hll_sketch_agg takes int/long/string/binary).
+    Registered rows-only by design: sketch estimates are
+    implementation-defined, so no cross-engine hash can exist (the
+    exact twin q_column_profile stays the oracle-proven shape — the
+    repo's established fast/oracle pattern)."""
     li = load(spark, sf_dir, "lineitem", spread=True)
     aggs = []
     for c in PROFILE_COLS:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.approx_count_distinct(c, rsd=0.01).alias(f"{c}__distinct"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(c).cast("string"), F.lit(14))
+            ).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
