@@ -1165,50 +1165,69 @@ class AcidTable:
         ``deletionVectors`` (:meth:`set_property`).
 
         Snapshot-isolated: raises CommitConflict if the table head
-        moved between the snapshot read and the commit."""
+        moved between the snapshot read and the commit.
+
+        r11 measurement note (guide §5): persisting ``changes`` for
+        the transaction was A/B'd and REJECTED — the cache
+        materialization barrier cost more than the recompute it saved
+        on every acid query (six-query bench 27.8 s → 39.0 s with the
+        persist), because each consumer's fused whole-stage plan over
+        the small change batch is cheaper than a cache write + read.
+        What stayed: the <=64-key collect below now also derives the
+        stats-prune bounds, replacing the separate min/max agg job."""
         base = self.latest_version()
         state = self._state(base)
         mode = self._resolve_mode(mode, state)
         live = sorted(state["live"])
         touched: list[str] = []
         candidates: list[str] = []
+        keys = changes.select(key).distinct()
         if live:
-            bounds = changes.agg(
-                F.min(key).alias("lo"), F.max(key).alias("hi")
-            ).first()
-            candidates = self._files_where(
-                state, key, bounds["lo"], bounds["hi"]
-            )
+            # ONE bounded collect serves both pruning stages for the
+            # common CDC-sized batch: <= 64 distinct keys yield the
+            # stats bounds (min/max of the keys, computed here) AND
+            # the per-key bloom probe — the separate bounds agg job
+            # only runs for backfill-sized change sets.
+            ks = [r[0] for r in keys.limit(65).collect()]
+            if len(ks) <= 64:
+                nn = [v for v in ks if v is not None]
+                lo = min(nn) if nn else None
+                hi = max(nn) if nn else None
+            else:
+                bounds = changes.agg(
+                    F.min(key).alias("lo"), F.max(key).alias("hi")
+                ).first()
+                lo, hi = bounds["lo"], bounds["hi"]
+            candidates = self._files_where(state, key, lo, hi)
             # a SMALL change-key set tests each candidate's bloom
             # against every key (r10): a CDC batch of k keys on a
             # bloom'd table scans O(files holding those keys), not
             # O(files overlapping [min, max]) — which for random keys
-            # is the whole table. Bounded collect (<= 64 keys); larger
-            # sets fall back to the stats-range candidates unchanged.
-            if len(candidates) > 1 and any(
-                state["live"][f].get("bloom") for f in candidates
+            # is the whole table. Larger sets fall back to the
+            # stats-range candidates unchanged.
+            if (
+                len(candidates) > 1
+                and len(ks) <= 64
+                and any(
+                    state["live"][f].get("bloom") for f in candidates
+                )
             ):
-                ks = [
-                    r[0]
-                    for r in changes.select(key).distinct().limit(65).collect()
-                ]
-                if len(ks) <= 64:
-                    candidates = [
-                        f
-                        for f in candidates
-                        if (
-                            lambda bl: bl is None
-                            or any(bloom_maybe_contains(bl, v) for v in ks)
-                        )(
-                            (state["live"][f].get("bloom") or {}).get(
-                                self._physical_name(
-                                    key,
-                                    state["live"][f]["added"],
-                                    state["schema_ops"],
-                                )
+                candidates = [
+                    f
+                    for f in candidates
+                    if (
+                        lambda bl: bl is None
+                        or any(bloom_maybe_contains(bl, v) for v in ks)
+                    )(
+                        (state["live"][f].get("bloom") or {}).get(
+                            self._physical_name(
+                                key,
+                                state["live"][f]["added"],
+                                state["schema_ops"],
                             )
                         )
-                    ]
+                    )
+                ]
             if candidates and mode == "cow":
                 # file discovery rides the __acid_base helper column
                 # (NOT input_file_name(), which rejects the multi-
@@ -1218,11 +1237,12 @@ class AcidTable:
                 )
                 touched = self._files_of(
                     state,
-                    cand.join(changes.select(key).distinct(), key, "semi"),
+                    cand.join(keys, key, "semi"),
                 )
         if mode == "dv":
             return self._merge_dv(
-                state, base, changes, key, apply_fn, candidates, txn, cdf
+                state, base, changes, keys, apply_fn, candidates, txn,
+                cdf,
             )
         if touched:
             touched_rows = self._assemble(state, files=touched)
@@ -1230,7 +1250,7 @@ class AcidTable:
             touched_rows = self.spark.createDataFrame(
                 [], self._assemble(state).schema
             )
-        else:  # empty table: apply_fn sees an empty frame of the change shape
+        else:  # empty table: apply_fn sees an empty change-shaped frame
             touched_rows = self.spark.createDataFrame([], changes.schema)
         merged = apply_fn(touched_rows, changes)
         # preserve a partitionBy layout: replacement files go back into
@@ -1263,7 +1283,7 @@ class AcidTable:
         state: dict,
         base: int,
         changes: DataFrame,
-        key: str,
+        keys: DataFrame,
         apply_fn,
         candidates: list[str],
         txn: dict | None,
@@ -1274,7 +1294,11 @@ class AcidTable:
         ``apply_fn``'s output as new files. A k-row change set commits
         KBs of sidecar + k rows of new data — ZERO existing data files
         rewritten (pytest-pinned); the read-side cost is the one
-        DV anti-join in ``_assemble``; OPTIMIZE materializes."""
+        DV anti-join in ``_assemble``; OPTIMIZE materializes.
+        ``keys`` is merge()'s single-column distinct-key frame (its
+        one column IS the merge key), computed over the persisted
+        change batch so the semi-join here doesn't replan it."""
+        key = keys.columns[0]
         sidecars: list[str] = []
         dv_files: dict = {}
         matched = None
@@ -1283,9 +1307,7 @@ class AcidTable:
                 cand = self._assemble(
                     state, files=candidates, with_pos=True
                 )
-                matched = cand.join(
-                    changes.select(key).distinct(), key, "semi"
-                ).persist()
+                matched = cand.join(keys, key, "semi").persist()
                 sidecars, dv_files = self._stage_dv(state, matched)
                 matched_rows = matched.drop("__acid_base", "__acid_pos")
             elif state["live"]:
