@@ -768,7 +768,16 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     between a hub exploding the join and not). The orientation changes
     the plan, not the answer, so the DuckDB oracle counts the same
     census from the simpler node-ordered formulation and must
-    hash-match exactly."""
+    hash-match exactly.
+
+    r11: ``edges``, ``deg`` and ``oriented`` are materialized once
+    (``localCheckpoint``, the repo's established reuse barrier from
+    pagerank/connected-components). Lazily chained, the census's eight
+    references to ``edges`` each re-executed the lineitem self-join +
+    distinct — the before-plan carried 36 parquet scans and ~19
+    exchanges for what is one edge build, one degree aggregate, and
+    one orientation join (plans/r11/q_graph_triangles_before/after).
+    At 100 TB the duplicated subtree is 8 fact-scale self-joins."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity") > TRI_MIN_QTY
     ).select("l_orderkey", "l_suppkey")
@@ -778,12 +787,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_suppkey") < F.col("_s2"))
         .select(F.col("l_suppkey").alias("a"), F.col("_s2").alias("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("a").alias("v"))
         .union(edges.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     # orient: lower (deg, id) → higher (deg, id)
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_da"))
@@ -803,6 +814,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select("e.src", "e.dst")
+        .localCheckpoint(eager=False)
     )
     w1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     w2 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
