@@ -270,8 +270,14 @@ _SIMHASH_DIGITS = [
     f"instr('0123456789abcdef', substring(md5(tok), {j + 1}, 1)) - 1"
     for j in range(16)
 ]
+# r11: bit-test via integer shift, not floor-division through DOUBLE —
+# the 64 vote sums are the fingerprint's hot aggregate (probed at
+# sf0.1: ~1.9-2.7 s floor-div vs ~1.3 s shifted, identical sums), and
+# both dialects shift BIGINT natively so the fragment stays shared
+# verbatim with the DuckDB twin (g is a hex digit, 0-15, never
+# negative — arithmetic shift is exact).
 _SIMHASH_VOTES = [
-    f"SUM(CASE WHEN CAST(floor(g{b // 4} / {1 << (b % 4)}.0) AS BIGINT) % 2 = 1 "
+    f"SUM(CASE WHEN (g{b // 4} >> {b % 4}) % 2 = 1 "
     f"THEN 1 ELSE -1 END) AS b{b}"
     for b in range(64)
 ]
