@@ -1173,8 +1173,11 @@ class AcidTable:
         on every acid query (six-query bench 27.8 s → 39.0 s with the
         persist), because each consumer's fused whole-stage plan over
         the small change batch is cheaper than a cache write + read.
-        What stayed: the <=64-key collect below now also derives the
-        stats-prune bounds, replacing the separate min/max agg job."""
+        What stayed: on bloom'd tables the bounded key collect (which
+        the bloom probe needed anyway) now also derives the
+        stats-prune bounds, so a CDC-sized merge pays ONE bounded job
+        instead of two; bloom-less tables keep the single min/max agg
+        unchanged."""
         base = self.latest_version()
         state = self._state(base)
         mode = self._resolve_mode(mode, state)
@@ -1183,16 +1186,20 @@ class AcidTable:
         candidates: list[str] = []
         keys = changes.select(key).distinct()
         if live:
-            # ONE bounded collect serves both pruning stages for the
-            # common CDC-sized batch: <= 64 distinct keys yield the
-            # stats bounds (min/max of the keys, computed here) AND
-            # the per-key bloom probe — the separate bounds agg job
-            # only runs for backfill-sized change sets.
-            ks = [r[0] for r in keys.limit(65).collect()]
-            if len(ks) <= 64:
-                nn = [v for v in ks if v is not None]
-                lo = min(nn) if nn else None
-                hi = max(nn) if nn else None
+            ks: list = []
+            has_blooms = any(a.get("bloom") for a in state["live"].values())
+            if has_blooms:
+                # ONE bounded job serves both pruning stages for the
+                # common CDC-sized batch: <= 64 distinct keys yield the
+                # stats bounds (min/max of the keys, computed here) AND
+                # the per-key bloom probe. limit-under-aggregate, not
+                # limit().collect(): CollectLimit executes incrementally
+                # (1 partition, then 4x more, ...) and costs several
+                # jobs when the first partitions come up short.
+                row = keys.limit(65).agg(F.collect_list(key).alias("k")).first()
+                ks = row["k"] or []
+            if ks and len(ks) <= 64:
+                lo, hi = min(ks), max(ks)  # collect_list skips NULLs
             else:
                 bounds = changes.agg(
                     F.min(key).alias("lo"), F.max(key).alias("hi")
@@ -1207,7 +1214,7 @@ class AcidTable:
             # stats-range candidates unchanged.
             if (
                 len(candidates) > 1
-                and len(ks) <= 64
+                and 0 < len(ks) <= 64
                 and any(
                     state["live"][f].get("bloom") for f in candidates
                 )
