@@ -65,6 +65,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Range-exchange boundary quality (r11): repartitionByRange
+        # draws its partition bounds from a per-partition reservoir
+        # sample whose RNG seed incorporates the RDD id, so boundary
+        # placement wobbles run-to-run with session history. At the
+        # default 100 samples/partition the wobble is enough to smear a
+        # z-ordered/clustered layout's per-file [min,max] by ±1 file
+        # (observed: the zorder pruning gate flaked 5-of-8 vs 4-of-8
+        # under AQE-induced RDD-id drift). 4x the sample pins the
+        # bounds near exact quantiles; cost is a few thousand sampled
+        # rows per exchange on the driver — noise at any scale, and at
+        # 100 TB better bounds mean evenly-sized clustered files.
+        .config("spark.sql.execution.rangeExchange.sampleSizePerPartition", "400")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
