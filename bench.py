@@ -38,6 +38,14 @@ def main(names: list[str]) -> int:
     qs = entry_mod.queries()
     selected = names or list(qs)
 
+    # The EFFECTIVE core count (r12, VERDICT r11 reporting nit): the
+    # session honors $SPARK_GRAFT_CPUS (local[$SPARK_GRAFT_CPUS]), but
+    # this field used to report os.cpu_count(), so the driver's 8-core
+    # scaling artifact said "cpus": 32. Report what the master actually
+    # runs with; falls back to the machine count exactly like the
+    # session does.
+    effective_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
     # Warm up the JVM / parquet footer caches so q1 doesn't pay session
     # startup; the metric is query time, not cold-start time.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -161,7 +169,7 @@ def main(names: list[str]) -> int:
         "queries_cold": timings_cold,
         "sf": sf_from_dir(SF_DIR),
         "calibration_sec": calibration,
-        "cpus": os.cpu_count(),
+        "cpus": effective_cpus,
         "normalized_total": round(total / calibration, 2) if calibration else -1.0,
     }
     # Full per-query dict goes to a file; the harness that invokes this
@@ -184,7 +192,7 @@ def main(names: list[str]) -> int:
                 "failed": sum(1 for t in timings.values() if t < 0),
                 "median": round(ok[len(ok) // 2], 3) if ok else -1.0,
                 "calibration_sec": calibration,
-                "cpus": os.cpu_count(),
+                "cpus": effective_cpus,
                 "normalized_total": round(total / calibration, 2) if calibration else -1.0,
                 "queries": slowest,
                 "full_results": out_path,

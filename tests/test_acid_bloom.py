@@ -254,3 +254,95 @@ def test_bloom_prunes_merge_candidates(spark, tmp_path):
     assert len(hist["remove"]) == 1  # only the one file rewritten
     got = {r["uid"]: r["v"] for r in t.snapshot().filter("uid = 'u000033'").collect()}
     assert got == {"u000033": 777.0}
+
+
+def test_merge_null_key_cannot_shrink_probe_set(spark, tmp_path):
+    """VERDICT r11 #1 regression: on a bloom'd table, a change batch
+    holding >64 distinct non-NULL keys PLUS a NULL key must not let
+    the sampled NULL shrink the bounded probe set under the <=64-key
+    guard — collect_list silently drops the NULL, so without the
+    isNotNull() pre-filter a 65-non-NULL-key batch masquerades as 64,
+    the bloom probe runs over an incomplete key set, the missing key's
+    file is pruned, and the upsert silently DUPLICATES that key
+    instead of updating it. One key per file so any pruned file is
+    observable as a duplicate.
+
+    AQE partition coalescing is disabled for the merge: at toy size
+    the distinct-key aggregate coalesces to ONE partition whose hash
+    map happens to emit the NULL group last — past the limit window —
+    which hides the defect; at real CDC scale the final aggregate
+    keeps many partitions and the NULL sits mid-stream. The toggle
+    reproduces the at-scale partition layout deterministically."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    n = 100  # well past the 64-key bounded-probe guard
+    base = spark.createDataFrame(
+        [(f"k{i:03d}", float(i)) for i in range(n)], "uid STRING, v DOUBLE"
+    ).repartitionByRange(n, "uid")
+    t.append(base, bloom_cols=("uid",))
+    assert len(t._state()["live"]) >= n - 5  # ~one key per file
+
+    changes = spark.createDataFrame(
+        [(f"k{i:03d}", 1000.0 + i) for i in range(n)] + [(None, -1.0)],
+        "uid STRING, v DOUBLE",
+    )
+
+    def upsert(touched, chg):
+        c = chg.select("uid", F.col("v").alias("_nv"))
+        return touched.join(c, "uid", "full_outer").select(
+            "uid", F.coalesce("_nv", "v").alias("v")
+        )
+
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        t.merge(changes, "uid", upsert)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    rows = t.snapshot().filter(F.col("uid").isNotNull()).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["uid"], []).append(r["v"])
+    dupes = {k: vs for k, vs in by_key.items() if len(vs) != 1}
+    assert dupes == {}, f"merge duplicated keys: {dupes}"
+    assert len(by_key) == n
+    assert all(by_key[f"k{i:03d}"] == [1000.0 + i] for i in range(n))
+
+
+def test_merge_null_key_small_batch_bloom_probe(spark, tmp_path):
+    """The <=64-key bloom-probe fast path with a NULL alongside real
+    keys: the NULL is excluded from the probe (it never matches an
+    equi semi-join), the real keys' files are found, and the merge
+    stays exact."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "t")
+    t = AcidTable(spark, p)
+    n = 40
+    base = spark.createDataFrame(
+        [(f"k{i:03d}", float(i)) for i in range(n)], "uid STRING, v DOUBLE"
+    ).repartitionByRange(n, "uid")
+    t.append(base, bloom_cols=("uid",))
+
+    changes = spark.createDataFrame(
+        [("k003", 333.0), ("k017", 777.0), (None, -1.0)],
+        "uid STRING, v DOUBLE",
+    )
+
+    def upsert(touched, chg):
+        c = chg.select("uid", F.col("v").alias("_nv"))
+        return touched.join(c, "uid", "full_outer").select(
+            "uid", F.coalesce("_nv", "v").alias("v")
+        )
+
+    t.merge(changes, "uid", upsert)
+    got = {
+        r["uid"]: r["v"]
+        for r in t.snapshot().filter(F.col("uid").isin("k003", "k017")).collect()
+    }
+    assert got == {"k003": 333.0, "k017": 777.0}
+    # the probe stayed bounded: only the two keyed files rewrote
+    assert len(t.history()[-1]["remove"]) <= 2
