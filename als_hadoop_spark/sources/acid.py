@@ -307,6 +307,70 @@ def _file_blooms(path: str, cols: tuple[str, ...]) -> dict:
     return out
 
 
+#: parsed-schema memo for _merge_schema_jsons — schema JSON strings
+#: repeat across every read of a table, so parse each distinct one once
+_SCHEMA_PARSE_CACHE: dict = {}
+
+#: fixed schema of deletion-vector sidecar files (what _stage_dv
+#: writes) — reading them with it skips schema inference entirely
+_DV_SIDECAR_SCHEMA = "file STRING, pos BIGINT"
+
+
+def _parse_schema_json(j: str):
+    from pyspark.sql import types as T
+
+    st = _SCHEMA_PARSE_CACHE.get(j)
+    if st is None:
+        st = T.StructType.fromJson(json.loads(j))
+        if len(_SCHEMA_PARSE_CACHE) > 512:
+            _SCHEMA_PARSE_CACHE.clear()
+        _SCHEMA_PARSE_CACHE[j] = st
+    return st
+
+
+def _merge_schema_jsons(jsons: list):
+    """Merged Spark read schema from per-file schemas the WRITER logged
+    on each add-action (r12, guide §6/§5: the Delta schema-in-the-log
+    recipe) — lets every snapshot/candidate/CDC read pass an explicit
+    schema instead of paying a mergeSchema footer-inference Spark job
+    per read (at a million files, a distributed footer pass per
+    read; locally, 1-2 driver jobs of pure latency per read).
+
+    Merge rule mirrors parquet mergeSchema for the shapes our writers
+    produce: fields keyed by name in first-appearance order; same
+    name + same type keeps the field (nullable if ANY file says so);
+    a field missing from any file becomes nullable (the reader fills
+    NULLs); same name with DIFFERENT types returns None and the
+    caller falls back to the real mergeSchema pass (its widening
+    rules then apply). Any file without a logged schema → None."""
+    if not jsons or any(j is None for j in jsons):
+        return None
+    from pyspark.sql import types as T
+
+    try:
+        parsed = [_parse_schema_json(j) for j in jsons]
+    except Exception:
+        return None
+    fields: dict = {}
+    order: list[str] = []
+    for st in parsed:
+        for f in st.fields:
+            prev = fields.get(f.name)
+            if prev is None:
+                fields[f.name] = f
+                order.append(f.name)
+            elif prev.dataType != f.dataType:
+                return None
+            elif f.nullable and not prev.nullable:
+                fields[f.name] = f
+    for st in parsed:
+        names = {f.name for f in st.fields}
+        for name in order:
+            if name not in names and not fields[name].nullable:
+                fields[name] = T.StructField(name, fields[name].dataType, True)
+    return T.StructType([fields[n] for n in order])
+
+
 def _empty_state() -> dict:
     return {
         "live": {},
@@ -460,6 +524,10 @@ class AcidTable:
             state["live"].pop(p, None)
         for a in entry.get("add", []):
             act = {"stats": a.get("stats") or {}, "added": v}
+            if a.get("schema"):
+                # per-file logged schema (r12): readers skip the
+                # mergeSchema footer-inference job
+                act["schema"] = a["schema"]
             if a.get("partition"):
                 # format("acid") partitionBy layout (r9): exact
                 # per-file partition values ride the log action
@@ -754,9 +822,7 @@ class AcidTable:
         cons = self.constraints()
         if not cons or not adds:
             return
-        staged = self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, a["path"]) for a in adds]
-        )
+        staged = self._read_staged(adds)
         pred = " AND ".join(f"({e})" for e in cons.values())
         bad = staged.filter(f"NOT ({pred})").count()
         if bad:
@@ -806,6 +872,10 @@ class AcidTable:
             harvest_stats = subdir is None  # CDC sidecars skip stats
         token = uuid.uuid4().hex[:12]
         stage = os.path.join(self.path, _STAGE_DIR, token)
+        # the frame's schema IS the staged files' read schema — logged
+        # on every add-action so readers can skip schema inference
+        # (r12; the mergeSchema fallback still covers pre-r12 logs)
+        schema_json = df.schema.json()
         df.write.mode("overwrite").parquet(stage)
         dest_dir = self.path if subdir is None else os.path.join(self.path, subdir)
         os.makedirs(dest_dir, exist_ok=True)
@@ -821,7 +891,7 @@ class AcidTable:
                 )
                 os.rename(src, os.path.join(dest_dir, final))
                 rel = final if subdir is None else f"{subdir}/{final}"
-                add = {"path": rel, "stats": stats}
+                add = {"path": rel, "stats": stats, "schema": schema_json}
                 if blooms:
                     add["bloom"] = blooms
                 adds.append(add)
@@ -830,6 +900,25 @@ class AcidTable:
 
         shutil.rmtree(stage, ignore_errors=True)
         return adds
+
+    def _read_staged(self, adds: list[dict]) -> DataFrame:
+        """Read just-staged add files with their logged schema (one
+        write → one schema; r12), falling back to a mergeSchema pass
+        for adds staged by an older writer."""
+        paths = [os.path.join(self.path, a["path"]) for a in adds]
+        sch = _merge_schema_jsons([a.get("schema") for a in adds])
+        if sch is not None:
+            return self.spark.read.schema(sch).parquet(*paths)
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _stage_cdc(self, df: DataFrame, entry: dict) -> None:
+        """Stage ``df`` as the commit's CDC sidecar and record its
+        paths (plus the staged schema, so ``table_changes`` readers
+        skip schema inference) on ``entry``."""
+        adds = self._stage_files(df, subdir=_CDC_DIR)
+        entry["cdc"] = [a["path"] for a in adds]
+        if adds and adds[0].get("schema"):
+            entry["cdc_schema"] = adds[0]["schema"]
 
     def _partition_layout(self, state: dict) -> tuple[str, ...] | None:
         """The table's ``partitionBy`` column tuple, derived from the
@@ -1082,28 +1171,30 @@ class AcidTable:
         ``__acid_base``/``__acid_pos`` helper columns (rows to mask).
         Returns ``(sidecar rel paths, {data file rel path: n masked})``
         — empty when no row matched (the caller then commits no DV).
-        The per-file counts come from ONE read of the just-staged
-        sidecar (KBs), bounded by touched files like the cow path's
-        file-discovery collect."""
+        The per-file counts come from the caller's PERSISTED matched
+        frame (every DV writer persists it), not a read-back of the
+        just-staged sidecar — the sidecar write materializes the
+        persist, so the count is a tiny cached-data aggregate instead
+        of a parquet listing + schema + scan round trip (r12, guide
+        §5: two driver jobs off every DV commit)."""
         pos = positions.select(
             F.col("__acid_base").alias("file"),
             F.col("__acid_pos").cast("bigint").alias("pos"),
-        ).repartition(1)
+        )
         # repartition, NOT coalesce: coalesce(1) would collapse the
         # whole upstream scan+filter into ONE task (the persist above
         # it has not materialized yet) — a wide delete would then scan
         # the table single-threaded. The narrow (file, pos) rows make
         # the one-partition shuffle KBs-to-MBs.
-        adds = self._stage_files(pos, subdir=_DV_DIR, harvest_stats=False)
+        adds = self._stage_files(
+            pos.repartition(1), subdir=_DV_DIR, harvest_stats=False
+        )
         sidecars = [a["path"] for a in adds]
         if not sidecars:
             return [], {}
         counts = {
             r["file"]: r["n"]
-            for r in self.spark.read.parquet(
-                *[os.path.join(self.path, s) for s in sidecars]
-            )
-            .groupBy("file")
+            for r in pos.groupBy("file")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -1222,6 +1313,17 @@ class AcidTable:
                 ks = row["k"] or []
             if ks and len(ks) <= 64:
                 lo, hi = min(ks), max(ks)  # collect_list skips NULLs
+                # the bounded collect just PROVED the distinct non-NULL
+                # key set is exactly `ks` — swap the semi-join side for
+                # a driver-local 64-row frame so touched-file discovery
+                # doesn't replan and re-execute the caller's whole
+                # change pipeline a second time (r12, guide §2.4: the
+                # literal side broadcasts for free). NULL keys never
+                # match an equi semi-join, so dropping them from the
+                # frame changes nothing for any consumer.
+                keys = self.spark.createDataFrame(
+                    [(k,) for k in ks], keys.schema
+                )
             else:
                 bounds = changes.agg(
                     F.min(key).alias("lo"), F.max(key).alias("hi")
@@ -1294,13 +1396,9 @@ class AcidTable:
         if cdf and adds:
             # diff the STAGED files (already on disk — no recompute of
             # the merge plan) against the rows of the replaced files
-            after = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, a["path"]) for a in adds]
-            )
+            after = self._read_staged(adds)
             cdc = self._cdc_diff(touched_rows, after, key)
-            entry["cdc"] = [
-                a["path"] for a in self._stage_files(cdc, subdir=_CDC_DIR)
-            ]
+            self._stage_cdc(cdc, entry)
         if txn is not None:
             entry["txn"] = txn
         if not self._try_commit(base + 1, entry):
@@ -1339,7 +1437,6 @@ class AcidTable:
                     state, files=candidates, with_pos=True
                 )
                 matched = cand.join(keys, key, "semi").persist()
-                sidecars, dv_files = self._stage_dv(state, matched)
                 matched_rows = matched.drop("__acid_base", "__acid_pos")
             elif state["live"]:
                 matched_rows = self.spark.createDataFrame(
@@ -1348,27 +1445,42 @@ class AcidTable:
             else:
                 matched_rows = self.spark.createDataFrame([], changes.schema)
             merged = apply_fn(matched_rows, changes)
-            adds = self._stage_files_layout_aware(
-                merged,
-                self._partition_layout(state),
-                self._bloom_layout(state),
-            )
+            if matched is not None:
+                # the DV sidecar write and the replacement-file write
+                # are independent Spark jobs (both sides of the same
+                # persisted `matched`): submit them from two driver
+                # threads so the second job back-fills the first one's
+                # task tail instead of waiting it out (guide §2.6, the
+                # pattern _stage_files_layout_aware already uses).
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_dv = pool.submit(self._stage_dv, state, matched)
+                    f_adds = pool.submit(
+                        self._stage_files_layout_aware,
+                        merged,
+                        self._partition_layout(state),
+                        self._bloom_layout(state),
+                    )
+                    sidecars, dv_files = f_dv.result()
+                    adds = f_adds.result()
+            else:
+                adds = self._stage_files_layout_aware(
+                    merged,
+                    self._partition_layout(state),
+                    self._bloom_layout(state),
+                )
             self._validate(adds)
             entry: dict = {"operation": "merge", "add": adds}
             if dv_files:
                 entry["dv"] = {"sidecars": sidecars, "files": dv_files}
             if cdf and (adds or dv_files):
                 after = (
-                    self.spark.read.option("mergeSchema", "true").parquet(
-                        *[os.path.join(self.path, a["path"]) for a in adds]
-                    )
-                    if adds
+                    self._read_staged(adds) if adds
                     else matched_rows.limit(0)
                 )
                 cdc = self._cdc_diff(matched_rows, after, key)
-                entry["cdc"] = [
-                    a["path"] for a in self._stage_files(cdc, subdir=_CDC_DIR)
-                ]
+                self._stage_cdc(cdc, entry)
             if txn is not None:
                 entry["txn"] = txn
             if not self._try_commit(base + 1, entry):
@@ -1402,21 +1514,33 @@ class AcidTable:
                 .persist()
             )
             try:
-                sidecars, dv_files = self._stage_dv(state, matched)
-                if not dv_files:
-                    return base  # nothing matched: no commit
-                entry: dict = {
-                    "operation": "delete",
-                    "dv": {"sidecars": sidecars, "files": dv_files},
-                }
+                entry: dict = {"operation": "delete"}
                 if cdf:
+                    # sidecar and CDC stage reads are independent jobs
+                    # over the same persisted `matched` — overlap them
+                    # (guide §2.6), same pattern as _merge_dv
+                    from concurrent.futures import ThreadPoolExecutor
+
                     gone = matched.drop(
                         "__acid_base", "__acid_pos"
                     ).withColumn("_change_type", F.lit("delete"))
-                    entry["cdc"] = [
-                        a["path"]
-                        for a in self._stage_files(gone, subdir=_CDC_DIR)
-                    ]
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        f_dv = pool.submit(self._stage_dv, state, matched)
+                        f_cdc = pool.submit(self._stage_cdc, gone, entry)
+                        sidecars, dv_files = f_dv.result()
+                        f_cdc.result()
+                else:
+                    sidecars, dv_files = self._stage_dv(state, matched)
+                if not dv_files:
+                    # nothing matched: no commit — drop the (empty)
+                    # CDC staging the overlapped path may have written
+                    for p in entry.get("cdc", ()):
+                        try:
+                            os.remove(os.path.join(self.path, p))
+                        except OSError:
+                            pass
+                    return base
+                entry["dv"] = {"sidecars": sidecars, "files": dv_files}
                 if not self._try_commit(base + 1, entry):
                     raise CommitConflict("table changed during delete")
                 return base + 1
@@ -1445,9 +1569,7 @@ class AcidTable:
                 .filter(predicate)
                 .withColumn("_change_type", F.lit("delete"))
             )
-            entry["cdc"] = [
-                a["path"] for a in self._stage_files(gone, subdir=_CDC_DIR)
-            ]
+            self._stage_cdc(gone, entry)
         if not self._try_commit(base + 1, entry):
             raise CommitConflict("table changed during delete")
         return base + 1
@@ -1509,16 +1631,33 @@ class AcidTable:
         if mode == "dv":
             matched = snap.filter(hit).persist()
             try:
-                sidecars, dv_files = self._stage_dv(state, matched)
-                if not dv_files:
-                    return base  # nothing matched: no commit
+                # sidecar mask and updated-image writes are independent
+                # jobs over the persisted `matched` — overlap them
+                # (guide §2.6, same pattern as _merge_dv). An empty
+                # match stages an empty add set (zero rows → zero or
+                # empty part files), which the no-commit path discards.
+                from concurrent.futures import ThreadPoolExecutor
+
                 before = matched.drop("__acid_base", "__acid_pos")
                 after = before.withColumns(exprs)
-                adds = self._stage_files_layout_aware(
-                    after,
-                    self._partition_layout(state),
-                    self._bloom_layout(state),
-                )
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_dv = pool.submit(self._stage_dv, state, matched)
+                    f_adds = pool.submit(
+                        self._stage_files_layout_aware,
+                        after,
+                        self._partition_layout(state),
+                        self._bloom_layout(state),
+                    )
+                    sidecars, dv_files = f_dv.result()
+                    adds = f_adds.result()
+                if not dv_files:
+                    # nothing matched: no commit — discard staged adds
+                    for a in adds:
+                        try:
+                            os.remove(os.path.join(self.path, a["path"]))
+                        except OSError:
+                            pass
+                    return base
                 self._validate(adds)
                 entry: dict = {
                     "operation": "update",
@@ -1533,10 +1672,7 @@ class AcidTable:
                             "_change_type", F.lit("update_postimage")
                         )
                     )
-                    entry["cdc"] = [
-                        a["path"]
-                        for a in self._stage_files(cdc, subdir=_CDC_DIR)
-                    ]
+                    self._stage_cdc(cdc, entry)
                 if not self._try_commit(base + 1, entry):
                     raise CommitConflict("table changed during update")
                 return base + 1
@@ -1563,9 +1699,7 @@ class AcidTable:
                     "_change_type", F.lit("update_postimage")
                 )
             )
-            entry["cdc"] = [
-                a["path"] for a in self._stage_files(cdc, subdir=_CDC_DIR)
-            ]
+            self._stage_cdc(cdc, entry)
         if not self._try_commit(base + 1, entry):
             raise CommitConflict("table changed during update")
         return base + 1
@@ -1716,6 +1850,8 @@ class AcidTable:
         bloom) is copied, shared by restore and clone so a future
         action field can't be silently dropped from one of them."""
         a = {"path": path, "stats": act.get("stats") or {}}
+        if act.get("schema"):
+            a["schema"] = act["schema"]
         if act.get("partition"):
             a["partition"] = act["partition"]
         if act.get("bloom"):
@@ -2161,9 +2297,21 @@ class AcidTable:
             groups.setdefault(key, []).append(f)
         parts = []
         for key, fs in sorted(groups.items()):
-            df = self.spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.path, f) for f in fs]
+            paths = [os.path.join(self.path, f) for f in fs]
+            # logged-schema fast path (r12): every writer records each
+            # staged file's schema on its add-action, so the group's
+            # read schema merges driver-side from the log — no
+            # footer-inference Spark job per read. Conflicting or
+            # missing schemas fall back to the real mergeSchema pass.
+            logged = _merge_schema_jsons(
+                [live[f].get("schema") if f in live else None for f in fs]
             )
+            if logged is not None:
+                df = self.spark.read.schema(logged).parquet(*paths)
+            else:
+                df = self.spark.read.option("mergeSchema", "true").parquet(
+                    *paths
+                )
             if need_meta:
                 # hidden metadata columns must be selected straight off
                 # the scan, before any schema op touches the frame
@@ -2187,7 +2335,7 @@ class AcidTable:
         for df in parts[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
         if dv_refs:
-            dv = self.spark.read.parquet(
+            dv = self.spark.read.schema(_DV_SIDECAR_SCHEMA).parquet(
                 *[os.path.join(self.path, s) for s in dv_refs]
             ).select(
                 F.col("file").alias("__acid_base"),
@@ -2322,7 +2470,7 @@ class AcidTable:
         rows = self._assemble(
             self._state(v - 1), files=sorted(dv["files"]), with_pos=True
         )
-        side = self.spark.read.parquet(
+        side = self.spark.read.schema(_DV_SIDECAR_SCHEMA).parquet(
             *[os.path.join(self.path, s) for s in dv["sidecars"]]
         ).select(
             F.col("file").alias("__acid_base"),
@@ -2378,9 +2526,18 @@ class AcidTable:
             if op == "optimize" or (not adds and not removes and not dv):
                 continue  # dataChange=false / metadata-only
             if entry.get("cdc"):
-                df = self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, p) for p in entry["cdc"]]
+                cdc_paths = [os.path.join(self.path, p) for p in entry["cdc"]]
+                cdc_schema = (
+                    _merge_schema_jsons([entry["cdc_schema"]])
+                    if entry.get("cdc_schema")
+                    else None
                 )
+                if cdc_schema is not None:
+                    df = self.spark.read.schema(cdc_schema).parquet(*cdc_paths)
+                else:
+                    df = self.spark.read.option("mergeSchema", "true").parquet(
+                        *cdc_paths
+                    )
             elif not removes and not dv:  # append (or any pure-add commit)
                 df = self._read_files_at(v, adds).withColumn(tag, F.lit("insert"))
             elif op == "overwrite":
