@@ -998,12 +998,17 @@ def q_acid_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``acid_cdf`` source (sources/acid_cdf.py) plans one InputPartition
     per change file with the log version as the offset.
 
-    Two stream runs (Trigger.AvailableNow): the first replays v0 and
+    ONE always-on stream lifecycle (r12; formerly two AvailableNow
+    runs — the collapse removed a full stream setup/teardown, ~1.4 s
+    of planner-worker spawn + WAL init measured locally, without
+    touching the folded result): the first micro-batch replays v0 and
     BOOTSTRAPS the rollup from the change feed itself (fold into an
-    empty typed rollup — no separate recompute path); the second folds
-    the MERGE + DELETE versions in one micro-batch — multi-version
-    batches fold correctly because the signed deltas aggregate across
-    versions and the MAX re-aggregation pins the batch's final version.
+    empty typed rollup — no separate recompute path); the running
+    stream then folds the MERGE + DELETE versions as they commit —
+    in one micro-batch or two, indifferently, because the signed
+    deltas aggregate across versions, the MAX re-aggregation pins
+    each batch's final version, and the txn watermark in the rollup's
+    own log keeps every replay exactly-once.
     The DuckDB twin computes the final rollup directly from raw events;
     the hash-match proves the streaming loop (source offsets, Arrow
     file reads, txn-stamped exactly-once fold, zero-count drop, MAX
@@ -1054,12 +1059,40 @@ def q_acid_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         app_id="stream_ivm",
     )
     src.append(snap.coalesce(4))
-    q = stream_maintain_rollup(**step)  # bootstrap: replay of v0
-    assert q.awaitTermination(300), "acid_cdf bootstrap stream timed out"
-    src.merge(chg, "user_id", upsert, cdf=True)
-    src.delete(F.col("state") == "click", cdf=True)
-    q = stream_maintain_rollup(**step)  # fold MERGE+DELETE in one batch
-    assert q.awaitTermination(300), "acid_cdf fold stream timed out"
+    # ONE always-on lifecycle (r12, guide §1 measured: each stream
+    # start/stop cycle paid ~1.4 s of planner-worker spawn + WAL init +
+    # shutdown on top of the actual fold): the stream keeps running
+    # while the source mutates, exactly how a production maintainer
+    # tails a table. The txn watermark in the rollup's own log remains
+    # the exactly-once authority, so batch boundaries — one fold per
+    # mutation or both in one micro-batch — cannot change the result
+    # (multi-version folds are the declared contract). The returned
+    # frame is identical to the former two-AvailableNow-runs shape.
+    import time as _time
+
+    q = stream_maintain_rollup(
+        **step, trigger={"processingTime": "50 milliseconds"}
+    )
+    try:
+        rt = AcidTable(spark, roll_path)
+
+        def wait_folded(src_version: int, timeout: float = 300.0) -> None:
+            t0 = _time.monotonic()
+            while rt.last_txn("stream_ivm") < src_version:
+                if q.exception() is not None:
+                    raise q.exception()
+                assert _time.monotonic() - t0 < timeout, (
+                    "acid_cdf stream fold timed out"
+                )
+                _time.sleep(0.05)
+
+        wait_folded(src.latest_version())  # bootstrap: replay of v0
+        src.merge(chg, "user_id", upsert, cdf=True)
+        v_final = src.delete(F.col("state") == "click", cdf=True)
+        wait_folded(v_final)  # MERGE+DELETE folded (one or two batches)
+    finally:
+        q.stop()
+    q.awaitTermination(30)
     return (
         AcidTable(spark, roll_path)
         .snapshot()

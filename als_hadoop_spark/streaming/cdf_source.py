@@ -269,7 +269,30 @@ def stream_maintain_rollup(
         consumed = rt.last_txn(
             app_id, version=rollup_v if rollup_v >= 0 else None
         )
-        fresh = batch_df.filter(F.col("_commit_version") > consumed)
+        # Persist the filtered micro-batch (r12): the watermark agg,
+        # the signed-delta fold, and the MIN/MAX touched-key frames
+        # each re-execute the batch plan, and every execution re-reads
+        # the change files through a Python data-source worker (task
+        # dispatch + Arrow hop per read). Unlike the MERGE change
+        # batch (persist A/B'd and REJECTED in r11 — fused codegen
+        # scan beat the cache barrier), this plan's leaf is the
+        # Python source itself, so caching the KB-sized change set
+        # once is cheaper than 3-4 worker round trips.
+        fresh = batch_df.filter(F.col("_commit_version") > consumed).persist()
+        try:
+            _fold_batch(src, rt, rollup_v, consumed, fresh)
+        finally:
+            fresh.unpersist()
+
+    def _fold_batch(
+        src: AcidTable,
+        rt: AcidTable,
+        rollup_v: int,
+        consumed: int,
+        fresh: DataFrame,
+    ) -> None:
+        # rollup_v/consumed are _fold's ONE pinned read — re-reading
+        # them here would reopen the double-fold TOCTOU the pin closed
         hi = fresh.agg(F.max("_commit_version")).collect()[0][0]
         if hi is None:
             return  # batch fully below the folded watermark: replay
